@@ -1,13 +1,251 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+import graft.functions.TextOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry is deterministic (explicit total ORDER BY and
+  * exact-decimal aggregation — see Relational's numeric policy) and has a
+  * DuckDB-equivalent `oracleSql` with matching column names/types unless
+  * the op is not SQL-expressible (then rows-only check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (the reference's entire computation, SURVEY §2.1) on
+    * sf0.001; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    InvertedIndex.ordered(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- reference flagship + text pipeline ------------------------------
+    "inverted_index" -> ((s, d) =>
+      InvertedIndex.asStrings(Tables.documents(s, d)).orderBy(col("word"))),
+    "word_stats" -> ((s, d) => TextAnalysis.wordStats(s, d)),
+    "top_words" -> ((s, d) => TextAnalysis.topWords(s, d)),
+    "lang_profile" -> ((s, d) => TextAnalysis.langProfile(s, d)),
+    "doc_stats" -> ((s, d) => TextAnalysis.docStats(s, d)),
+    "lang_id" -> ((s, d) => TextAnalysis.langIdQuery(s, d)),
+    "tfidf_top_term" -> ((s, d) => TextAnalysis.tfidfTopTerm(s, d)),
+    "doc_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    // -- relational core -------------------------------------------------
+    "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
+    "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
+    "q5_local_volume" -> ((s, d) => Relational.q5LocalVolume(s, d)),
+    "top_orders" -> ((s, d) => Relational.topOrders(s, d)),
+    "semi_join_customers" -> ((s, d) => Relational.semiJoinCustomers(s, d)),
+    "anti_join_customers" -> ((s, d) => Relational.antiJoinCustomers(s, d)),
+    "orders_per_nation" -> ((s, d) => Relational.ordersPerNation(s, d)),
+    "setops_nations" -> ((s, d) => Relational.setOpsNations(s, d)),
+    "distinct_parts" -> ((s, d) => Relational.distinctParts(s, d)),
+    "rollup_orders" -> ((s, d) => Relational.rollupOrders(s, d)),
+    "cube_parts" -> ((s, d) => Relational.cubeParts(s, d)),
+    "window_top_orders" -> ((s, d) => Relational.windowTopOrdersPerCustomer(s, d)),
+    "window_running_qty" -> ((s, d) => Relational.windowRunningQty(s, d)),
+    "above_brand_avg" -> ((s, d) => Relational.aboveBrandAvgParts(s, d)),
+    // -- events ----------------------------------------------------------
+    "hourly_rollup" -> ((s, d) => EventOps.hourlyRollup(s, d)),
+    "sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
+    "json_prop_rollup" -> ((s, d) => EventOps.jsonPropRollup(s, d)),
+    "type_funnel" -> ((s, d) => EventOps.typeFunnel(s, d)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT DISTINCT word, doc_id FROM toks WHERE length(word) > 0
+        |)
+        |SELECT word, string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS doc_ids,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pairs GROUP BY word ORDER BY word""".stripMargin,
+    "word_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+        |  FROM documents
+        |)
+        |SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM toks WHERE length(word) > 0 GROUP BY word ORDER BY word""".stripMargin,
+    "top_words" ->
+      """WITH toks AS (
+        |  SELECT lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+        |  FROM documents
+        |)
+        |SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM toks WHERE length(word) > 0 GROUP BY word
+        |ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "lang_profile" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "semi_join_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "anti_join_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "orders_per_nation" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "setops_nations" ->
+      """WITH cn AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+        |     sn AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+        |SELECT nationkey, 'both' AS which FROM (SELECT * FROM cn INTERSECT SELECT * FROM sn)
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' AS which FROM (SELECT * FROM cn EXCEPT SELECT * FROM sn)
+        |UNION ALL
+        |SELECT nationkey, 'supp_only' AS which FROM (SELECT * FROM sn EXCEPT SELECT * FROM cn)
+        |ORDER BY which, nationkey""".stripMargin,
+    "distinct_parts" ->
+      """SELECT DISTINCT p_brand, p_type FROM part ORDER BY p_brand, p_type""".stripMargin,
+    "rollup_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "cube_parts" ->
+      """SELECT coalesce(p_brand, 'ALL') AS brand,
+        |       coalesce(CAST(p_size AS VARCHAR), 'ALL') AS size,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM part GROUP BY CUBE(p_brand, p_size)
+        |ORDER BY brand, size""".stripMargin,
+    "window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "window_running_qty" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 10
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "above_brand_avg" ->
+      """WITH ba AS (
+        |  SELECT p_brand, CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS brand_avg
+        |  FROM part GROUP BY p_brand)
+        |SELECT p_partkey, part.p_brand, p_retailprice
+        |FROM part JOIN ba ON part.p_brand = ba.p_brand
+        |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
+    "hourly_rollup" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts, sec,
+        |    CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, sec,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    max(sec) - min(sec) AS duration_sec
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events,
+        |       CAST(max(duration_sec) AS BIGINT) AS longest_session_sec
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "tfidf_top_term" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks WHERE length(word) > 0 GROUP BY doc_id, word),
+        |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word,
+        |         round(CAST(tf.tf AS DOUBLE) * ln(CAST(nd.n AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN nd),
+        |ranked AS (
+        |  SELECT doc_id, word, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+        |  FROM scored)
+        |SELECT doc_id, word AS top_term, tfidf FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "json_prop_rollup" ->
+      """SELECT CAST(floor(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) / 10.0) AS BIGINT) AS k_bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "type_funnel" ->
+      """WITH agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type)
+        |SELECT event_type, n, round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6) AS share
+        |FROM agg ORDER BY event_type""".stripMargin,
+  )
 }

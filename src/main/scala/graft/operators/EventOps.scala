@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-stream analytics over the batch `events` table: time bucketing,
+  * lag-gap sessionization, JSON property extraction.
+  *
+  * Timestamp policy: `events.ts` is nanosecond-precision parquet; Spark
+  * reads it at microsecond TimestampType while DuckDB keeps ns. Every
+  * query therefore compares on second-truncated epoch values — exact in
+  * both engines — never raw sub-second timestamps.
+  *
+  * Scale notes: sessionization is a single window function over
+  * (user_id) — one shuffle, state bounded per user; hourly rollups are
+  * plain hash aggregates. Streaming variants of these (watermarked
+  * windows, mapGroupsWithState) live in `graft.streaming`.
+  */
+object EventOps {
+
+  private def epochSec(c: org.apache.spark.sql.Column) =
+    unix_timestamp(date_trunc("second", c))
+
+  /** Tumbling 1-hour windows per event type: count + exact sum. */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Lag-gap sessionization: a session breaks after a 30-minute silence.
+    * Emits per-user session stats. Deterministic: window order carries
+    * event_id as tiebreaker.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val events = Tables.events(spark, dir)
+      .withColumn("sec", epochSec(col("ts")))
+      .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    events
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("sec")) - min(col("sec"))).as("duration_sec"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("duration_sec")).as("longest_session_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  /** JSON property extraction (`props` is a JSON string): bucket by the
+    * integer property `k`, aggregate values.
+    */
+  def jsonPropRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k_bucket", floor(col("k") / 10).cast("long"))
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("k_bucket"))
+
+  /** Event-type funnel counts with share-of-total (window over the
+    * aggregate, no second scan).
+    */
+  def typeFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    agg
+      .withColumn("share",
+        (col("n").cast("double") / sum(col("n")).over(Window.partitionBy())
+          .cast("double")))
+      .select(col("event_type"), col("n"), round(col("share"), 6).as("share"))
+      .orderBy(col("event_type"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** The reference engine's flagship computation — an inverted word index —
+  * as a single declarative Spark plan.
+  *
+  * Reference dataflow (`/root/reference/src/tema1.cpp`): tokenize (:144) ->
+  * normalize (:88-99) -> drop empties (:148-151) -> per-mapper dedup of
+  * (word, doc) pairs (:154-163) -> barrier/shuffle (:170-186) -> group by
+  * word into 26 letter buckets (:194-210) -> sort ids asc (:227) -> sort
+  * words by (doc-count desc, word asc) (:234).
+  *
+  * Scale notes (100 TB posture):
+  *  - ONE shuffle, not two: `collect_set` dedups (word, doc_id) pairs in
+  *    its partial (map-side) aggregation, so a separate `.distinct()`
+  *    before the groupBy would only add a second full shuffle of the same
+  *    key space. The reference's per-mapper `std::map` dedup (tema1.cpp:
+  *    154-158) IS partial aggregation — Spark gives it automatically.
+  *  - The explode inflates rows ~`n_words`×, but it runs map-side inside
+  *    whole-stage codegen and is immediately collapsed by the partial
+  *    aggregate; shuffle volume is O(distinct pairs), same as the
+  *    reference's shared `words` vector.
+  *  - No driver-side state: the reference slurps the whole corpus into RAM
+  *    (tema1.cpp:345-364); here splits stream through executors.
+  */
+object InvertedIndex {
+
+  /** docs(doc_id, text) -> (word, ids: array<long> sorted asc, n_docs). */
+  def apply(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .select(
+        col("word"),
+        col("ids"),
+        size(col("ids")).cast("long").as("n_docs"))
+
+  /** Oracle-friendly projection: posting list as a space-joined string
+    * (robustly hashable across engines; also the reference's own line
+    * format, tema1.cpp:240-247).
+    */
+  def asStrings(docs: DataFrame): DataFrame =
+    apply(docs).select(
+      col("word"),
+      array_join(transform(col("ids"), _.cast("string")), " ").as("doc_ids"),
+      col("n_docs"))
+
+  /** Full reference output ordering: letter bucket, then doc-count desc,
+    * word asc (tema1.cpp:110-115, :234).
+    */
+  def ordered(docs: DataFrame): DataFrame =
+    apply(docs)
+      .withColumn("letter", substring(col("word"), 1, 1))
+      .orderBy(col("letter"), col("n_docs").desc, col("word").asc)
+}

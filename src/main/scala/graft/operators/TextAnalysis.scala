@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents`: word frequency, TF-IDF,
+  * per-doc stats, language id, quality scoring. Generalizes the
+  * reference's word pipeline (tema1.cpp:143-163) beyond the inverted
+  * index.
+  *
+  * Scale notes: everything is explode -> partial agg -> one shuffle;
+  * TF-IDF joins the per-word doc-frequency (a small aggregate) back via
+  * broadcast. No driver-side loops, no UDFs.
+  */
+object TextAnalysis {
+
+  /** Total occurrence count per word (not distinct-doc count — this is
+    * the word-count complement of the inverted index) + doc frequency.
+    */
+  def wordStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("word"))
+
+  /** Top-k most frequent words (TakeOrderedAndProject over the agg). */
+  def topWords(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextOps.words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
+
+  /** Per-document stats: token counts, mean word length, punctuation
+    * density, stopword ratio, quality score. Single narrow scan, no
+    * shuffle at all (pure projection).
+    */
+  def docStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpeish_tokens"),
+        size(array_distinct(TextOps.words(col("text")))).cast("long")
+          .as("n_distinct_words"),
+        round(TextOps.meanWordLen(col("text")), 4).as("mean_word_len"),
+        round(TextOps.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextOps.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus profile by language: doc counts, size stats. */
+  def langProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  /** N-gram-heuristic language ID: score each doc against per-language
+    * marker word sets and pick the argmax (deterministic tiebreak).
+    * The marker lists are tiny and inlined — this is the classic
+    * stopword-profile approach, not a model.
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "dans"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      struct(
+        size(filter(ws, w => w.isin(markers.map(x => x: Any): _*)))
+          .cast("long").as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (score, lang) — array_max on structs compares fieldwise,
+    // so ties break on the language code deterministically.
+    docs.select(
+      col("doc_id"),
+      array_max(array(scores: _*)).getField("lang").as("pred_lang"),
+      array_max(array(scores: _*)).getField("score").as("marker_hits"))
+  }
+
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame =
+    langId(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** TF-IDF: classic log-scaled variant, top term per doc.
+    * tf = occurrences in doc; idf = ln(N / df). Exact integer inputs,
+    * one IEEE ln + multiply — deterministic across engines.
+    */
+  def tfidfTopTerm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n"))
+    val scored = tf
+      .join(broadcast(df_), Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(col("n").cast("double") / col("df").cast("double")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("word").as("top_term"), col("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rolling-hash document fingerprint (content-defined, layout-blind). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import graft.operators.InvertedIndex
+import graft.sources.{LetterSink, TextCorpus}
+
+class InvertedIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("inverted index on an inline corpus") {
+    val docs = Seq(
+      (1L, "the sky is blue"),
+      (2L, "the sun is bright"),
+      (3L, "blue blue sky")).toDF("doc_id", "text")
+    val idx = InvertedIndex(docs).collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    assert(idx("the") === ((Seq(1L, 2L), 2L)))
+    assert(idx("blue") === ((Seq(1L, 3L), 2L)))   // dup within doc 3 collapsed
+    assert(idx("sky") === ((Seq(1L, 3L), 2L)))
+    assert(idx("bright") === ((Seq(2L), 1L)))
+  }
+
+  test("identical results regardless of partitioning (the reference's MxR matrix)") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val a = InvertedIndex(docs.repartition(1)).orderBy("word").collect()
+    val b = InvertedIndex(docs.repartition(13)).orderBy("word").collect()
+    assert(a.sameElements(b))
+  }
+
+  /** Golden fidelity: run the full pipeline over the reference's own small
+    * corpus (read in place, never copied) and diff against its golden
+    * outputs `checker/test_out_small/{a..z}.txt`.
+    */
+  test("golden outputs match the reference checker fixtures") {
+    val refDir = Paths.get("/root/reference/checker")
+    assume(Files.exists(refDir), "reference checker fixtures not present")
+
+    val docs = TextCorpus.fromManifest(spark,
+      refDir.resolve("test_small.txt").toString)
+    val out = Files.createTempDirectory("graft-golden").toString
+    LetterSink.write(InvertedIndex(docs), out)
+
+    ('a' to 'z').foreach { c =>
+      val got = Files.readAllLines(Paths.get(out, s"$c.txt")).asScala
+        .map(_.trim).filter(_.nonEmpty)
+      val want = Files.readAllLines(refDir.resolve(s"test_out_small/$c.txt"))
+        .asScala.map(_.trim).filter(_.nonEmpty)
+      assert(got === want, s"letter file $c.txt differs")
+    }
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify,
+then execute each oracle SQL in DuckDB over the same parquet tables and
+compare row-by-row (columns sorted by name, rows sorted, values hashed).
+
+Usage: python3 tools/check_oracle.py [sfdir] [outdir]
+"""
+import json, math, subprocess, sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    return repr(v)
+
+
+def table_rows(tbl):
+    cols = sorted(tbl.column_names)
+    arr = tbl.select(cols).to_pylist()
+    return sorted(tuple(norm(r[c]) for c in cols) for r in arr), cols
+
+
+def main():
+    run_verify = "--no-verify" not in sys.argv
+    if run_verify:
+        r = subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+            capture_output=True, text=True, cwd="/root/repo")
+        if r.returncode != 0:
+            print(r.stdout[-4000:], r.stderr[-4000:])
+            sys.exit(1)
+
+    oracle = json.loads((OUT / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        out_dir = OUT / name
+        if not out_dir.exists():
+            results[name] = "MISSING_SPARK_OUTPUT"
+            continue
+        try:
+            got_tbl = pq.read_table(str(out_dir))
+            got, got_cols = table_rows(got_tbl)
+            want_tbl = con.execute(sql).fetch_arrow_table()
+            want, want_cols = table_rows(want_tbl)
+        except Exception as e:
+            results[name] = f"ERROR: {e}"
+            continue
+        if got_cols != want_cols:
+            results[name] = f"SCHEMA: spark={got_cols} duck={want_cols}"
+        elif len(got) != len(want):
+            results[name] = f"ROWS: spark={len(got)} duck={len(want)}"
+        elif got != want:
+            bad = next(i for i, (a, b) in enumerate(zip(got, want)) if a != b)
+            results[name] = f"VALUES differ at sorted-row {bad}:\n  spark={got[bad]}\n  duck ={want[bad]}"
+        else:
+            results[name] = f"OK ({len(got)} rows)"
+
+    # queries without oracle: just check rows exist
+    for d in sorted(OUT.iterdir()):
+        if d.is_dir() and d.name not in oracle:
+            try:
+                n = pq.read_table(str(d)).num_rows
+                results[d.name] = f"NO-ORACLE rows={n}" + ("" if n else "  <-- EMPTY")
+            except Exception as e:
+                results[d.name] = f"NO-ORACLE ERROR: {e}"
+
+    width = max(len(k) for k in results)
+    nok = 0
+    for k, v in sorted(results.items()):
+        ok = v.startswith("OK") or v.startswith("NO-ORACLE rows")
+        nok += 0 if ok else 1
+        print(f"{'PASS' if ok else 'FAIL'}  {k:<{width}}  {v}")
+    print(f"\n{len(results) - nok}/{len(results)} pass")
+    sys.exit(1 if nok else 0)
+
+
+if __name__ == "__main__":
+    main()
