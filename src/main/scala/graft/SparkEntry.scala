@@ -49,12 +49,50 @@ object SparkEntry {
     "window_top_orders" -> ((s, d) => Relational.windowTopOrdersPerCustomer(s, d)),
     "window_running_qty" -> ((s, d) => Relational.windowRunningQty(s, d)),
     "above_brand_avg" -> ((s, d) => Relational.aboveBrandAvgParts(s, d)),
+    // -- dedup (LLM-pipeline) --------------------------------------------
+    "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "dedup_fingerprint" -> ((s, d) => Dedup.fingerprintDedup(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardDedup(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshDedup(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashDedup(s, d)),
+    "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    // -- similarity search -----------------------------------------------
+    "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
+    "cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupExact(s, d)),
     // -- events ----------------------------------------------------------
     "hourly_rollup" -> ((s, d) => EventOps.hourlyRollup(s, d)),
     "sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "json_prop_rollup" -> ((s, d) => EventOps.jsonPropRollup(s, d)),
     "type_funnel" -> ((s, d) => EventOps.typeFunnel(s, d)),
   )
+
+  /** Shared by dedup_ngram_jaccard (exact path) and dedup_minhash_lsh:
+    * with these LSH parameters (n=64, r=2, b=32) the candidate miss
+    * probability at the 0.5 threshold is < 1e-14, so the LSH output
+    * equals the exact similarity join and both check against the same
+    * brute-force DuckDB oracle.
+    */
+  private val NgramJaccardOracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
+      |  FROM documents),
+      |ng AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
+      |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i)
+      |  WHERE len(ws) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS c
+      |  FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_id_1, doc_id_2,
+      |       round(CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON doc_id_1 = s1.doc_id
+      |JOIN sizes s2 ON doc_id_2 = s2.doc_id
+      |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
+      |ORDER BY doc_id_1, doc_id_2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "inverted_index" ->
@@ -191,6 +229,41 @@ object SparkEntry {
         |SELECT p_partkey, part.p_brand, p_retailprice
         |FROM part JOIN ba ON part.p_brand = ba.p_brand
         |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS content_key,
+        |  count(*) OVER (PARTITION BY md5(text)) AS cluster_size,
+        |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0), ' ')) AS content_key,
+        |  count(*) OVER (PARTITION BY md5(array_to_string(list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0), ' '))) AS cluster_size,
+        |  doc_id = min(doc_id) OVER (PARTITION BY md5(array_to_string(list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0), ' '))) AS is_keeper
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" -> NgramJaccardOracle,
+    "dedup_minhash_lsh" -> NgramJaccardOracle,
+    "cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM q JOIN c ON vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id AS neighbor_id, rank, round(cos, 6) AS cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "cosine_near_dup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings)
+        |SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+        |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY vec_id_1, vec_id_2""".stripMargin,
     "hourly_rollup" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
         |       event_type, CAST(count(*) AS BIGINT) AS n_events,

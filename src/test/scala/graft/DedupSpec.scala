@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exact clusters collapse identical texts to one keeper") {
+    val docs = Seq(
+      (1L, "hello world"), (2L, "hello world"),
+      (3L, "something else"), (4L, "hello world"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exactClusters(docs, md5(col("text")))
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getBoolean(3)))
+      .sortBy(_._1)
+    assert(r === Array((1L, 3L, true), (2L, 3L, false),
+      (3L, 1L, true), (4L, 3L, false)))
+  }
+
+  test("fingerprint dedup collapses layout/punct/case variants") {
+    val docs = Seq(
+      (1L, "Hello, world!"), (2L, "hello   WORLD"), (3L, "goodbye world"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exactClusters(docs,
+      md5(array_join(graft.functions.TextOps.words(col("text")), " ")))
+      .collect().map(x => (x.getLong(0), x.getBoolean(3))).sortBy(_._1)
+    assert(r === Array((1L, true), (2L, false), (3L, true)))
+  }
+
+  test("ngram jaccard finds near-identical docs, not unrelated ones") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = base.replace("sigma", "sygma")
+    val other = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs === Array((1L, 2L)))
+  }
+
+  test("minhash LSH output equals the exact jaccard join on sf0.001") {
+    val exact = Dedup.ngramJaccardDedup(spark, sf("sf0.001")).collect()
+    val lsh = Dedup.minhashLshDedup(spark, sf("sf0.001")).collect()
+    assert(exact.nonEmpty)
+    assert(exact.sameElements(lsh))
+  }
+
+  test("simhash is identical for identical word streams, close for near-dups") {
+    val docs = Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "Spark shuffles DATA across, the cluster!"),
+      (3L, "completely different words entirely here now"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhashes(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 5)
+  }
+
+  test("simhash pairs: the <=3 blocking guarantee is exact") {
+    // ground truth from the raw signatures
+    val sh = Dedup.simhashes(
+      graft.sources.Tables.documents(spark, sf("sf0.001")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(spark, sf("sf0.001"), maxHamming = 3)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+}

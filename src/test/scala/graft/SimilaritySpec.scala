@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dot/cosine basics") {
+    val df = Seq((Array(1.0f, 0.0f, 2.0f), Array(3.0f, 4.0f, 0.5f)))
+      .toDF("a", "b")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")).as("d"),
+      Similarity.cosine(col("a"), col("a")).as("self"))
+      .as[(Double, Double)].head()
+    assert(r._1 === 4.0)
+    assert(math.abs(r._2 - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: ranks are 1..k, cos within [-1,1], deterministic") {
+    val a = Similarity.cosineTopK(spark, sf("sf0.001")).collect()
+    val b = Similarity.cosineTopK(spark, sf("sf0.001")).collect()
+    assert(a.sameElements(b))
+    val byQuery = a.groupBy(_.getLong(0))
+    assert(byQuery.size === 10)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(2)).sorted.sameElements(1 to rows.length))
+      assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    }
+  }
+
+  test("ANN recall vs brute force is nontrivial and ANN is a subset-ranking") {
+    val exact = Similarity.cosineTopK(spark, sf("sf0.001"))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(spark, sf("sf0.001"))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ann.nonEmpty)
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    info(f"single-probe ANN recall@5 = $recall%.2f")
+    assert(recall > 0.1, s"ANN recall suspiciously low: $recall")
+  }
+
+  test("near-dup pairs are symmetric-free (id1 < id2) and thresholded") {
+    val pairs = Similarity.cosineNearDupExact(spark, sf("sf0.001")).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4 - 1e-6)
+    }
+  }
+}
