@@ -60,6 +60,9 @@ object SparkEntry {
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
     "cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupExact(s, d)),
+    // -- multimodal ------------------------------------------------------
+    "media_stats" -> ((s, d) => Multimodal.mediaStats(s, d)),
+    "media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     // -- events ----------------------------------------------------------
     "hourly_rollup" -> ((s, d) => EventOps.hourlyRollup(s, d)),
     "sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
@@ -229,6 +232,14 @@ object SparkEntry {
         |SELECT p_partkey, part.p_brand, p_retailprice
         |FROM part JOIN ba ON part.p_brand = ba.p_brand
         |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
+    "media_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_key,
         |  count(*) OVER (PARTITION BY md5(text)) AS cluster_size,

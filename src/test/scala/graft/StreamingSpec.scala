@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming hourly rollup over the parquet source matches the batch result") {
+    val stream = EventStreams.hourlyRollup(
+      EventStreams.readEvents(spark, sf("sf0.001")))
+    val q = stream.writeStream
+      .format("memory").queryName("hourly_stream")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("hourly_stream")
+      .orderBy("hour_start", "event_type")
+      .collect()
+    val want = EventOps.hourlyRollup(spark, sf("sf0.001"))
+      .select("hour_start", "event_type", "n_events", "total_value")
+      .collect()
+    assert(got.sameElements(want))
+  }
+
+  test("stateful sessionization closes sessions on gap, keeps open ones in state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = EventStreams.sessionize(input.toDS(), gapSec = 1800)
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_stream")
+      .outputMode("append")
+      .start()
+    try {
+      // user 1: two events 10s apart, then a 1h gap, then one more
+      input.addData(Ev(1L, 1L, 1000L), Ev(1L, 2L, 1010L))
+      q.processAllAvailable()
+      input.addData(Ev(1L, 3L, 1010L + 3600L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val closed = spark.table("sessions_stream").as[EventStreams.Session]
+      .collect()
+    // exactly one closed session: events 1+2; the post-gap session stays open
+    assert(closed.length === 1)
+    assert(closed.head === EventStreams.Session(1L, 1000L, 1010L, 2L))
+  }
+
+  test("streaming session counts agree with the batch window sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    val batchEvents = graft.sources.Tables.events(spark, sf("sf0.001"))
+    val input = MemoryStream[Ev]
+    val sessions = EventStreams.sessionize(input.toDS(), gapSec = 1800)
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_vs_batch")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(
+        batchEvents.select(
+          col("user_id"), col("event_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+          .as[Ev].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // closed streaming sessions + one open session per user == batch total
+    val closedPerUser = spark.table("sessions_vs_batch")
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    val batch = EventOps.sessionize(spark, sf("sf0.001"))
+      .select("user_id", "n_sessions").as[(Long, Long)].collect().toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (user, nSessions) =>
+      assert(closedPerUser.getOrElse(user, 0L) + 1 === nSessions,
+        s"user $user: closed=${closedPerUser.getOrElse(user, 0L)} batch=$nSessions")
+    }
+  }
+}
