@@ -60,6 +60,9 @@ object SparkEntry {
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
     "cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupExact(s, d)),
+    // -- temporal joins --------------------------------------------------
+    "asof_join" -> ((s, d) => Temporal.purchaseAsofClick(s, d)),
+    "range_join" -> ((s, d) => Temporal.purchaseThenError(s, d)),
     // -- multimodal ------------------------------------------------------
     "media_stats" -> ((s, d) => Multimodal.mediaStats(s, d)),
     "media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
@@ -232,6 +235,23 @@ object SparkEntry {
         |SELECT p_partkey, part.p_brand, p_retailprice
         |FROM part JOIN ba ON part.p_brand = ba.p_brand
         |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
+    "asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id,
+        |       CAST(epoch_ns(l.ts) // 1000000000 AS BIGINT) AS purchase_sec,
+        |       CAST(epoch_ns(r.ts) // 1000000000 AS BIGINT) AS click_sec,
+        |       r.value AS click_value
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+    "range_join" ->
+      """SELECT a.event_id AS purchase_id, b.event_id AS error_id,
+        |       a.user_id AS user_id,
+        |       CAST((epoch_ns(b.ts) - epoch_ns(a.ts)) // 1000000000 AS BIGINT) AS gap_sec
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_type = 'purchase' AND b.event_type = 'error'
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+        |ORDER BY purchase_id, error_id""".stripMargin,
     "media_stats" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

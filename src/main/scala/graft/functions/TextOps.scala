@@ -78,12 +78,18 @@ object TextOps {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
     "was", "on", "for", "it", "that", "this", "with", "as", "by", "at")
 
-  def stopwordRatio(text: Column): Column = {
-    val ws = words(text)
+  /** Variant taking a precomputed word array — higher-order array
+    * functions are interpreted (CodegenFallback), so callers computing
+    * several stats should materialize `words(text)` once and use the
+    * `*Of` forms.
+    */
+  def stopwordRatioOf(ws: Column): Column = {
     val stops = filter(ws, w => w.isin(Stopwords.map(x => x: Any): _*))
     when(size(ws) > 0, size(stops).cast("double") / size(ws).cast("double"))
       .otherwise(lit(0.0))
   }
+
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(words(text))
 
   /** Punctuation density: non-alnum-non-space chars / total chars. */
   def punctRatio(text: Column): Column =
@@ -93,22 +99,24 @@ object TextOps {
       .otherwise(lit(0.0))
 
   /** Mean word length of the normalized stream. */
-  def meanWordLen(text: Column): Column = {
-    val ws = words(text)
+  def meanWordLenOf(ws: Column): Column =
     when(size(ws) > 0,
       aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long"))
         .cast("double") / size(ws).cast("double"))
       .otherwise(lit(0.0))
-  }
+
+  def meanWordLen(text: Column): Column = meanWordLenOf(words(text))
 
   /** Composite quality score in [0,1]: rewards moderate length, low
     * punctuation density, and a natural stopword ratio. Deterministic,
-    * single-pass, codegen'd.
+    * single pass.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScoreOf(text: Column, ws: Column): Column = {
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
-    val stopScore = lit(1.0) - abs(stopwordRatio(text) - lit(0.35)) * 2.0
+    val stopScore = lit(1.0) - abs(stopwordRatioOf(ws) - lit(0.35)) * 2.0
     round((lenScore + punctScore + greatest(stopScore, lit(0.0))) / 3.0, 4)
   }
+
+  def qualityScore(text: Column): Column = qualityScoreOf(text, words(text))
 }

@@ -76,7 +76,10 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
-    val ng = docNgrams(docs, n).cache()
+    // no .cache(): the distinct's Exchange subtree is identical across
+    // all uses, so ReuseExchange materializes it once per execution
+    // without pinning executor storage memory for the session
+    val ng = docNgrams(docs, n)
     val sizes = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ng"))
     val rare = ng
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("ngram"))))
@@ -142,7 +145,7 @@ object Dedup {
   def minhashLshDedup(spark: SparkSession, dir: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val ng = docNgrams(docs, n).cache()
+    val ng = docNgrams(docs, n)
     val sizes = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ng"))
     val cands = lshCandidates(minhashSignatures(docs, n))
     verifiedJaccard(cands, ng, sizes, threshold)

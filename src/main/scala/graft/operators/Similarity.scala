@@ -28,8 +28,18 @@ object Similarity {
 
   private val Dim = 64
 
-  /** Sequential-fold double dot product of two array<float/double> cols. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold double dot product — a custom codegen'd Catalyst
+    * expression (graft.plans.VecDot). The equivalent
+    * `aggregate(zip_with(...))` higher-order form is interpreted and
+    * ~10x slower in the O(n^2) join hot paths; both produce bit-equal
+    * results (left-to-right double accumulation).
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.VecDot(a, b)
+
+  /** The HOF formulation, kept as the reference semantics the custom
+    * expression must match (see SimilaritySpec).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

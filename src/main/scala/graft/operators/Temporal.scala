@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Temporal joins Spark has no built-in operator for: as-of join and
+  * bounded range (interval) join. Both are expressed as SCALABLE
+  * compositions rather than custom physical nodes:
+  *
+  *  - As-of join = tagged union + one window pass: right rows are
+  *    interleaved with left rows in (key, time) order and the latest
+  *    right payload is carried forward (`last_value ignoreNulls`).
+  *    ONE shuffle on the key, zero join nodes — at 100 TB this beats
+  *    any per-row lookup join and cannot skew worse than the key
+  *    distribution itself.
+  *  - Range join = time-bucket equi-join: left probes bucket k and
+  *    k+1 (bounded 2x fanout), exact interval predicate applied after
+  *    the equi-join. Turns an unbounded theta-join into a shuffle join
+  *    with constant fanout.
+  *
+  * Both operate on the RAW nanosecond `ts` longs (not the micro-second
+  * TimestampType) so comparisons are exact at source precision — the
+  * same ns arithmetic the DuckDB oracle (`ASOF JOIN`, interval
+  * predicate) performs.
+  */
+object Temporal {
+
+  private val NsPerSec = 1000000000L
+
+  /** Raw events with ts as ns-since-epoch long. */
+  private def rawEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType) e
+    else e.withColumn("ts", unix_micros(col("ts")) * 1000L)
+  }
+
+  /** Generic as-of join: for each left row, the latest right row with
+    * rightTime <= leftTime on the same key. Inner semantics (left rows
+    * with no preceding right row are dropped).
+    *
+    * leftCols/rightCols name the payload columns to carry through.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      time: String, leftCols: Seq[String], rightCols: Seq[String])
+      : DataFrame = {
+    // tag 0 = right, 1 = left: at equal timestamps the right row sorts
+    // first, so an exactly-simultaneous right row IS visible (>= match)
+    val lPayT = left.select(leftCols.map(col): _*).schema
+    val rPayT = right.select(rightCols.map(col): _*).schema
+    val l = left.select(
+      col(key), col(time).as("t"), lit(1).as("side"),
+      struct(leftCols.map(col): _*).as("lpay"),
+      lit(null).cast(rPayT).as("rpay"))
+    val r = right.select(
+      col(key), col(time).as("t"), lit(0).as("side"),
+      lit(null).cast(lPayT).as("lpay"),
+      struct(rightCols.map(col): _*).as("rpay"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outCols = Seq(col(key), col("t")) ++
+      leftCols.map(c => col(s"lpay.$c").as(c)) ++
+      rightCols.map(c => col(s"matched.$c").as(s"r_$c"))
+    l.unionByName(r)
+      .withColumn("matched", last(col("rpay"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("matched").isNotNull)
+      .select(outCols: _*)
+  }
+
+  /** For each purchase event: the user's latest preceding (or
+    * simultaneous) click, with its value.
+    */
+  def purchaseAsofClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = rawEvents(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    asofJoin(purchases, clicks, "user_id", "ts",
+      leftCols = Seq("event_id", "value"), rightCols = Seq("ts", "value"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        expr(s"t div $NsPerSec").as("purchase_sec"),
+        expr(s"r_ts div $NsPerSec").as("click_sec"),
+        col("r_value").as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Generic bounded range self/pair join: (a, b) on the same key with
+    * b.t in (a.t, a.t + windowNs]. Bucketed equi-join, constant fanout.
+    */
+  def rangeJoin(a: DataFrame, b: DataFrame, key: String, time: String,
+      windowNs: Long): DataFrame = {
+    val aB = a
+      .withColumn("bucket",
+        explode(array(expr(s"$time div ${windowNs}L"),
+          expr(s"$time div ${windowNs}L") + 1L)))
+    val bB = b.withColumn("bucket", expr(s"$time div ${windowNs}L"))
+    aB.as("a")
+      .join(bB.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col(s"a.$key") === col(s"b.$key") &&
+          col(s"b.$time") > col(s"a.$time") &&
+          col(s"b.$time") <= col(s"a.$time") + windowNs)
+  }
+
+  /** Errors within 60 minutes after a purchase by the same user. */
+  def purchaseThenError(spark: SparkSession, dir: String): DataFrame = {
+    val ev = rawEvents(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    rangeJoin(purchases, errors, "user_id", "ts", 3600L * NsPerSec)
+      .select(
+        col("a.event_id").as("purchase_id"),
+        col("b.event_id").as("error_id"),
+        col("a.user_id").as("user_id"),
+        ((col("b.ts") - col("a.ts")).cast("long") / lit(NsPerSec))
+          .cast("long").as("gap_sec"))
+      .orderBy(col("purchase_id"), col("error_id"))
+  }
+}

@@ -39,21 +39,27 @@ object TextAnalysis {
 
   /** Per-document stats: token counts, mean word length, punctuation
     * density, stopword ratio, quality score. Single narrow scan, no
-    * shuffle at all (pure projection).
+    * shuffle at all (pure projection). The word array is materialized
+    * in its own projection step and every stat reads that column —
+    * higher-order array functions are interpreted (CodegenFallback), so
+    * evaluating `words(text)` once instead of once per stat is ~an
+    * order of magnitude on wide stat rows (CollapseProject keeps the
+    * split because the producing expression is non-cheap and multiply
+    * referenced).
     */
   def docStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .withColumn("ws", TextOps.words(col("text")))
       .select(
         col("doc_id"),
         col("lang"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpeish_tokens"),
-        size(array_distinct(TextOps.words(col("text")))).cast("long")
-          .as("n_distinct_words"),
-        round(TextOps.meanWordLen(col("text")), 4).as("mean_word_len"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"),
+        round(TextOps.meanWordLenOf(col("ws")), 4).as("mean_word_len"),
         round(TextOps.punctRatio(col("text")), 4).as("punct_ratio"),
-        round(TextOps.stopwordRatio(col("text")), 4).as("stopword_ratio"),
-        TextOps.qualityScore(col("text")).as("quality"))
+        round(TextOps.stopwordRatioOf(col("ws")), 4).as("stopword_ratio"),
+        TextOps.qualityScoreOf(col("text"), col("ws")).as("quality"))
       .orderBy(col("doc_id"))
 
   /** Corpus profile by language: doc counts, size stats. */
@@ -81,19 +87,23 @@ object TextAnalysis {
     "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta"))
 
   def langId(docs: DataFrame): DataFrame = {
-    val ws = TextOps.words(col("text"))
     val scores = LangMarkers.map { case (lang, markers) =>
       struct(
-        size(filter(ws, w => w.isin(markers.map(x => x: Any): _*)))
+        size(filter(col("ws"), w => w.isin(markers.map(x => x: Any): _*)))
           .cast("long").as("score"),
         lit(lang).as("lang"))
     }
     // argmax by (score, lang) — array_max on structs compares fieldwise,
-    // so ties break on the language code deterministically.
-    docs.select(
-      col("doc_id"),
-      array_max(array(scores: _*)).getField("lang").as("pred_lang"),
-      array_max(array(scores: _*)).getField("score").as("marker_hits"))
+    // so ties break on the language code deterministically. The word
+    // array and the score array are each materialized once (see
+    // docStats on CollapseProject and interpreted HOFs).
+    docs
+      .withColumn("ws", TextOps.words(col("text")))
+      .withColumn("scored", array_max(array(scores: _*)))
+      .select(
+        col("doc_id"),
+        col("scored.lang").as("pred_lang"),
+        col("scored.score").as("marker_hits"))
   }
 
   def langIdQuery(spark: SparkSession, dir: String): DataFrame =

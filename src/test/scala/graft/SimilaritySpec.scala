@@ -6,6 +6,16 @@ import graft.operators.Similarity
 class SimilaritySpec extends SparkTestBase {
   import spark.implicits._
 
+  test("custom VecDot expression is bit-equal to the HOF fold on real embeddings") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val cmp = emb.as("a").crossJoin(emb.as("b").limit(3))
+      .select(
+        Similarity.dot(col("a.embedding"), col("b.embedding")).as("fast"),
+        Similarity.dotHof(col("a.embedding"), col("b.embedding")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(cmp.count() === 0)
+  }
+
   test("dot/cosine basics") {
     val df = Seq((Array(1.0f, 0.0f, 2.0f), Array(3.0f, 4.0f, 0.5f)))
       .toDF("a", "b")
