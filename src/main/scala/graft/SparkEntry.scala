@@ -34,6 +34,7 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalysis.langIdQuery(s, d)),
     "tfidf_top_term" -> ((s, d) => TextAnalysis.tfidfTopTerm(s, d)),
     "doc_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "topk_words_per_lang" -> ((s, d) => TextAnalysis.topWordsPerLang(s, d)),
     // -- relational core -------------------------------------------------
     "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
@@ -235,6 +236,18 @@ object SparkEntry {
         |SELECT p_partkey, part.p_brand, p_retailprice
         |FROM part JOIN ba ON part.p_brand = ba.p_brand
         |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
+    "topk_words_per_lang" ->
+      """WITH toks AS (
+        |  SELECT lang, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+        |  FROM documents),
+        |counts AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS n
+        |           FROM toks WHERE length(word) > 0 GROUP BY lang, word),
+        |ranked AS (
+        |  SELECT lang, word, n,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS INTEGER) AS rank
+        |  FROM counts)
+        |SELECT lang, word, n, rank FROM ranked WHERE rank <= 3
+        |ORDER BY lang, rank""".stripMargin,
     "asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
         |     r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')

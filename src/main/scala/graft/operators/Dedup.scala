@@ -19,9 +19,11 @@ import graft.sources.Tables
   *    sharing at least one n-gram (inverted-index join), which is the
   *    PHiDJ-style pruning — pairs sharing nothing have similarity 0 and
   *    are provably below any positive threshold. Hot n-grams are capped
-  *    (`maxDocFreq`) to stop the quadratic blowup a stop-n-gram would
-  *    cause; a dropped n-gram can only lower recall for pairs whose
-  *    OTHER shared n-grams are also hot, which near-dup pairs never are.
+  *    (`maxDocFreq`) to stop the sum-of-df^2 blowup a corpus-common
+  *    n-gram would cause — prefix-filtering from the similarity-join
+  *    literature; a dropped n-gram only loses pairs whose EVERY shared
+  *    n-gram is hot, and a true near-dup pair always shares
+  *    doc-specific (rare) n-grams.
   *  - MinHash+LSH replaces the candidate join's n-gram fanout with
   *    b=32 constant-size band keys per doc: shuffle volume per doc is
   *    O(b), independent of doc length — the 100 TB path. Band
@@ -61,37 +63,79 @@ object Dedup {
 
   // ---------- exact n-gram Jaccard similarity join ----------
 
-  /** (doc_id, ngram) distinct pairs; the unit of Jaccard similarity. */
-  private def docNgrams(docs: DataFrame, n: Int): DataFrame =
-    docs
+  /** (doc_id, ngram) distinct pairs; the unit of Jaccard similarity.
+    *
+    * Deliberately NOT `explode(TextOps.wordNgrams(...))`: array
+    * higher-order functions are interpreted (CodegenFallback) and cost
+    * ~10x on this hot path. Instead: posexplode the raw token split,
+    * normalize/filter (all codegen), then window `lead` to stitch
+    * consecutive SURVIVING words — token positions keep their order
+    * across the empty-word filter, so adjacency semantics are identical
+    * to the array formulation (and to the DuckDB oracle).
+    */
+  private def docNgrams(docs: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = docs
       .select(col("doc_id"),
-        explode(TextOps.wordNgrams(col("text"), n)).as("ngram"))
+        posexplode(split(col("text"), TextOps.TokenSplitRe))
+          .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        TextOps.normalize(col("tok")).as("w0"))
+      .filter(length(col("w0")) > 0)
+    val leads = (1 until n).map(i => lead(col("w0"), i).over(w).as(s"w$i"))
+    words
+      .select(col("doc_id") +: col("w0") +: leads: _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*).as("ngram"))
       .distinct()
+  }
+
+  /** (doc_id, ngram, n_ng) — n-grams annotated with their doc's set
+    * size via a window (no second aggregation pass over the corpus).
+    */
+  private def ngramsWithSize(docs: DataFrame, n: Int): DataFrame =
+    docNgrams(docs, n)
+      .withColumn("n_ng",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
 
   /** Exact Jaccard similarity join on word n-grams: all pairs with
-    * jaccard >= threshold. Candidate generation only considers n-grams
-    * with doc frequency <= maxDocFreq (skew guard; see scale notes) —
-    * but verification recounts the intersection over the FULL n-gram
-    * sets, so surviving pairs carry the true Jaccard value.
+    * jaccard >= threshold, in ONE inverted-index self-join + one
+    * aggregation — the join on the shared n-gram both generates the
+    * candidate pairs and counts their intersections (pairs sharing
+    * nothing have similarity 0 and are provably below any positive
+    * threshold, so never cross-join). Set sizes ride along as window
+    * columns, so the whole operator evaluates the n-gram extraction
+    * exactly twice (the two join sides) — Spark cannot share a subtree
+    * across self-join branches.
+    *
+    * maxDocFreq drops corpus-common n-grams (df above the cap) from the
+    * join — the prefix-filtering skew guard. At the default it is a
+    * no-op on sane corpora; it can only lose a pair whose EVERY shared
+    * n-gram is hot, and true near-dup pairs always share doc-specific
+    * rare n-grams.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
-    // no .cache(): the distinct's Exchange subtree is identical across
-    // all uses, so ReuseExchange materializes it once per execution
-    // without pinning executor storage memory for the session
-    val ng = docNgrams(docs, n)
-    val sizes = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ng"))
-    val rare = ng
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("ngram"))))
+    val enriched = ngramsWithSize(docs, n)
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("ngram"))))
       .filter(col("df") <= maxDocFreq)
-      .select(col("doc_id"), col("ngram"))
-    val cands = rare.as("a")
-      .join(rare.as("b"),
-        col("a.ngram") === col("b.ngram") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
-      .distinct()
-    verifiedJaccard(cands, ng, sizes, threshold)
+    val a = enriched.select(col("doc_id").as("doc_id_1"), col("ngram"),
+      col("n_ng").as("n1"))
+    val b = enriched.select(col("doc_id").as("doc_id_2"), col("ngram"),
+      col("n_ng").as("n2"))
+    a.join(b, Seq("ngram"))
+      .filter(col("doc_id_1") < col("doc_id_2"))
+      .groupBy(col("doc_id_1"), col("doc_id_2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_1"), col("doc_id_2"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
   }
 
   def ngramJaccardDedup(spark: SparkSession, dir: String): DataFrame =
@@ -145,28 +189,18 @@ object Dedup {
   def minhashLshDedup(spark: SparkSession, dir: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val ng = docNgrams(docs, n)
-    val sizes = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ng"))
     val cands = lshCandidates(minhashSignatures(docs, n))
-    verifiedJaccard(cands, ng, sizes, threshold)
-  }
-
-  /** Exact-Jaccard verification of candidate pairs over full n-gram
-    * sets (shared by the exact and LSH paths).
-    */
-  private def verifiedJaccard(cands: DataFrame, ng: DataFrame,
-      sizes: DataFrame, threshold: Double): DataFrame = {
-    val inter = cands
-      .join(ng.select(col("doc_id").as("doc_id_1"), col("ngram")), "doc_id_1")
-      .join(ng.select(col("doc_id").as("doc_id_2"), col("ngram")),
-        Seq("doc_id_2", "ngram"))
-      .groupBy(col("doc_id_1"), col("doc_id_2"))
+    // exact-Jaccard verification of the LSH candidates over full n-gram
+    // sets: set sizes ride the n-gram rows as window columns, so the
+    // n-gram extraction runs twice (once per join side), not four times
+    val ngs = ngramsWithSize(docs, n)
+    cands
+      .join(ngs.select(col("doc_id").as("doc_id_1"), col("ngram"),
+        col("n_ng").as("n1")), "doc_id_1")
+      .join(ngs.select(col("doc_id").as("doc_id_2"), col("ngram"),
+        col("n_ng").as("n2")), Seq("doc_id_2", "ngram"))
+      .groupBy(col("doc_id_1"), col("doc_id_2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_id_1"), col("n_ng").as("n1")),
-        "doc_id_1")
-      .join(sizes.select(col("doc_id").as("doc_id_2"), col("n_ng").as("n2")),
-        "doc_id_2")
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n1") + col("n2") - col("n_common")).cast("double"))

@@ -137,6 +137,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-k words per language via the custom typed TopKAggregator —
+    * bounded O(k) state per group with map-side combine, vs the window
+    * row_number formulation's full per-group sort (see TopKAggregator
+    * scale notes).
+    */
+  def topWordsPerLang(spark: SparkSession, dir: String, k: Int = 3)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.functions.{ScoredEntry, TopKAggregator}
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextOps.words(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)]
+    counts
+      .groupByKey(_._1)
+      .mapValues(t => ScoredEntry(t._2, t._3))
+      .agg(new TopKAggregator(k).toColumn)
+      .flatMap { case (lang, entries) =>
+        entries.zipWithIndex.map { case (e, i) =>
+          (lang, e.payload, e.score, i + 1)
+        }
+      }
+      .toDF("lang", "word", "n", "rank")
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** Rolling-hash document fingerprint (content-defined, layout-blind). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
