@@ -31,6 +31,19 @@ object TextOps {
   def words(text: Column): Column =
     filter(transform(tokenize(text), normalize _), w => length(w) > 0)
 
+  /** Row-wise word stream: `keep... , word` — one row per normalized
+    * non-empty word of `text`. Prefer this over
+    * `explode(words(text))` in aggregation pipelines: the array
+    * higher-order functions are interpreted (CodegenFallback), while
+    * explode(split) -> regexp_replace -> filter runs entirely inside
+    * whole-stage codegen. Identical word-stream semantics.
+    */
+  def explodedWords(df: org.apache.spark.sql.DataFrame, keep: Column*)
+      : org.apache.spark.sql.DataFrame =
+    df.select(keep :+ explode(tokenize(col("text"))).as("tok"): _*)
+      .select(keep :+ normalize(col("tok")).as("word"): _*)
+      .filter(length(col("word")) > 0)
+
   /** Whitespace token count (cheap, single pass, no explode). */
   def tokenCount(text: Column): Column =
     size(filter(tokenize(text), t => length(t) > 0))

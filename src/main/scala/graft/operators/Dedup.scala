@@ -218,8 +218,7 @@ object Dedup {
     * aggregates (one shuffle, map-side combined) + a driver-free pack.
     */
   def simhashes(docs: DataFrame): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+    val tf = TextOps.explodedWords(docs, col("doc_id"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("wh", xxhash64(col("word")))

@@ -30,8 +30,7 @@ object InvertedIndex {
 
   /** docs(doc_id, text) -> (word, ids: array<long> sorted asc, n_docs). */
   def apply(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+    TextOps.explodedWords(docs, col("doc_id"))
       .groupBy(col("word"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .select(

@@ -21,8 +21,7 @@ object TextAnalysis {
     * the word-count complement of the inverted index) + doc frequency.
     */
   def wordStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+    TextOps.explodedWords(Tables.documents(spark, dir), col("doc_id"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
@@ -30,8 +29,7 @@ object TextAnalysis {
 
   /** Top-k most frequent words (TakeOrderedAndProject over the agg). */
   def topWords(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
-    Tables.documents(spark, dir)
-      .select(explode(TextOps.words(col("text"))).as("word"))
+    TextOps.explodedWords(Tables.documents(spark, dir))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word"))
@@ -115,8 +113,7 @@ object TextAnalysis {
     */
   def tfidfTopTerm(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val tf = docs
-      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+    val tf = TextOps.explodedWords(docs, col("doc_id"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("word"))
@@ -146,8 +143,8 @@ object TextAnalysis {
       : DataFrame = {
     import spark.implicits._
     import graft.functions.{ScoredEntry, TopKAggregator}
-    val counts = Tables.documents(spark, dir)
-      .select(col("lang"), explode(TextOps.words(col("text"))).as("word"))
+    val counts = TextOps
+      .explodedWords(Tables.documents(spark, dir), col("lang"))
       .groupBy(col("lang"), col("word"))
       .agg(count(lit(1)).as("n"))
       .as[(String, String, Long)]
