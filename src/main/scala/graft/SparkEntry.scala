@@ -47,6 +47,9 @@ object SparkEntry {
     "distinct_parts" -> ((s, d) => Relational.distinctParts(s, d)),
     "rollup_orders" -> ((s, d) => Relational.rollupOrders(s, d)),
     "cube_parts" -> ((s, d) => Relational.cubeParts(s, d)),
+    "grouping_sets" -> ((s, d) => Relational.groupingSetsLineitem(s, d)),
+    "percentiles" -> ((s, d) => Relational.quantityPercentiles(s, d)),
+    "monthly_revenue" -> ((s, d) => Relational.monthlyRevenue(s, d)),
     "window_top_orders" -> ((s, d) => Relational.windowTopOrdersPerCustomer(s, d)),
     "window_running_qty" -> ((s, d) => Relational.windowRunningQty(s, d)),
     "above_brand_avg" -> ((s, d) => Relational.aboveBrandAvgParts(s, d)),
@@ -216,6 +219,29 @@ object SparkEntry {
         |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM part GROUP BY CUBE(p_brand, p_size)
         |ORDER BY brand, size""".stripMargin,
+    "grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |       round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "monthly_revenue" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mon,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       round(sqrt(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)), 6) AS revenue_sqrt,
+        |       round(ln(CAST(count(*) AS DOUBLE)), 6) AS log_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mon""".stripMargin,
     "window_top_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -181,6 +181,50 @@ object Relational {
         col("n"), col("total_price"))
       .orderBy(col("brand"), col("size"))
 
+  /** GROUPING SETS: order totals at three explicit grouping levels in
+    * one pass (one shuffle; Spark expands the sets map-side).
+    */
+  def groupingSetsLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), decSum(col("l_quantity"), 2).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** Exact interpolated percentiles per group (sort-based aggregate —
+    * the one agg here that cannot pre-aggregate map-side; at 100 TB
+    * you'd switch to approx_percentile's mergeable sketch and accept
+    * the error bound).
+    */
+  def quantityPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
+      .orderBy(col("l_returnflag"))
+
+  /** Date + math scalar functions: monthly revenue with derived stats. */
+  def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mon"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice"), 2).as("revenue"))
+      .withColumn("revenue_sqrt", round(sqrt(col("revenue")), 6))
+      .withColumn("log_orders", round(log(col("n_orders").cast("double")), 6))
+      .orderBy(col("yr"), col("mon"))
+
   /** Window ranking: top-3 orders per customer by price. The window
     * orderBy carries a unique tiebreaker (o_orderkey) — row_number over
     * a non-total order is nondeterministic under repartitioning.

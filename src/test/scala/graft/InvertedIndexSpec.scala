@@ -55,4 +55,28 @@ class InvertedIndexSpec extends SparkTestBase {
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  /** The full-size reference corpus: 355 book-chapter files, 6.4 MB,
+    * 33k golden output lines. Matches the reference checker's main
+    * correctness gate (diff -w of all 26 letter files).
+    */
+  test("golden outputs match the BIG reference corpus") {
+    val refDir = Paths.get("/root/reference/checker")
+    assume(Files.exists(refDir.resolve("test.txt")), "big fixtures absent")
+
+    val docs = TextCorpus.fromManifest(spark, refDir.resolve("test.txt").toString)
+    val out = Files.createTempDirectory("graft-golden-big").toString
+    LetterSink.write(InvertedIndex(docs), out)
+
+    ('a' to 'z').foreach { c =>
+      val got = Files.readAllLines(Paths.get(out, s"$c.txt")).asScala
+        .map(_.trim).filter(_.nonEmpty)
+      val want = Files.readAllLines(refDir.resolve(s"test_out/$c.txt"))
+        .asScala.map(_.trim).filter(_.nonEmpty)
+      assert(got.length === want.length, s"line count differs in $c.txt")
+      got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(g === w, s"$c.txt line ${i + 1} differs")
+      }
+    }
+  }
 }

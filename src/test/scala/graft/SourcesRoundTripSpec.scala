@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink round-trips: every format the engine claims must write
+  * and re-read losslessly (schema pinned on read — inference is for
+  * exploration, not pipelines).
+  */
+class SourcesRoundTripSpec extends SparkTestBase {
+
+  private def nationDf = graft.sources.Tables.nation(spark, sf("sf0.001"))
+    .orderBy("n_nationkey")
+
+  test("parquet round-trip") {
+    val dir = Files.createTempDirectory("rt-parquet").toString
+    nationDf.write.mode("overwrite").parquet(dir)
+    assert(spark.read.parquet(dir).orderBy("n_nationkey").collect()
+      .sameElements(nationDf.collect()))
+  }
+
+  test("csv round-trip with explicit schema") {
+    val dir = Files.createTempDirectory("rt-csv").toString
+    nationDf.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.schema(nationDf.schema)
+      .option("header", "true").csv(dir)
+    assert(back.orderBy("n_nationkey").collect()
+      .sameElements(nationDf.collect()))
+  }
+
+  test("json round-trip with explicit schema") {
+    val dir = Files.createTempDirectory("rt-json").toString
+    nationDf.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(nationDf.schema).json(dir)
+    assert(back.orderBy("n_nationkey").collect()
+      .sameElements(nationDf.collect()))
+  }
+
+  test("partitioned parquet sink prunes partitions on read") {
+    val dir = Files.createTempDirectory("rt-part").toString
+    graft.sources.Tables.orders(spark, sf("sf0.001"))
+      .withColumn("status", col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("status").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("status") === "F")
+    // partition pruning: the scan must touch only the status=F directory
+    val scanned = one.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(one.count() > 0)
+    assert(!scanned.contains("status=O"), "read did not prune partitions")
+  }
+
+  test("letter-partitioned text sink (scalable layout)") {
+    val dir = Files.createTempDirectory("rt-letter").toString
+    graft.sources.LetterSink.writePartitioned(
+      graft.operators.InvertedIndex(
+        graft.sources.Tables.documents(spark, sf("sf0.001"))), dir)
+    val back = spark.read.text(s"$dir/letter=s")
+    assert(back.count() > 0)
+  }
+}
