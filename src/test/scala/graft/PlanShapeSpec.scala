@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+
+/** Physical-plan shape assertions — the properties that decide whether
+  * these operators survive a 100x scale-up. A green result here means:
+  * filters reach the parquet scan, dimension joins broadcast, top-k
+  * never globally sorts, and the flagship pipeline shuffles exactly
+  * once before its final order.
+  */
+class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
+
+  private def planOf(name: String) = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    df.queryExecution.executedPlan
+  }
+
+  test("q1: shipdate predicate is pushed into the parquet scan") {
+    val scans = planOf("q1_pricing").collectLeaves().map(_.toString)
+    assert(scans.exists(s =>
+      s.contains("PushedFilters") && s.contains("l_shipdate")),
+      s"no pushed filter on l_shipdate:\n${scans.mkString("\n")}")
+  }
+
+  test("q1: scan reads only the needed columns") {
+    val scan = planOf("q1_pricing").collectLeaves()
+      .map(_.toString).find(_.contains("lineitem")).get
+    assert(!scan.contains("l_partkey") && !scan.contains("l_suppkey"),
+      s"scan reads pruned columns:\n$scan")
+  }
+
+  test("q5: nation and region join via broadcast, not shuffle") {
+    val plan = planOf("q5_local_volume")
+    val bcasts = collect(plan) { case b: BroadcastExchangeLike => b }
+    assert(bcasts.size >= 2, s"expected broadcast dims:\n$plan")
+  }
+
+  test("top_orders: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val df = SparkEntry.queries("top_orders")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("inverted index: exactly one shuffle before the final sort") {
+    val df = graft.operators.InvertedIndex(
+      graft.sources.Tables.documents(spark, sf("sf0.001")))
+    df.write.format("noop").mode("overwrite").save()
+    val shuffles = collect(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeLike => s
+    }
+    assert(shuffles.size === 1,
+      s"flagship must shuffle once (collect_set partial agg), got " +
+        s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("semi/anti joins stay semi/anti in the physical plan") {
+    assert(planOf("semi_join_customers").toString.contains("LeftSemi"))
+    assert(planOf("anti_join_customers").toString.contains("LeftAnti"))
+  }
+}
