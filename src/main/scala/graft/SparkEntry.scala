@@ -64,6 +64,7 @@ object SparkEntry {
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
     "cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupExact(s, d)),
+    "cosine_near_dup_lsh" -> ((s, d) => Similarity.cosineNearDupLsh(s, d)),
     // -- temporal joins --------------------------------------------------
     "asof_join" -> ((s, d) => Temporal.purchaseAsofClick(s, d)),
     "range_join" -> ((s, d) => Temporal.purchaseThenError(s, d)),

@@ -118,11 +118,40 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Embedding-cosine near-dup join: all pairs with cosine >= threshold.
-    * Blocked self-join via LSH buckets with multi-probe (each vector is
-    * also hashed into every 1-bit-flip neighbor bucket), trading one
-    * more explode for much higher recall than single-probe. For the
-    * oracle-checked query we use the exact variant below.
+  /** Scale-path near-dup join: LSH-bucketed self-join. One side probes
+    * its own bucket plus every 1-bit-flip neighbor (multi-probe); the
+    * other keeps its single bucket — so the quadratic term only touches
+    * bucket-mates, (nPlanes+1)/2^nPlanes of the corpus in expectation.
+    * Approximate: recall vs `cosineNearDupExact` is measured in the
+    * spec. The oracle-checked query uses the exact variant below.
+    */
+  def cosineNearDupLsh(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nPlanes: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"),
+        lshBucket(col("embedding"), nPlanes).as("bucket"))
+    val probes = (0 until nPlanes).map(j =>
+      col("bucket").bitwiseXOR(shiftleft(lit(1L), j))) :+ col("bucket")
+    val probing = emb.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(probes: _*)).as("bucket"))
+    probing.as("a")
+      .join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_id_1"),
+        col("b.vec_id").as("vec_id_2"),
+        round(col("cos"), 6).as("cos_sim"))
+      .distinct()
+      .orderBy(col("vec_id_1"), col("vec_id_2"))
+  }
+
+  /** Exact embedding-cosine near-dup join: all pairs with cosine >=
+    * threshold, brute force (the correctness baseline).
     */
   def cosineNearDupExact(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {

@@ -50,6 +50,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.1, s"ANN recall suspiciously low: $recall")
   }
 
+  test("LSH near-dup output is a subset of exact with measured recall") {
+    val exact = Similarity.cosineNearDupExact(spark, sf("sf0.001"))
+      .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupLsh(spark, sf("sf0.001"))
+      .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = if (exact.isEmpty) 1.0
+      else (exact intersect lsh).size.toDouble / exact.size
+    info(f"LSH near-dup recall = $recall%.2f")
+    assert(recall > 0.3, s"recall too low: $recall")
+  }
+
   test("near-dup pairs are symmetric-free (id1 < id2) and thresholded") {
     val pairs = Similarity.cosineNearDupExact(spark, sf("sf0.001")).collect()
     assert(pairs.nonEmpty)
