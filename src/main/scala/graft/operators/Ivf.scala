@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Similarity.{cosine, dot, l2norm}
+
+/** IVF (inverted-file) ANN: partition the vector space by a small set
+  * of centroids (Lloyd iterations, all DataFrame ops), store each
+  * vector under its nearest centroid, probe only the nProbe closest
+  * cells at query time. The centroid table is tiny and broadcast; the
+  * corpus is touched once per build pass and once per query.
+  *
+  * Determinism: centroid updates average per-dimension with DECIMAL
+  * sums (order-independent), and assignment argmin breaks ties on
+  * centroid id — so the index build is bit-identical under any
+  * partitioning, unlike a naive double-mean k-means.
+  *
+  * At 100 TB the build is the standard two-phase k-means (assign =
+  * broadcast join + argmin, update = one hash agg over (cluster, dim));
+  * the probe is an equi-join on cell id. Nothing here is driver-bound
+  * except the k x dim centroid table itself.
+  */
+object Ivf {
+
+  /** posexploded (vec_id, pos, v as double) view of the corpus. */
+  private def unnested(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
+
+  /** Nearest-centroid assignment: broadcast the centroid array table,
+    * score each (vector, centroid) pair, keep the argmin by (dist,
+    * centroid id). Returns (vec_id, cell).
+    */
+  private def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = emb
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", -cosine(col("embedding"), col("cvec")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d"), col("cid"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+  }
+
+  /** k deterministic Lloyd iterations. Init = the first k vectors by
+    * id (deterministic; at scale you'd use k-means|| with a fixed
+    * seed — same plan shape).
+    */
+  def buildCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    var centroids = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"),
+        col("embedding").as("cvec"))
+    (1 to iters).foreach { _ =>
+      val assigned = assign(emb, centroids)
+      centroids = unnested(emb)
+        .join(assigned, "vec_id")
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
+          .cast("float").as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cell").as("cid"),
+          transform(col("pm"), x => x.getField("m")).as("cvec"))
+    }
+    centroids
+  }
+
+  /** IVF top-k: index build + nProbe-cell search for the query set. */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = buildCentroids(emb, nCells, iters)
+    val cells = assign(emb, centroids)
+    val indexed = emb.join(cells, "vec_id")
+
+    // each query probes its nProbe nearest cells
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("qd"), col("cid"))
+    val probes = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("qd", -cosine(col("qv"), col("cvec")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+
+    val scored = indexed
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -225,6 +225,21 @@ object Relational {
       .withColumn("log_orders", round(log(col("n_orders").cast("double")), 6))
       .orderBy(col("yr"), col("mon"))
 
+  /** Sketch-based approximate aggregates — the mergeable, bounded-state
+    * forms of distinct-count and percentile that replace their exact
+    * counterparts at 100 TB. No cross-engine oracle (sketch internals
+    * differ); the spec bounds the error against exact answers instead.
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+          .as("approx_median_qty"))
+      .orderBy(col("l_returnflag"))
+
   /** Window ranking: top-3 orders per customer by price. The window
     * orderBy carries a unique tiebreaker (o_orderkey) — row_number over
     * a non-total order is nondeterministic under repartitioning.

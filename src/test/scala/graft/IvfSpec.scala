@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ivf, Similarity}
+
+class IvfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("centroid build is deterministic under repartitioning") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val a = Ivf.buildCentroids(emb.repartition(2), k = 8, iters = 2)
+      .orderBy("cid").collect()
+    val b = Ivf.buildCentroids(emb.repartition(7), k = 8, iters = 2)
+      .orderBy("cid").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("IVF top-k recall vs brute force") {
+    val exact = Similarity.cosineTopK(spark, sf("sf0.001"))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ivf.ivfTopK(spark, sf("sf0.001"))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(f"IVF recall@5 (4/16 cells probed) = $recall%.2f")
+    assert(recall > 0.3, s"IVF recall too low: $recall")
+  }
+
+  test("approximate aggregates land within 5% of exact") {
+    val approx = graft.operators.Relational.approxStats(spark, sf("sf0.001"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = graft.sources.Tables.lineitem(spark, sf("sf0.001"))
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_orderkey")).as("orders"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    exact.foreach { case (flag, e) =>
+      val a = approx(flag)
+      assert(math.abs(a.getLong(1) - e.getLong(1)).toDouble / e.getLong(1) < 0.05)
+      assert(math.abs(a.getLong(2) - e.getLong(2)).toDouble / e.getLong(2) < 0.05)
+    }
+  }
+}
