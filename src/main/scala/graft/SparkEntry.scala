@@ -67,6 +67,7 @@ object SparkEntry {
     "approx_stats" -> ((s, d) => Relational.approxStats(s, d)),
     "cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupExact(s, d)),
     "cosine_near_dup_lsh" -> ((s, d) => Similarity.cosineNearDupLsh(s, d)),
+    "curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(s, d)),
     // -- temporal joins --------------------------------------------------
     "asof_join" -> ((s, d) => Temporal.purchaseAsofClick(s, d)),
     "range_join" -> ((s, d) => Temporal.purchaseThenError(s, d)),
@@ -265,6 +266,39 @@ object SparkEntry {
         |SELECT p_partkey, part.p_brand, p_retailprice
         |FROM part JOIN ba ON part.p_brand = ba.p_brand
         |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
+    "curated_corpus" ->
+      """WITH normed AS (
+        |  SELECT doc_id, lang, text,
+        |    md5(array_to_string(list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0), ' ')) AS fp
+        |  FROM documents),
+        |keepers AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT doc_id, lang, text,
+        |           min(doc_id) OVER (PARTITION BY fp) AS keeper
+        |    FROM normed) WHERE doc_id = keeper),
+        |words AS (
+        |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |ng AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
+        |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT d2 AS doc_id FROM inter
+        |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5)
+        |SELECT k.doc_id, k.lang,
+        |  CAST(len(list_filter(string_split_regex(k.text, '[ \t\n]+'), t -> length(t) > 0)) AS BIGINT) AS n_tokens
+        |FROM keepers k
+        |WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)
+        |  AND len(list_filter(string_split_regex(k.text, '[ \t\n]+'), t -> length(t) > 0)) >= 10
+        |  AND k.lang IN ('en', 'de', 'fr', 'es')
+        |ORDER BY k.doc_id""".stripMargin,
     "topk_words_per_lang" ->
       """WITH toks AS (
         |  SELECT lang, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.sources.Tables
+
+/** The end-to-end training-data curation pipeline — the flow an LLM
+  * data team actually runs, composed from this engine's operators:
+  *
+  *   1. exact dedup: keep one doc per normalized-fingerprint cluster
+  *      (layout/punctuation/case variants collapse);
+  *   2. near-dup removal: for every n-gram-Jaccard pair above
+  *      threshold, drop the higher doc_id;
+  *   3. quality gates: language allowlist + minimum token count.
+  *
+  * Every stage is individually oracle-checked elsewhere; this query is
+  * the composition, also fully DuckDB-checkable. Plan shape: one
+  * fingerprint window, one similarity self-join feeding a left-anti
+  * join, one narrow filter — nothing quadratic, nothing driver-bound.
+  */
+object Pipeline {
+
+  def curatedCorpus(spark: SparkSession, dir: String,
+      minTokens: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+
+    val keepers = docs
+      .withColumn("fp", md5(array_join(TextOps.words(col("text")), " ")))
+      .withColumn("is_keeper",
+        col("doc_id") === min(col("doc_id"))
+          .over(Window.partitionBy(col("fp"))))
+      .filter(col("is_keeper"))
+      .select(col("doc_id"), col("lang"), col("text"))
+
+    val nearDupLosers = Dedup.ngramJaccardPairs(docs)
+      .select(col("doc_id_2").as("doc_id")).distinct()
+
+    keepers
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+      .filter(col("n_tokens") >= minTokens)
+      .filter(col("lang").isin("en", "de", "fr", "es"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+}
