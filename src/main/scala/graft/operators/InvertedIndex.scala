@@ -48,6 +48,28 @@ object InvertedIndex {
       array_join(transform(col("ids"), _.cast("string")), " ").as("doc_ids"),
       col("n_docs"))
 
+  /** Scale-path representation: posting lists sharded into bounded
+    * chunks. `apply`'s collect_set builds ONE array per word — correct
+    * to the reference contract, but at 100 TB a stop-word's posting
+    * list (billions of ids) would become a single unspillable row.
+    * Sharding bounds every row: ids are ranked within their word and
+    * grouped into `shardSize` chunks, so the widest row is O(shardSize)
+    * regardless of word frequency, and shards of one word land on
+    * different reducers. Downstream consumers union shards (ranges are
+    * contiguous and ordered).
+    */
+  def sharded(docs: DataFrame, shardSize: Int = 10000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("word")).orderBy(col("doc_id"))
+    graft.functions.TextOps.explodedWords(docs, col("doc_id"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .withColumn("shard", ((col("rn") - 1) / shardSize).cast("int"))
+      .groupBy(col("word"), col("shard"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+        count(lit(1)).cast("long").as("n_docs_in_shard"))
+  }
+
   /** Full reference output ordering: letter bucket, then doc-count desc,
     * word asc (tema1.cpp:110-115, :234).
     */

@@ -52,6 +52,22 @@ class InvertedIndexSpec extends SparkTestBase {
     }
   }
 
+  test("sharded posting lists reassemble into the unsharded index") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val flat = InvertedIndex(docs).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val sharded = InvertedIndex.sharded(docs, shardSize = 7).collect()
+      .groupBy(_.getString(0))
+      .map { case (word, rows) =>
+        val reassembled = rows.sortBy(_.getInt(1))
+          .flatMap(_.getSeq[Long](2)).toSeq
+        assert(rows.forall(_.getSeq[Long](2).length <= 7),
+          s"shard overflow for $word")
+        word -> reassembled
+      }
+    assert(sharded === flat)
+  }
+
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
