@@ -19,11 +19,10 @@ import graft.sources.Tables
   *    sharing at least one n-gram (inverted-index join), which is the
   *    PHiDJ-style pruning — pairs sharing nothing have similarity 0 and
   *    are provably below any positive threshold. Hot n-grams are capped
-  *    (`maxDocFreq`) to stop the sum-of-df^2 blowup a corpus-common
-  *    n-gram would cause — prefix-filtering from the similarity-join
-  *    literature; a dropped n-gram only loses pairs whose EVERY shared
-  *    n-gram is hot, and a true near-dup pair always shares
-  *    doc-specific (rare) n-grams.
+  *    (opt-in `maxDocFreq`) to stop the sum-of-df^2 blowup a
+  *    corpus-common n-gram would cause — prefix-filtering from the
+  *    similarity-join literature; capped scores are a documented lower
+  *    bound (see ngramJaccardPairs).
   *  - MinHash+LSH replaces the candidate join's n-gram fanout with
   *    b=32 constant-size band keys per doc: shuffle volume per doc is
   *    O(b), independent of doc length — the 100 TB path. Band
@@ -109,18 +108,22 @@ object Dedup {
     * exactly twice (the two join sides) — Spark cannot share a subtree
     * across self-join branches.
     *
-    * maxDocFreq drops corpus-common n-grams (df above the cap) from the
-    * join — the prefix-filtering skew guard. At the default it is a
-    * no-op on sane corpora; it can only lose a pair whose EVERY shared
-    * n-gram is hot, and true near-dup pairs always share doc-specific
-    * rare n-grams.
+    * maxDocFreq, when set, drops corpus-common n-grams (df above the
+    * cap) from the join — the prefix-filtering skew guard for
+    * boilerplate-heavy corpora. It is an EXPLICIT opt-in approximation:
+    * dropped n-grams are excluded from intersection counts while set
+    * sizes n1/n2 stay exact, so capped scores are a LOWER BOUND on the
+    * true Jaccard. The default is uncapped — exact by construction, the
+    * same semantics as the DuckDB oracle and the MinHash verification.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.5, maxDocFreq: Int = 1000): DataFrame = {
-    val enriched = ngramsWithSize(docs, n)
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("ngram"))))
-      .filter(col("df") <= maxDocFreq)
+      threshold: Double = 0.5, maxDocFreq: Option[Int] = None): DataFrame = {
+    val sized = ngramsWithSize(docs, n)
+    val enriched = maxDocFreq.fold(sized)(cap =>
+      sized
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("ngram"))))
+        .filter(col("df") <= cap))
     val a = enriched.select(col("doc_id").as("doc_id_1"), col("ngram"),
       col("n_ng").as("n1"))
     val b = enriched.select(col("doc_id").as("doc_id_2"), col("ngram"),

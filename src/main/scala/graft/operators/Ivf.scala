@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.Similarity.{cosine, dot, l2norm}
+import graft.operators.Similarity.{cosine, topKPerQuery}
 
 /** IVF (inverted-file) ANN: partition the vector space by a small set
   * of centroids (Lloyd iterations, all DataFrame ops), store each
@@ -91,17 +91,11 @@ object Ivf {
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cid").as("cell"))
 
-    val scored = indexed
-      .join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("embedding")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), round(col("cos"), 6).as("cos_sim"))
-      .orderBy(col("query_id"), col("rank"))
+    topKPerQuery(
+      indexed
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qv"), col("embedding"))),
+      k)
   }
 }

@@ -31,8 +31,10 @@ object Similarity {
   /** Sequential-fold double dot product — a custom codegen'd Catalyst
     * expression (graft.plans.VecDot). The equivalent
     * `aggregate(zip_with(...))` higher-order form is interpreted and
-    * ~10x slower in the O(n^2) join hot paths; both produce bit-equal
-    * results (left-to-right double accumulation).
+    * ~10x slower in the O(n^2) join hot paths; on null-free arrays the
+    * two are bit-equal (left-to-right double accumulation). They differ
+    * only on null ELEMENTS: VecDot skips them (contributes 0) while the
+    * HOF fold propagates null through `acc + v` and returns NULL.
     */
   def dot(a: Column, b: Column): Column = graft.plans.VecDot(a, b)
 
@@ -50,6 +52,28 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Per-query top-k of a scored (query_id, vec_id, cos) relation —
+    * the shared ranking contract of every search variant: rank by
+    * (cos desc, vec_id) with deterministic ties, emit
+    * (query_id, neighbor_id, rank, cos_sim@6dp) ordered.
+    */
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** A bucket key plus its 1-bit-flip neighbors (multi-probe set). */
+  private[operators] def probeBuckets(bucket: Column, nPlanes: Int)
+      : Seq[Column] =
+    (0 until nPlanes).map(j =>
+      bucket.bitwiseXOR(shiftleft(lit(1L), j))) :+ bucket
+
   /** Brute-force cosine top-k: each query vector (vec_id < nQueries)
     * against the whole corpus. The query side is broadcast — the corpus
     * is scanned once, no shuffle of the big side before the per-query
@@ -60,17 +84,11 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = emb.as("corpus")
-      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("embedding")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), round(col("cos"), 6).as("cos_sim"))
-      .orderBy(col("query_id"), col("rank"))
+    topKPerQuery(
+      emb.as("corpus")
+        .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qv"), col("embedding"))),
+      k)
   }
 
   /** Deterministic random hyperplanes: seeded PRNG materialized as
@@ -99,23 +117,15 @@ object Similarity {
       k: Int = 5, nPlanes: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("bucket", lshBucket(col("embedding"), nPlanes))
-    val probes = (0 until nPlanes).map(j =>
-      col("bucket").bitwiseXOR(shiftleft(lit(1L), j))) :+ col("bucket")
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(array(probes: _*)).as("bucket"))
-    val scored = emb.as("corpus")
-      .join(broadcast(queries), Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("embedding")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), round(col("cos"), 6).as("cos_sim"))
-      .orderBy(col("query_id"), col("rank"))
+        explode(array(probeBuckets(col("bucket"), nPlanes): _*)).as("bucket"))
+    topKPerQuery(
+      emb.as("corpus")
+        .join(broadcast(queries), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosine(col("qv"), col("embedding"))),
+      k)
   }
 
   /** Scale-path near-dup join: LSH-bucketed self-join. One side probes
@@ -131,10 +141,8 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"),
         lshBucket(col("embedding"), nPlanes).as("bucket"))
-    val probes = (0 until nPlanes).map(j =>
-      col("bucket").bitwiseXOR(shiftleft(lit(1L), j))) :+ col("bucket")
     val probing = emb.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array(probes: _*)).as("bucket"))
+      explode(array(probeBuckets(col("bucket"), nPlanes): _*)).as("bucket"))
     probing.as("a")
       .join(emb.as("b"),
         col("a.bucket") === col("b.bucket") &&

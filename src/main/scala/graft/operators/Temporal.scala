@@ -57,8 +57,12 @@ object Temporal {
       col(key), col(time).as("t"), lit(0).as("side"),
       lit(null).cast(lPayT).as("lpay"),
       struct(rightCols.map(col): _*).as("rpay"))
+    // rpay as the final sort key: right rows tied on (t, side) resolve
+    // by payload-struct order, so the carried match is deterministic
+    // under any partitioning (greatest payload wins the tie; engines
+    // with undefined as-of tie semantics may pick differently)
     val w = Window.partitionBy(col(key))
-      .orderBy(col("t"), col("side"))
+      .orderBy(col("t"), col("side"), col("rpay"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val outCols = Seq(col(key), col("t")) ++
       leftCols.map(c => col(s"lpay.$c").as(c)) ++

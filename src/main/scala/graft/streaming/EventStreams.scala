@@ -79,7 +79,14 @@ object EventStreams {
               closed += Session(user, st.sessionStart, st.lastSeen, st.nEvents)
               st = SessionState(e.sec, e.sec, 1)
             } else {
-              st = st.copy(lastSeen = e.sec, nEvents = st.nEvents + 1)
+              // cross-batch late events merge into the open session but
+              // never regress its bounds (no watermark here; a late
+              // event older than lastSeen still counts, and the session
+              // window only grows)
+              st = SessionState(
+                math.min(st.sessionStart, e.sec),
+                math.max(st.lastSeen, e.sec),
+                st.nEvents + 1)
             }
           }
           if (st != null) state.update(st)

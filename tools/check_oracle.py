@@ -11,8 +11,9 @@ from pathlib import Path
 import duckdb
 import pyarrow.parquet as pq
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = _pos[0] if len(_pos) > 0 else "/root/testdata/sf0.01"
+OUT = Path(_pos[1] if len(_pos) > 1 else "/tmp/graft_verify")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -81,6 +82,9 @@ def main():
             except Exception as e:
                 results[d.name] = f"NO-ORACLE ERROR: {e}"
 
+    if not results:
+        print("no results found — did Verify run?")
+        sys.exit(1)
     width = max(len(k) for k in results)
     nok = 0
     for k, v in sorted(results.items()):
