@@ -1,0 +1,16 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import graft.plans.VecDot
+
+/** SQL registration for graft's custom Catalyst expressions, so
+  * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column
+  * API. Idempotent per session.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot",
+      exprs => VecDot(exprs(0), exprs(1)),
+      "built-in")
+}

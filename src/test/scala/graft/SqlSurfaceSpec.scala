@@ -27,6 +27,20 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(viaSql.sameElements(viaDf))
   }
 
+  test("custom vec_dot expression is callable from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+      .createOrReplaceTempView("embeddings")
+    val viaSql = spark.sql(
+      """SELECT vec_id, round(vec_dot(embedding, embedding), 6) AS sq
+        |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin).collect()
+    val viaDf = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"),
+        round(graft.operators.Similarity.dot(col("embedding"), col("embedding")), 6).as("sq"))
+      .orderBy("vec_id").limit(5).collect()
+    assert(viaSql.sameElements(viaDf))
+  }
+
   test("SQL join + window agree with the DataFrame plan") {
     registerViews()
     val viaSql = spark.sql(
