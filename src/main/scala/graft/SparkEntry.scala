@@ -278,7 +278,7 @@ object SparkEntry {
         |    FROM normed) WHERE doc_id = keeper),
         |words AS (
         |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
-        |  FROM documents),
+        |  FROM keepers),
         |ng AS (
         |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
         |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i)

@@ -190,8 +190,11 @@ object Dedup {
     * touches only the candidate pairs' n-gram sets.
     */
   def minhashLshDedup(spark: SparkSession, dir: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame =
+    minhashLshPairs(Tables.documents(spark, dir), n, threshold)
+
+  def minhashLshPairs(docs: DataFrame,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
     val cands = lshCandidates(minhashSignatures(docs, n))
     // exact-Jaccard verification of the LSH candidates over full n-gram
     // sets: set sizes ride the n-gram rows as window columns, so the

@@ -62,6 +62,22 @@ object Multimodal {
         sha2(col("payload"), 256).as("sha_hex"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic "resize": stride-sample the decoded payload down to
+    * exactly `n` bytes (zero-padded for short inputs) — the fixed-shape
+    * output contract a raster resize has, computed on real bytes.
+    */
+  def resizeTo(decoded: Array[Byte], n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    if (decoded.nonEmpty) {
+      var i = 0
+      while (i < n) {
+        out(i) = decoded((i.toLong * decoded.length / n).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
   /** Decode + featurize, batched per partition: one codec per partition
     * (expensive init amortized, the reason real pipelines batch), then a
     * 16-bin byte histogram + Shannon entropy per record, and every

@@ -34,7 +34,11 @@ object Pipeline {
       .filter(col("is_keeper"))
       .select(col("doc_id"), col("lang"), col("text"))
 
-    val nearDupLosers = Dedup.ngramJaccardPairs(docs)
+    // near-dup join runs AFTER exact dedup: under heavy duplication
+    // (crawl data) the similarity self-join is the expensive stage, and
+    // exact duplicates would multiply its candidate fanout for no
+    // information — keepers are the only docs whose pairs matter
+    val nearDupLosers = Dedup.ngramJaccardPairs(keepers)
       .select(col("doc_id_2").as("doc_id")).distinct()
 
     keepers

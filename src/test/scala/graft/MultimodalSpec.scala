@@ -43,6 +43,14 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.n_bytes === 3)
   }
 
+  test("resize produces a fixed shape for any input length") {
+    assert(Multimodal.resizeTo(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), 4)
+      === Array[Byte](1, 3, 5, 7))
+    assert(Multimodal.resizeTo(Array[Byte](9), 4) === Array[Byte](9, 9, 9, 9))
+    assert(Multimodal.resizeTo(Array.empty[Byte], 4)
+      === Array[Byte](0, 0, 0, 0))
+  }
+
   test("media stats are real byte stats") {
     val r = Multimodal.mediaStats(spark, sf("sf0.001"))
       .filter(col("doc_id") === 0).collect().head

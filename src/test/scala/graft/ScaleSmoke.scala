@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Manual scale-smoke main (not a test): replicates the sf0.1 corpus
+  * Nx with shifted doc_ids and times the heavy pipelines, to observe
+  * how the operators scale with corpus size (near-linear = healthy;
+  * super-linear = a join or window is blowing up).
+  *
+  *   sbt "Test/runMain graft.ScaleSmoke 20"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n = base.count()
+    val big = (0 until mult).map { i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+    }.reduce(_ unionByName _)
+    val dir = s"/tmp/graft_scale_docs_x$mult"
+    big.write.mode("overwrite").parquet(dir)
+    println(s"corpus: ${n * mult} docs (${mult}x sf0.1)")
+
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val docs = spark.read.parquet(dir)
+    time("inverted_index")(
+      graft.operators.InvertedIndex(docs)
+        .write.format("noop").mode("overwrite").save())
+    time("sharded_index")(
+      graft.operators.InvertedIndex.sharded(docs)
+        .write.format("noop").mode("overwrite").save())
+    time("ngram_jaccard")(
+      graft.operators.Dedup.ngramJaccardPairs(docs)
+        .write.format("noop").mode("overwrite").save())
+    time("minhash_lsh")(
+      graft.operators.Dedup.minhashLshPairs(docs)
+        .write.format("noop").mode("overwrite").save())
+    time("simhash")(
+      graft.operators.Dedup.simhashes(docs)
+        .write.format("noop").mode("overwrite").save())
+    time("exact_dedup")(
+      graft.operators.Dedup.exactClusters(docs, md5(col("text")))
+        .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}

@@ -37,6 +37,13 @@ class SourcesRoundTripSpec extends SparkTestBase {
       .sameElements(nationDf.collect()))
   }
 
+  test("orc round-trip") {
+    val dir = Files.createTempDirectory("rt-orc").toString
+    nationDf.write.mode("overwrite").orc(dir)
+    assert(spark.read.orc(dir).orderBy("n_nationkey").collect()
+      .sameElements(nationDf.collect()))
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val dir = Files.createTempDirectory("rt-part").toString
     graft.sources.Tables.orders(spark, sf("sf0.001"))
