@@ -79,6 +79,8 @@ object SparkEntry {
     "sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "json_prop_rollup" -> ((s, d) => EventOps.jsonPropRollup(s, d)),
     "type_funnel" -> ((s, d) => EventOps.typeFunnel(s, d)),
+    "type_transitions" -> ((s, d) => EventOps.typeTransitions(s, d)),
+    "extra_orders_multiset" -> ((s, d) => Relational.extraOrdersMultiset(s, d)),
   )
 
   /** Shared by dedup_ngram_jaccard (exact path) and dedup_minhash_lsh:
@@ -423,6 +425,21 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "type_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type ORDER BY prev_type, event_type""".stripMargin,
+    "extra_orders_multiset" ->
+      """WITH extra AS (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT c_custkey AS custkey FROM customer)
+        |SELECT custkey, CAST(count(*) AS BIGINT) AS n_extra_orders
+        |FROM extra GROUP BY custkey ORDER BY custkey""".stripMargin,
     "type_funnel" ->
       """WITH agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type)
         |SELECT event_type, n, round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6) AS share

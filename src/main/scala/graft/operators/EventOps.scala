@@ -75,6 +75,20 @@ object EventOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .orderBy(col("k_bucket"))
 
+  /** Markov-style transition counts: (previous event_type -> current)
+    * per user via lag, aggregated corpus-wide.
+    */
+  def typeTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
   /** Event-type funnel counts with share-of-total (window over the
     * aggregate, no second scan).
     */

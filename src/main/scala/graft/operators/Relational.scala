@@ -149,6 +149,19 @@ object Relational {
       .orderBy(col("which"), col("nationkey"))
   }
 
+  /** Multiset (ALL) set ops: each customer key appears in the result
+    * once per order beyond their first — exceptAll keeps duplicates,
+    * unlike the distinct-semantics except.
+    */
+  def extraOrdersMultiset(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"))
+      .exceptAll(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("custkey")))
+      .groupBy(col("custkey"))
+      .agg(count(lit(1)).as("n_extra_orders"))
+      .orderBy(col("custkey"))
+
   /** Distinct over a compound key. */
   def distinctParts(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
