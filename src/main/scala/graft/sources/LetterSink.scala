@@ -29,6 +29,11 @@ object LetterSink {
   /** index: (word, ids array<long>, n_docs). Writes `<outDir>/<letter>.txt`. */
   def write(index: DataFrame, outDir: String): Unit = {
     Files.createDirectories(Paths.get(outDir))
+    // the sink owns all 26 files: truncate up front so letters absent
+    // from THIS run never retain a previous run's content
+    ('a' to 'z').foreach { c =>
+      Files.write(Paths.get(outDir, s"$c.txt"), Array.empty[Byte])
+    }
     val lines = index
       .withColumn("letter", substring(col("word"), 1, 1))
       .select(
@@ -57,11 +62,8 @@ object LetterSink {
           }
         } finally if (out != null) out.close()
     }
-    // Output contract: all 26 letter files exist even when empty.
-    ('a' to 'z').foreach { c =>
-      val p = Paths.get(outDir, s"$c.txt")
-      if (!Files.exists(p)) Files.createFile(p)
-    }
+    // (all 26 files already exist — pre-created empty above, the
+    // reference's eager-creation contract, tema1.cpp:294-309)
   }
 
   /** Scalable variant: standard Spark partitioned text sink

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+class TemporalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asof join picks the latest right row at or before each left time") {
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "lp")
+    val right = Seq((1L, 90L, "r1"), (1L, 150L, "r2"), (2L, 60L, "r3"))
+      .toDF("k", "t", "rp")
+    val r = Temporal.asofJoin(left, right, "k", "t",
+      leftCols = Seq("lp"), rightCols = Seq("rp"))
+      .select("lp", "r_rp").as[(String, String)].collect().toMap
+    assert(r === Map("p1" -> "r1", "p2" -> "r2")) // p3 has no preceding right
+  }
+
+  test("simultaneous right row is visible (>= semantics)") {
+    val left = Seq((1L, 100L, "p")).toDF("k", "t", "lp")
+    val right = Seq((1L, 100L, "exact")).toDF("k", "t", "rp")
+    val r = Temporal.asofJoin(left, right, "k", "t", Seq("lp"), Seq("rp"))
+      .select("r_rp").as[String].collect()
+    assert(r === Array("exact"))
+  }
+
+  test("ties among right rows resolve deterministically under any partitioning") {
+    val left = Seq((1L, 100L, "p")).toDF("k", "t", "lp")
+    val right = Seq((1L, 90L, "a"), (1L, 90L, "z"), (1L, 90L, "m"))
+      .toDF("k", "t", "rp")
+    val results = Seq(1, 3, 7).map { p =>
+      Temporal.asofJoin(left.repartition(p), right.repartition(p),
+        "k", "t", Seq("lp"), Seq("rp"))
+        .select("r_rp").as[String].collect().toSeq
+    }
+    assert(results.distinct.size === 1, s"tie nondeterminism: $results")
+    assert(results.head === Seq("z")) // greatest payload wins the tie
+  }
+
+  test("range join honors the (a.t, a.t + window] bound across bucket edges") {
+    val a = Seq((1L, 1000L, 10L), (1L, 3_600_000_000_000L - 1000L, 11L))
+      .toDF("user_id", "ts", "event_id")
+    val b = Seq(
+      (1L, 2000L, 20L),                       // 1000 ns after event 10
+      (1L, 3_600_000_000_000L + 500L, 21L),   // crosses the bucket edge
+      (1L, 999L, 22L))                        // before: excluded
+      .toDF("user_id", "ts", "event_id")
+    val pairs = Temporal.rangeJoin(a, b, "user_id", "ts", 3600L * 1000000000L)
+      .select(col("a.event_id"), col("b.event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 20L)))
+    assert(pairs.contains((11L, 21L)), "bucket-edge pair missed")
+    assert(!pairs.exists(_._2 == 22L))
+  }
+}
