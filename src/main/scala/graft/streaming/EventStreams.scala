@@ -1,11 +1,8 @@
 package graft.streaming
 
-import java.sql.Timestamp
-
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import graft.sources.Tables
 
 /** Structured Streaming surface over the events stream: watermarked
   * tumbling-window aggregation and stateful sessionization via
