@@ -79,12 +79,24 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** The normalized word stream as one space-joined string — provably
+    * equal to `array_join(words(text), " ")` (property-tested) but
+    * computed with pure regex/string ops that stay inside whole-stage
+    * codegen: strip non-alpha keeping separators, lowercase, collapse
+    * separator runs (which also swallows tokens that normalized to
+    * empty), trim the ends.
+    */
+  def normalizedStream(text: Column): Column =
+    trim(regexp_replace(
+      lower(regexp_replace(text, "[^a-zA-Z \t\n]", "")),
+      "[ \t\n]+", " "))
+
   /** Deterministic 64-bit fingerprint of the normalized word stream —
     * a content hash that ignores punctuation/case/whitespace layout,
     * the exact-dedup key for noisy text.
     */
   def fingerprint(text: Column): Column =
-    xxhash64(array_join(words(text), " "))
+    xxhash64(normalizedStream(text))
 
   /** Stopword ratio over a fixed small English set (quality signal). */
   private val Stopwords = Seq(

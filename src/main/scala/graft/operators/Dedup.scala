@@ -57,7 +57,7 @@ object Dedup {
     */
   def fingerprintDedup(spark: SparkSession, dir: String): DataFrame =
     exactClusters(Tables.documents(spark, dir),
-      md5(array_join(TextOps.words(col("text")), " ")))
+      md5(TextOps.normalizedStream(col("text"))))
       .orderBy(col("doc_id"))
 
   // ---------- exact n-gram Jaccard similarity join ----------

@@ -27,7 +27,7 @@ object Pipeline {
     val docs = Tables.documents(spark, dir)
 
     val keepers = docs
-      .withColumn("fp", md5(array_join(TextOps.words(col("text")), " ")))
+      .withColumn("fp", md5(TextOps.normalizedStream(col("text"))))
       .withColumn("is_keeper",
         col("doc_id") === min(col("doc_id"))
           .over(Window.partitionBy(col("fp"))))

@@ -33,6 +33,16 @@ class TextPropertySpec extends SparkTestBase {
     }
   }
 
+  test("codegen normalizedStream equals the array-HOF word join") {
+    val df = samples.toDF("text")
+      .select(
+        TextOps.normalizedStream(col("text")).as("fast"),
+        array_join(TextOps.words(col("text")), " ").as("ref"))
+    df.collect().foreach { r =>
+      assert(r.getString(0) === r.getString(1))
+    }
+  }
+
   test("fingerprint is invariant under whitespace layout") {
     val df = samples.toDF("text")
       .select(
