@@ -143,6 +143,43 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "doc_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split_regex(text, '[ \t\n]+'), t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) + length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_bpeish_tokens,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+        |  round(CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) ELSE 0.0 END, 4) AS mean_word_len,
+        |  round(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 \t\n]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END, 4) AS punct_ratio,
+        |  round(CASE WHEN len(ws) > 0 THEN CAST(len(list_filter(ws, w -> w IN ('the','a','an','and','or','of','to','in','is','are','was','on','for','it','that','this','with','as','by','at'))) AS DOUBLE) / len(ws) ELSE 0.0 END, 4) AS stopword_ratio,
+        |  round((
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |    + (1.0 - least((CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 \t\n]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 4.0, 1.0))
+        |    + greatest(1.0 - abs((CASE WHEN len(ws) > 0 THEN CAST(len(list_filter(ws, w -> w IN ('the','a','an','and','or','of','to','in','is','are','was','on','for','it','that','this','with','as','by','at'))) AS DOUBLE) / len(ws) ELSE 0.0 END) - 0.35) * 2.0, 0.0)
+        |  ) / 3.0, 4) AS quality
+        |FROM base ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(ws, w -> w IN ('the','and','of','to','in','is','that','with'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','mit','ein'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(ws, w -> w IN ('el','la','de','que','y','en','un','es'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(ws, w -> w IN ('le','la','de','et','un','est','que','dans'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(ws, w -> w IN ('de','shi','le','zai','he','you','wo','ta'))) AS BIGINT) AS s_zh
+        |  FROM base)
+        |SELECT doc_id,
+        |  CASE WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr' WHEN s_es = m THEN 'es'
+        |       WHEN s_en = m THEN 'en' ELSE 'de' END AS pred_lang,
+        |  m AS marker_hits
+        |FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS m FROM scores)
+        |ORDER BY doc_id""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
