@@ -16,11 +16,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Cli {
   def main(args: Array[String]): Unit = {
-    if (args.length != 3) {
-      System.err.println("usage: graft.Cli <mappers> <reducers> <manifest>")
-      sys.exit(1)
+    val parsed = if (args.length == 3)
+      (args(0).toIntOption, args(1).toIntOption) else (None, None)
+    val (mappers, reducers) = parsed match {
+      case (Some(m), Some(r)) if m > 0 && r > 0 => (m, r)
+      case _ =>
+        System.err.println("usage: graft.Cli <mappers> <reducers> <manifest>")
+        sys.exit(1)
     }
-    val (mappers, reducers) = (args(0).toInt, args(1).toInt)
     val outDir = sys.env.getOrElse("GRAFT_OUT_DIR",
       System.getProperty("user.dir"))
     val spark = SparkSession.builder()

@@ -11,6 +11,10 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot",
-      exprs => VecDot(exprs(0), exprs(1)),
+      exprs => {
+        require(exprs.length == 2,
+          s"vec_dot requires exactly 2 arguments, got ${exprs.length}")
+        VecDot(exprs(0), exprs(1))
+      },
       "built-in")
 }

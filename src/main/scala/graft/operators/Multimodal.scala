@@ -25,7 +25,8 @@ object Multimodal {
 
   case class MediaRecord(doc_id: Long, kind: String, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
-      entropy: Double, histogram: Array[Double], frames_sampled: Int)
+      entropy: Double, histogram: Array[Double], frames_sampled: Int,
+      preview: Array[Byte])
 
   /** STUB boundary: a real deployment swaps this for an actual codec
     * (libjpeg/ffmpeg/...). Deterministic fake: interprets bytes as a
@@ -100,7 +101,7 @@ object Multimodal {
         MediaFeatures(r.doc_id, r.kind, decoded.length.toLong,
           BigDecimal(entropy).setScale(6, BigDecimal.RoundingMode.HALF_UP)
             .toDouble,
-          hist, frames)
+          hist, frames, resizeTo(decoded, 16))
       }
     }
   }
@@ -111,7 +112,8 @@ object Multimodal {
     extractFeatures(ds, StubCodec)
       .toDF()
       .select(col("doc_id"), col("kind"), col("n_bytes"),
-        col("entropy"), col("frames_sampled"))
+        col("entropy"), col("frames_sampled"),
+        hex(col("preview")).as("preview_hex"))
       .orderBy(col("doc_id"))
   }
 }

@@ -26,14 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object LetterSink {
 
-  /** index: (word, ids array<long>, n_docs). Writes `<outDir>/<letter>.txt`. */
+  /** index: (word, ids array<long>, n_docs). Writes `<outDir>/<letter>.txt`.
+    *
+    * Crash-safe: executors stage into a temp subdirectory; the 26 final
+    * files are only (re)placed after the job succeeds, so a failed run
+    * never clobbers a previous run's valid output.
+    */
   def write(index: DataFrame, outDir: String): Unit = {
     Files.createDirectories(Paths.get(outDir))
-    // the sink owns all 26 files: truncate up front so letters absent
-    // from THIS run never retain a previous run's content
-    ('a' to 'z').foreach { c =>
-      Files.write(Paths.get(outDir, s"$c.txt"), Array.empty[Byte])
-    }
+    val stageDir = Files.createTempDirectory(Paths.get(outDir), ".stage-")
+      .toString
     val lines = index
       .withColumn("letter", substring(col("word"), 1, 1))
       .select(
@@ -45,25 +47,40 @@ object LetterSink {
       .repartition(26, col("letter"))
       .sortWithinPartitions(col("letter"), col("n_docs").desc, col("word").asc)
 
-    lines.select("letter", "line").foreachPartition {
-      (rows: Iterator[org.apache.spark.sql.Row]) =>
-        var cur: String = null
-        var out: BufferedWriter = null
-        try {
-          rows.foreach { r =>
-            val letter = r.getString(0)
-            if (letter != cur) {
-              if (out != null) out.close()
-              cur = letter
-              out = new BufferedWriter(
-                new FileWriter(new File(outDir, s"$letter.txt")))
+    try {
+      lines.select("letter", "line").foreachPartition {
+        (rows: Iterator[org.apache.spark.sql.Row]) =>
+          var cur: String = null
+          var out: BufferedWriter = null
+          try {
+            rows.foreach { r =>
+              val letter = r.getString(0)
+              if (letter != cur) {
+                if (out != null) out.close()
+                cur = letter
+                out = new BufferedWriter(
+                  new FileWriter(new File(stageDir, s"$letter.txt")))
+              }
+              out.write(r.getString(1)); out.write("\n")
             }
-            out.write(r.getString(1)); out.write("\n")
-          }
-        } finally if (out != null) out.close()
+          } finally if (out != null) out.close()
+      }
+      // job succeeded: move every produced letter into place, truncate
+      // letters absent from this run (all 26 must exist, even empty —
+      // the reference's eager-creation contract, tema1.cpp:294-309)
+      ('a' to 'z').foreach { c =>
+        val staged = Paths.get(stageDir, s"$c.txt")
+        val target = Paths.get(outDir, s"$c.txt")
+        if (Files.exists(staged))
+          Files.move(staged, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else Files.write(target, Array.empty[Byte])
+      }
+    } finally {
+      val d = new File(stageDir)
+      Option(d.listFiles()).foreach(_.foreach(_.delete()))
+      d.delete()
     }
-    // (all 26 files already exist — pre-created empty above, the
-    // reference's eager-creation contract, tema1.cpp:294-309)
   }
 
   /** Scalable variant: standard Spark partitioned text sink
