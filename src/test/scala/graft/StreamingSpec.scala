@@ -27,6 +27,30 @@ class StreamingSpec extends SparkTestBase {
     assert(got.sameElements(want))
   }
 
+  test("AvailableNow trigger drains the source, terminates, and resumes from checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    def start(name: String) =
+      EventStreams.hourlyRollup(EventStreams.readEvents(spark, sf("sf0.001")))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+
+    val q1 = start("avail_now_1")
+    q1.awaitTermination(120000)
+    val n1 = spark.table("avail_now_1").count()
+    assert(n1 > 0)
+
+    // same checkpoint, no new files: the restarted query terminates
+    // without reprocessing (complete-mode memory sink stays empty)
+    val q2 = start("avail_now_2")
+    q2.awaitTermination(120000)
+    assert(spark.table("avail_now_2").count() === 0,
+      "checkpointed source re-read already-processed files")
+  }
+
   test("stateful sessionization closes sessions on gap, keeps open ones in state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
