@@ -53,6 +53,8 @@ object SparkEntry {
     "window_top_orders" -> ((s, d) => Relational.windowTopOrdersPerCustomer(s, d)),
     "window_running_qty" -> ((s, d) => Relational.windowRunningQty(s, d)),
     "above_brand_avg" -> ((s, d) => Relational.aboveBrandAvgParts(s, d)),
+    "window_analytics" -> ((s, d) => Relational.windowAnalytics(s, d)),
+    "pivot_orders" -> ((s, d) => Relational.pivotOrders(s, d)),
     // -- dedup (LLM-pipeline) --------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_fingerprint" -> ((s, d) => Dedup.fingerprintDedup(s, d)),
@@ -262,6 +264,21 @@ object SparkEntry {
         |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM part GROUP BY CUBE(p_brand, p_size)
         |ORDER BY brand, size""".stripMargin,
+    "window_analytics" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  first_value(o_orderkey) OVER w AS cheapest_order
+        |FROM orders WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "pivot_orders" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |       coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -283,6 +283,40 @@ object Relational {
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Ranking-function breadth over one window: quartile, relative rank,
+    * cumulative distribution, and the partition's top value — all from
+    * a single sort (one window spec, one shuffle).
+    */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 50)
+      .select(
+        col("o_orderstatus"),
+        col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("o_orderkey")).over(w).as("cheapest_order"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
+  /** PIVOT: order counts per priority, one column per status. The
+    * pivot values are pinned (never inferred from data — inference
+    * means a driver-side distinct scan AND a nondeterministic column
+    * set at scale).
+    */
+  def pivotOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"),
+        col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
   /** Correlated-style aggregate filter: parts priced above their
     * brand's average (windowed avg, then filter).
     */
