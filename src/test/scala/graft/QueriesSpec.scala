@@ -10,6 +10,22 @@ class QueriesSpec extends SparkTestBase {
     assert(orphans.isEmpty, s"oracleSql without query: $orphans")
   }
 
+  test("oracle-checked queries emit only hash-safe column types") {
+    // the driver compares column-sorted, row-sorted VALUES against
+    // DuckDB; raw timestamps (us vs ns), arrays, and floats are the
+    // classes that hash-diverge across engines — every oracle query
+    // must project them away (epoch seconds, joined strings, doubles)
+    import org.apache.spark.sql.types._
+    val safe: Set[DataType] =
+      Set(StringType, LongType, IntegerType, DoubleType, BooleanType)
+    SparkEntry.oracleSql.keySet.toSeq.sorted.foreach { name =>
+      val schema = SparkEntry.queries(name)(spark, sf("sf0.001")).schema
+      val badCols = schema.fields.filterNot(f => safe.contains(f.dataType))
+      assert(badCols.isEmpty,
+        s"$name has hash-fragile columns: ${badCols.mkString(", ")}")
+    }
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs and returns rows on sf0.001") {
       val df = fn(spark, sf("sf0.001"))
