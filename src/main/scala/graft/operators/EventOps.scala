@@ -89,18 +89,26 @@ object EventOps {
       .orderBy(col("prev_type"), col("event_type"))
   }
 
-  /** Event-type funnel counts with share-of-total (window over the
-    * aggregate, no second scan).
+  /** Event-type funnel counts with share-of-total.
+    *
+    * Share-of-total needs the grand total next to every group row.
+    * A global window would single-partition with a WindowExec warning,
+    * and a broadcast-total self-join would re-scan `events` (Spark
+    * cannot reuse a subtree across self-join branches). Instead the
+    * tiny per-type aggregate (cardinality = #event types, an enum) is
+    * collapsed to ONE row, the total computed with an array fold, and
+    * the rows exploded back — one scan, one extra 5-element shuffle.
     */
-  def typeFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val agg = Tables.events(spark, dir)
+  def typeFunnel(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
-    agg
-      .withColumn("share",
-        (col("n").cast("double") / sum(col("n")).over(Window.partitionBy())
-          .cast("double")))
-      .select(col("event_type"), col("n"), round(col("share"), 6).as("share"))
+      .agg(collect_list(struct(col("event_type"), col("n"))).as("rows"))
+      .select(col("rows"),
+        expr("aggregate(rows, 0L, (a, x) -> a + x.n)").as("total"))
+      .select(explode(col("rows")).as("r"), col("total"))
+      .select(col("r.event_type").as("event_type"), col("r.n").as("n"),
+        round(col("r.n").cast("double") / col("total").cast("double"), 6)
+          .as("share"))
       .orderBy(col("event_type"))
-  }
 }
