@@ -83,6 +83,15 @@ object SparkEntry {
     "type_funnel" -> ((s, d) => EventOps.typeFunnel(s, d)),
     "type_transitions" -> ((s, d) => EventOps.typeTransitions(s, d)),
     "extra_orders_multiset" -> ((s, d) => Relational.extraOrdersMultiset(s, d)),
+    // -- analytic extensions ---------------------------------------------
+    "full_outer_nations" -> ((s, d) => Analytics.fullOuterNationActivity(s, d)),
+    "stats_lineitem" -> ((s, d) => Analytics.statsLineitem(s, d)),
+    "order_ship_latency" -> ((s, d) => Analytics.orderShipLatency(s, d)),
+    "rolling_7d_qty" -> ((s, d) => Analytics.rolling7dQty(s, d)),
+    "conditional_agg" -> ((s, d) => Analytics.conditionalAgg(s, d)),
+    "string_kit" -> ((s, d) => Analytics.stringKit(s, d)),
+    "levenshtein_pairs" -> ((s, d) => Analytics.levenshteinPairs(s, d)),
+    "zipf_buckets" -> ((s, d) => Analytics.zipfBuckets(s, d)),
   )
 
   /** Shared by dedup_ngram_jaccard (exact path) and dedup_minhash_lsh:
@@ -498,5 +507,84 @@ object SparkEntry {
       """WITH agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type)
         |SELECT event_type, n, round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6) AS share
         |FROM agg ORDER BY event_type""".stripMargin,
+    "full_outer_nations" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS ck, CAST(count(*) AS BIGINT) AS n_rich_cust
+        |           FROM customer WHERE c_acctbal > 9800.0 GROUP BY 1),
+        |     s AS (SELECT CAST(s_nationkey AS BIGINT) AS sk, CAST(count(*) AS BIGINT) AS n_rich_supp
+        |           FROM supplier WHERE s_acctbal > 5000.0 GROUP BY 1)
+        |SELECT coalesce(ck, sk) AS nationkey,
+        |       coalesce(n_rich_cust, 0) AS n_rich_cust,
+        |       coalesce(n_rich_supp, 0) AS n_rich_supp
+        |FROM c FULL OUTER JOIN s ON ck = sk
+        |ORDER BY nationkey""".stripMargin,
+    "stats_lineitem" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |    round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr_qty_price,
+        |  round((n*sxy - sx*sy) / (n*(n-1)), 4) AS covar_qty_price,
+        |  round(sqrt((n*sxx - sx*sx) / (n*(n-1))), 6) AS stddev_qty,
+        |  median_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "order_ship_latency" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mon,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT) AS total_days,
+        |       CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE) / count(*) AS avg_days,
+        |       CAST(min(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT) AS min_days,
+        |       CAST(max(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT) AS max_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY yr, mon""".stripMargin,
+    "rolling_7d_qty" ->
+      """WITH t AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day
+        |  FROM lineitem WHERE l_suppkey <= 10)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, CAST(day AS BIGINT) AS day,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_7d
+        |FROM t ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "conditional_agg" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(count(*) FILTER (WHERE c_acctbal < 0.0) AS BIGINT) AS n_negative,
+        |  CAST(count(*) FILTER (WHERE c_acctbal > 7000.0) AS BIGINT) AS n_high,
+        |  round(CAST(count(*) FILTER (WHERE c_acctbal < 0.0) AS DOUBLE) / count(*), 6) AS share_negative,
+        |  CAST(sum(CAST(CASE WHEN c_acctbal > 0.0 THEN c_acctbal ELSE 0.0 END AS DECIMAL(28,2))) AS DOUBLE) AS sum_positive
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "string_kit" ->
+      """SELECT p_partkey,
+        |  concat_ws('-', p_brand, lpad(CAST(p_size AS VARCHAR), 2, '0')) AS brand_size,
+        |  translate(p_type, ' ', '_') AS type_key,
+        |  reverse(p_name) AS name_rev,
+        |  upper(substr(p_name, 1, 5)) AS name_head,
+        |  CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "levenshtein_pairs" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part WHERE p_partkey <= 1000)
+        |SELECT a.p_partkey AS partkey_1, b.p_partkey AS partkey_2, a.p_brand,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY partkey_1, partkey_2""".stripMargin,
+    "zipf_buckets" ->
+      """WITH toks AS (
+        |  SELECT lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM toks WHERE length(word) > 0 GROUP BY word)
+        |SELECT CAST(length(CAST(n AS VARCHAR)) AS BIGINT) AS digits,
+        |       CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(min(n) AS BIGINT) AS min_freq, CAST(max(n) AS BIGINT) AS max_freq
+        |FROM wc GROUP BY 1 ORDER BY digits""".stripMargin,
   )
 }

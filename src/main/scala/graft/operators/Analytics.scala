@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.sources.Tables
+
+/** Analytic surface extensions: outer joins, moment-based statistics,
+  * date arithmetic, range-frame windows, conditional aggregation,
+  * string-function breadth, edit-distance similarity, and token
+  * frequency distribution.
+  *
+  * Statistics policy: corr/covariance/stddev are derived from the five
+  * raw moments (n, Σx, Σy, Σx², Σy², Σxy) accumulated as exact
+  * DECIMALs, then combined with one fixed sequence of IEEE double ops.
+  * Spark's built-in `corr`/`stddev_samp` use a streaming co-moment
+  * merge whose result depends on partition merge order — fine
+  * statistically, but a determinism bug at 1000 executors and
+  * un-checkable against another engine. Moment sums are mergeable
+  * (map-side combine works), so this is also the right 100 TB shape.
+  */
+object Analytics {
+
+  private def decSum(c: Column, scale: Int): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+
+  /** FULL OUTER join: nations' high-balance customer presence vs
+    * high-balance supplier presence — thresholds chosen so each side
+    * is missing some nations (the unmatched-row semantics being
+    * exercised). Both sides pre-aggregate to ≤25 rows before the join,
+    * so the outer join itself is trivially broadcastable.
+    */
+  def fullOuterNationActivity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9800.0)
+      .groupBy(col("c_nationkey").cast("long").as("ck"))
+      .agg(count(lit(1)).as("n_rich_cust"))
+    val s = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 5000.0)
+      .groupBy(col("s_nationkey").cast("long").as("sk"))
+      .agg(count(lit(1)).as("n_rich_supp"))
+    c.join(s, col("ck") === col("sk"), "full_outer")
+      .select(
+        coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_rich_cust"), lit(0L)).as("n_rich_cust"),
+        coalesce(col("n_rich_supp"), lit(0L)).as("n_rich_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Per-group statistics from exact decimal moments: correlation,
+    * sample covariance, sample stddevs, and the exact median, of
+    * (l_quantity, l_extendedprice) by return flag. One scan, one
+    * map-side-combined aggregate (plus the median's sort-based agg).
+    */
+  def statsLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        decSum(x, 2).as("sx"),
+        decSum(y, 2).as("sy"),
+        decSum(x * x, 4).as("sxx"),
+        decSum(y * y, 4).as("syy"),
+        decSum(x * y, 4).as("sxy"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_qty_price"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * (col("n") - 1)), 4).as("covar_qty_price"),
+        round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - 1))), 6).as("stddev_qty"),
+        col("median_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Date arithmetic: order→ship latency in days, aggregated by order
+    * month. The join shuffles on the order key; day differences are
+    * exact integers so every aggregate is engine-exact.
+    */
+  def orderShipLatency(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lat_days",
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast("long"))
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mon"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("lat_days")).as("total_days"),
+        (sum(col("lat_days")).cast("double") / count(lit(1)))
+          .as("avg_days"),
+        min(col("lat_days")).as("min_days"),
+        max(col("lat_days")).as("max_days"))
+      .orderBy(col("yr"), col("mon"))
+
+  /** RANGE-frame window: per-supplier trailing-7-day shipped quantity.
+    * The frame is value-based (day number), not row-based — peers on
+    * the same day aggregate identically regardless of row order, so
+    * the result is deterministic without a unique tiebreaker.
+    */
+  def rolling7dQty(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 10)
+      .withColumn("day",
+        datediff(col("l_shipdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("qty_7d",
+        sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("day"), col("qty_7d"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Conditional aggregation (count_if / filtered aggregates): balance
+    * health per nation in one pass — no self-joins, no second scan.
+    */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        count_if(col("c_acctbal") < 0.0).as("n_negative"),
+        count_if(col("c_acctbal") > 7000.0).as("n_high"),
+        round(count_if(col("c_acctbal") < 0.0).cast("double") /
+          count(lit(1)), 6).as("share_negative"),
+        decSum(when(col("c_acctbal") > 0.0, col("c_acctbal"))
+          .otherwise(0.0), 2).as("sum_positive"))
+      .orderBy(col("n_name"))
+
+  /** String-function breadth over `part`: padding, translation,
+    * reversal, concatenation, casing, substring — all codegen'd
+    * built-ins, checked byte-for-byte against DuckDB.
+    */
+  def stringKit(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        concat_ws("-", col("p_brand"),
+          lpad(col("p_size").cast("string"), 2, "0")).as("brand_size"),
+        translate(col("p_type"), " ", "_").as("type_key"),
+        reverse(col("p_name")).as("name_rev"),
+        upper(substring(col("p_name"), 1, 5)).as("name_head"),
+        length(col("p_name")).cast("long").as("name_len"))
+      .orderBy(col("p_partkey"))
+
+  /** Edit-distance similarity join: near-identical part names within a
+    * brand. Blocking on p_brand keeps the pair space linear-ish (the
+    * same inverted-index principle as the n-gram join: never compare
+    * across blocks that cannot match). The partkey cap bounds output
+    * across scale factors.
+    */
+  def levenshteinPairs(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_partkey") <= 1000)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+    p.select(col("p_partkey").as("partkey_1"), col("p_brand"),
+        col("p_name").as("name_1"))
+      .join(p.select(col("p_partkey").as("partkey_2"), col("p_brand"),
+        col("p_name").as("name_2")), Seq("p_brand"))
+      .filter(col("partkey_1") < col("partkey_2"))
+      .withColumn("edit_dist",
+        levenshtein(col("name_1"), col("name_2")).cast("long"))
+      .filter(col("edit_dist") <= 3)
+      .select(col("partkey_1"), col("partkey_2"), col("p_brand"),
+        col("edit_dist"))
+      .orderBy(col("partkey_1"), col("partkey_2"))
+  }
+
+  /** Token frequency distribution (Zipf profile): bucket words by the
+    * digit count of their corpus frequency. The bucket key is the
+    * DIGIT COUNT (string length of the integer), not log10 — exact in
+    * any engine, no floating-point edge at powers of ten.
+    */
+  def zipfBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextOps.explodedWords(Tables.documents(spark, dir), col("doc_id"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(length(col("n").cast("string")).cast("long").as("digits"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        min(col("n")).as("min_freq"),
+        max(col("n")).as("max_freq"))
+      .orderBy(col("digits"))
+}

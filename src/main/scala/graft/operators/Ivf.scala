@@ -75,7 +75,14 @@ object Ivf {
       k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
       iters: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val centroids = buildCentroids(emb, nCells, iters)
+    // The built centroid table is the index artifact — k rows. It is
+    // consumed by BOTH the corpus assignment and the query probes, and
+    // Spark re-executes a subtree per use, so without a cut here the
+    // whole iterative Lloyd build (several shuffles per iteration) runs
+    // twice. localCheckpoint materializes the k-row table once and
+    // truncates the lineage — the batch analog of writing the index to
+    // storage, which is what a 100 TB build would do anyway.
+    val centroids = buildCentroids(emb, nCells, iters).localCheckpoint()
     val cells = assign(emb, centroids)
     val indexed = emb.join(cells, "vec_id")
 

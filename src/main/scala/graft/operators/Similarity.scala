@@ -160,12 +160,18 @@ object Similarity {
 
   /** Exact embedding-cosine near-dup join: all pairs with cosine >=
     * threshold, brute force (the correctness baseline).
+    *
+    * The `<` condition makes this a nested-loop join; the streamed side
+    * is explicitly repartitioned because its parallelism IS the join's
+    * parallelism — a small corpus arriving as one parquet split would
+    * otherwise run the whole O(n^2) loop on a single core (and at
+    * cluster scale, however many cores the scan happened to get).
     */
   def cosineNearDupExact(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
-    emb.as("a")
+    emb.repartition(col("vec_id")).as("a")
       .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
         dot(col("a.embedding"), col("b.embedding")) /
