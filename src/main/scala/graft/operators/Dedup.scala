@@ -118,7 +118,13 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.5, maxDocFreq: Option[Int] = None): DataFrame = {
-    val sized = ngramsWithSize(docs, n)
+    // Materialize the sized n-gram sets once: Spark re-executes a
+    // subtree per self-join branch, so without this cut the whole
+    // extraction (posexplode + window + distinct + window) runs twice.
+    // At 100 TB this is the "write the shingle table, then join it"
+    // pattern — the materialization is the same order of bytes the
+    // join's shuffle moves anyway, paid once instead of twice.
+    val sized = ngramsWithSize(docs, n).localCheckpoint()
     val enriched = maxDocFreq.fold(sized)(cap =>
       sized
         .withColumn("df",
@@ -195,11 +201,15 @@ object Dedup {
 
   def minhashLshPairs(docs: DataFrame,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val cands = lshCandidates(minhashSignatures(docs, n))
-    // exact-Jaccard verification of the LSH candidates over full n-gram
-    // sets: set sizes ride the n-gram rows as window columns, so the
-    // n-gram extraction runs twice (once per join side), not four times
-    val ngs = ngramsWithSize(docs, n)
+    // One materialized n-gram table feeds everything: the signature
+    // build, the band join (via a checkpointed signature table — it is
+    // read twice by the band self-join), and both exact-verification
+    // join sides. Without the cuts the extraction would run 4x.
+    val ngs = ngramsWithSize(docs, n).localCheckpoint()
+    val hashes = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("ngram"))).as(s"h$i"))
+    val sigs = ngs.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
+    val cands = lshCandidates(sigs.localCheckpoint())
     cands
       .join(ngs.select(col("doc_id").as("doc_id_1"), col("ngram"),
         col("n_ng").as("n1")), "doc_id_1")
@@ -255,7 +265,10 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = simhashes(Tables.documents(spark, dir))
+    // (doc_id, simhash) is 16 bytes/doc; materializing it means the
+    // 64-sum fingerprint aggregation runs once, not once per side of
+    // the chunk-blocked self-join.
+    val sh = simhashes(Tables.documents(spark, dir)).localCheckpoint()
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("ck")))

@@ -26,6 +26,10 @@ object Pipeline {
       minTokens: Int = 10): DataFrame = {
     val docs = Tables.documents(spark, dir)
 
+    // Materialized once: the near-dup join (which itself reads keepers
+    // on two self-join sides via Dedup's checkpoint) and the final
+    // anti-join both consume keepers; a real pipeline writes the
+    // post-exact-dedup corpus between stages for the same reason.
     val keepers = docs
       .withColumn("fp", md5(TextOps.normalizedStream(col("text"))))
       .withColumn("is_keeper",
@@ -33,6 +37,7 @@ object Pipeline {
           .over(Window.partitionBy(col("fp"))))
       .filter(col("is_keeper"))
       .select(col("doc_id"), col("lang"), col("text"))
+      .localCheckpoint()
 
     // near-dup join runs AFTER exact dedup: under heavy duplication
     // (crawl data) the similarity self-join is the expensive stage, and
