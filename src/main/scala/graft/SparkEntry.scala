@@ -92,6 +92,9 @@ object SparkEntry {
     "string_kit" -> ((s, d) => Analytics.stringKit(s, d)),
     "levenshtein_pairs" -> ((s, d) => Analytics.levenshteinPairs(s, d)),
     "zipf_buckets" -> ((s, d) => Analytics.zipfBuckets(s, d)),
+    "array_agg_orders" -> ((s, d) => Analytics.arrayAggOrders(s, d)),
+    "map_roundtrip" -> ((s, d) => Analytics.mapRoundtrip(s, d)),
+    "source_ids" -> ((s, d) => Analytics.sourceIds(s, d)),
   )
 
   /** Shared by dedup_ngram_jaccard (exact path) and dedup_minhash_lsh:
@@ -577,6 +580,21 @@ object SparkEntry {
         |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |ORDER BY partkey_1, partkey_2""".stripMargin,
+    "array_agg_orders" ->
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prios_csv,
+        |  CAST(len(list_distinct(list(o_orderpriority))) AS BIGINT) AS n_prios,
+        |  list_contains(list(o_orderpriority), '1-URGENT') AS has_urgent,
+        |  list_sort(list_distinct(list(o_orderpriority)))[1] AS first_prio
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "map_roundtrip" ->
+      """SELECT o_orderstatus, o_orderpriority AS priority,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, priority""".stripMargin,
+    "source_ids" ->
+      """SELECT CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) AS source_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY source_id""".stripMargin,
     "zipf_buckets" ->
       """WITH toks AS (
         |  SELECT lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word

@@ -182,6 +182,53 @@ object Analytics {
       .orderBy(col("partkey_1"), col("partkey_2"))
   }
 
+  /** Array aggregation + array-function surface: each customer's
+    * distinct order priorities as a sorted array, probed with
+    * size/contains/element_at. The array itself leaves the query as a
+    * canonical joined string — the repo's hash-safety rule for
+    * oracle-checked outputs (QueriesSpec) keeps nested types out of
+    * the compare surface.
+    */
+  def arrayAggOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_set(col("o_orderpriority"))).as("prios"))
+      .select(
+        col("o_custkey"),
+        array_join(col("prios"), ",").as("prios_csv"),
+        size(col("prios")).cast("long").as("n_prios"),
+        array_contains(col("prios"), "1-URGENT").as("has_urgent"),
+        element_at(col("prios"), 1).as("first_prio"))
+      .orderBy(col("o_custkey"))
+
+  /** Map construction + explosion round-trip: per-status counts packed
+    * into a map<priority, n> and exploded back to rows. The map is
+    * engine-internal (never written out — map key order is not a
+    * stable contract); the exploded relation is the checkable surface.
+    */
+  def mapRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_orderstatus"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("o_orderpriority"), col("n")))))
+        .as("m"))
+      .select(col("o_orderstatus"),
+        explode(col("m")).as(Seq("priority", "n_orders")))
+      .orderBy(col("o_orderstatus"), col("priority"))
+
+  /** Regexp group extraction: pull the numeric id out of the source
+    * tag and roll up by it.
+    */
+  def sourceIds(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(regexp_extract(col("source"), "src([0-9]+)", 1)
+        .cast("long").as("source_id"))
+      .groupBy(col("source_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source_id"))
+
   /** Token frequency distribution (Zipf profile): bucket words by the
     * digit count of their corpus frequency. The bucket key is the
     * DIGIT COUNT (string length of the integer), not log10 — exact in

@@ -44,6 +44,35 @@ object EventStreams {
         unix_timestamp(col("window.start")).as("hour_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's errors in the following 60 minutes. Both sides carry
+    * watermarks and the join condition bounds event-time distance from
+    * both directions, so Spark can expire buffered rows — state stays
+    * bounded by (watermark delay + interval), the only join shape that
+    * survives an unbounded stream. Works as a self-join of one source
+    * stream (mirrors the batch `Temporal.purchaseThenError`).
+    */
+  def purchaseErrorJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val errors = events
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+    purchases
+      .join(errors,
+        col("user_id") === col("e_user") &&
+          col("e_ts") > col("p_ts") &&
+          col("e_ts") <= col("p_ts") + expr("INTERVAL 60 MINUTES"))
+      .select(col("purchase_id"), col("error_id"), col("user_id"),
+        expr("(unix_micros(e_ts) - unix_micros(p_ts)) div 1000000")
+          .as("gap_sec"))
+  }
+
   // ---- stateful sessionization ----
 
   case class Ev(user_id: Long, event_id: Long, sec: Long)

@@ -104,4 +104,37 @@ class StreamingSpec extends SparkTestBase {
         s"user $user: closed=${closedPerUser.getOrElse(user, 0L)} batch=$nSessions")
     }
   }
+
+  test("stream-stream interval join matches the equivalent batch join") {
+    val joined = EventStreams.purchaseErrorJoin(
+      EventStreams.readEvents(spark, sf("sf0.001")))
+    val q = joined.writeStream
+      .format("memory").queryName("pe_join_stream")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("pe_join_stream")
+      .orderBy("purchase_id", "error_id").collect()
+
+    // same join, same micro-second timestamps, batch semantics
+    val ev = graft.sources.Tables.events(spark, sf("sf0.001"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+    val want = p.join(e,
+        col("user_id") === col("e_user") &&
+          col("e_ts") > col("p_ts") &&
+          col("e_ts") <= col("p_ts") + expr("INTERVAL 60 MINUTES"))
+      .select(col("purchase_id"), col("error_id"), col("user_id"),
+        expr("(unix_micros(e_ts) - unix_micros(p_ts)) div 1000000")
+          .as("gap_sec"))
+      .orderBy("purchase_id", "error_id").collect()
+
+    assert(want.nonEmpty, "batch reference join produced no rows")
+    assert(got.sameElements(want))
+  }
 }
