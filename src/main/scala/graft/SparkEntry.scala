@@ -95,6 +95,8 @@ object SparkEntry {
     "array_agg_orders" -> ((s, d) => Analytics.arrayAggOrders(s, d)),
     "map_roundtrip" -> ((s, d) => Analytics.mapRoundtrip(s, d)),
     "source_ids" -> ((s, d) => Analytics.sourceIds(s, d)),
+    "upsert_snapshot" -> ((s, d) => Analytics.upsertSnapshot(s, d)),
+    "hash_sample" -> ((s, d) => Analytics.hashSample(s, d)),
   )
 
   /** Shared by dedup_ngram_jaccard (exact path) and dedup_minhash_lsh:
@@ -595,6 +597,22 @@ object SparkEntry {
       """SELECT CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) AS source_id,
         |       CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY source_id""".stripMargin,
+    "upsert_snapshot" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 0),
+        |upd AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT * FROM (
+        |  SELECT b.* FROM base b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT * FROM upd)
+        |ORDER BY o_orderkey""".stripMargin,
+    "hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
     "zipf_buckets" ->
       """WITH toks AS (
         |  SELECT lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word

@@ -229,6 +229,43 @@ object Analytics {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source_id"))
 
+  /** Batch upsert (MERGE): apply an update set to a snapshot — rows
+    * present in the updates replace base rows by key, everything else
+    * carries over. Expressed as left-anti + unionByName, the standard
+    * Spark batch merge; at 100 TB both sides would be bucketed on the
+    * key so the anti-join co-locates, or the table format's native
+    * MERGE would take over. The updated price is an exact double add —
+    * no cross-engine rounding surface.
+    */
+  def upsertSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val base = orders
+      .filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val updates = orders
+      .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"))
+    base
+      .join(updates, Seq("o_orderkey"), "left_anti")
+      .unionByName(updates)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Deterministic content-hash sampling: a ~10% systematic sample
+    * keyed on the md5 of the text, NOT a seeded RNG — the same rows
+    * are selected on any cluster, any partitioning, any engine (the
+    * property that makes sampled pipelines reproducible and lets a
+    * sample be joined back to its population later).
+    */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(
+        conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+          % 100 < 10)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** Token frequency distribution (Zipf profile): bucket words by the
     * digit count of their corpus frequency. The bucket key is the
     * DIGIT COUNT (string length of the integer), not log10 — exact in
