@@ -68,11 +68,21 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** A bucket key plus its 1-bit-flip neighbors (multi-probe set). */
-  private[operators] def probeBuckets(bucket: Column, nPlanes: Int)
-      : Seq[Column] =
-    (0 until nPlanes).map(j =>
-      bucket.bitwiseXOR(shiftleft(lit(1L), j))) :+ bucket
+  /** A bucket key plus its Hamming-ball neighbors up to `maxFlips`
+    * bit flips (multi-probe set): vectors near a hyperplane land on
+    * either side, so probing adjacent sign patterns recovers most
+    * lost neighbors at a fraction of brute-force cost.
+    */
+  private[operators] def probeBuckets(bucket: Column, nPlanes: Int,
+      maxFlips: Int = 1): Seq[Column] = {
+    val oneBit = (0 until nPlanes).map(j => bucket.bitwiseXOR(shiftleft(lit(1L), j)))
+    val twoBit =
+      if (maxFlips < 2) Seq.empty
+      else for (i <- 0 until nPlanes; j <- i + 1 until nPlanes)
+        yield bucket.bitwiseXOR(shiftleft(lit(1L), i))
+          .bitwiseXOR(shiftleft(lit(1L), j))
+    bucket +: (oneBit ++ twoBit)
+  }
 
   /** Brute-force cosine top-k: each query vector (vec_id < nQueries)
     * against the whole corpus. The query side is broadcast — the corpus
@@ -107,19 +117,26 @@ object Similarity {
       when(dot(v, planeLit) >= 0, shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
-  /** ANN top-k via hyperplane LSH with 1-bit multi-probe: the corpus is
-    * bucketed once (single key per vector — the 100 TB layout); each
-    * QUERY probes its own bucket plus every 1-bit-flip neighbor, so the
-    * probe fanout lives on the small broadcast side. Approximate by
-    * design; the spec measures recall against `cosineTopK`.
+  /** ANN top-k via hyperplane LSH with Hamming-ball multi-probe: the
+    * corpus is bucketed once (single key per vector — the 100 TB
+    * layout); each QUERY probes its own bucket plus every ≤maxFlips
+    * bit-flip neighbor, so the probe fanout lives on the small
+    * broadcast side. Defaults (6 planes, 2-bit probes) were chosen by
+    * measured recall/cost on the testdata: ~0.5 recall@5 probing ~34%
+    * of the corpus — these near-isotropic synthetic embeddings are
+    * close to LSH's worst case (neighbors barely closer than average;
+    * the IVF variant measures 0.88 recall on the same data and is the
+    * preferred path). Approximate by design; the spec measures recall
+    * against `cosineTopK`.
     */
   def annTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
-      k: Int = 5, nPlanes: Int = 4): DataFrame = {
+      k: Int = 5, nPlanes: Int = 6, maxFlips: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("bucket", lshBucket(col("embedding"), nPlanes))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(array(probeBuckets(col("bucket"), nPlanes): _*)).as("bucket"))
+        explode(array(probeBuckets(col("bucket"), nPlanes, maxFlips): _*))
+          .as("bucket"))
     topKPerQuery(
       emb.as("corpus")
         .join(broadcast(queries), Seq("bucket"))

@@ -59,4 +59,39 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(planOf("semi_join_customers").toString.contains("LeftSemi"))
     assert(planOf("anti_join_customers").toString.contains("LeftAnti"))
   }
+
+  test("conditional_agg: the nation dim joins via broadcast") {
+    val bcasts = collect(planOf("conditional_agg")) {
+      case b: BroadcastExchangeLike => b
+    }
+    assert(bcasts.nonEmpty, "nation should broadcast, not shuffle")
+  }
+
+  test("order_ship_latency: lineitem scan is pruned to the two needed columns") {
+    val scan = planOf("order_ship_latency").collectLeaves()
+      .map(_.toString).find(_.contains("lineitem")).get
+    assert(scan.contains("l_orderkey") && scan.contains("l_shipdate"), scan)
+    assert(!scan.contains("l_quantity") && !scan.contains("l_extendedprice"),
+      s"scan reads pruned columns:\n$scan")
+  }
+
+  test("rolling_7d_qty: supplier predicate is pushed into the parquet scan") {
+    val scans = planOf("rolling_7d_qty").collectLeaves().map(_.toString)
+    assert(scans.exists(s =>
+      s.contains("PushedFilters") && s.contains("l_suppkey")),
+      s"no pushed filter on l_suppkey:\n${scans.mkString("\n")}")
+  }
+
+  test("upsert_snapshot: the merge keeps its anti-join (no rewrite to NLJ)") {
+    val plan = planOf("upsert_snapshot").toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("levenshtein_pairs: brand blocking yields an equi-join, never a cross join") {
+    val plan = planOf("levenshtein_pairs").toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocked similarity join degenerated to a cross join:\n$plan")
+  }
 }

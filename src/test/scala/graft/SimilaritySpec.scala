@@ -46,7 +46,7 @@ class SimilaritySpec extends SparkTestBase {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(ann.nonEmpty)
     val recall = (exact intersect ann).size.toDouble / exact.size
-    info(f"single-probe ANN recall@5 = $recall%.2f")
+    info(f"multi-probe (6 planes, <=2 flips) ANN recall@5 = $recall%.2f")
     assert(recall > 0.1, s"ANN recall suspiciously low: $recall")
   }
 
