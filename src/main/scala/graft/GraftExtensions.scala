@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.plans.VecDot
+
+/** Library integration point: sessions built with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions`) get graft's native expressions in their
+  * function registry without any imperative `register` call — the way
+  * a deployed cluster ships the library to every user session via one
+  * line of cluster config. `GraftFunctions.register` remains for
+  * sessions that already exist.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(
+        classOf[VecDot].getName, null, "vec_dot",
+        "vec_dot(a, b) - left-to-right double dot product of two numeric arrays",
+        ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"vec_dot requires exactly 2 arguments, got ${exprs.length}")
+        VecDot(exprs(0), exprs(1))
+      }))
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.sources.Tables.all.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => () }
+    }
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("sessionize", "curated_corpus", "dedup_minhash_lsh", "ivf_topk",
+        "cosine_near_dup", "simhash_pairs", "dedup_ngram_jaccard", "approx_stats", "percentiles")
+    for (q <- names) {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROF $q%-22s ${times.map(t => f"$t%.2f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}

@@ -97,6 +97,8 @@ object SparkEntry {
     "source_ids" -> ((s, d) => Analytics.sourceIds(s, d)),
     "upsert_snapshot" -> ((s, d) => Analytics.upsertSnapshot(s, d)),
     "hash_sample" -> ((s, d) => Analytics.hashSample(s, d)),
+    "corr_subquery" -> ((s, d) => Analytics.corrSubquery(s, d)),
+    "null_semantics" -> ((s, d) => Analytics.nullSemantics(s, d)),
   )
 
   /** Shared by dedup_ngram_jaccard (exact path) and dedup_minhash_lsh:
@@ -613,6 +615,20 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+    "corr_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer
+        |WHERE c_custkey <= 200
+        |ORDER BY c_custkey""".stripMargin,
+    "null_semantics" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(count(*) AS BIGINT) AS n_all,
+        |  CAST(count(nullif(o_orderpriority, '3-MEDIUM')) AS BIGINT) AS n_nonnull,
+        |  CAST(count(DISTINCT nullif(o_orderpriority, '3-MEDIUM')) AS BIGINT) AS n_distinct_p,
+        |  max(nullif(o_orderpriority, '3-MEDIUM')) AS max_p,
+        |  CAST(count(*) FILTER (WHERE nullif(o_orderpriority, '3-MEDIUM') IS NULL) AS BIGINT) AS n_null
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
     "zipf_buckets" ->
       """WITH toks AS (
         |  SELECT lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word

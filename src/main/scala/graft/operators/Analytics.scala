@@ -266,6 +266,41 @@ object Analytics {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Correlated scalar subquery through the SQL front-end: Catalyst
+    * decorrelates it into an outer-joined aggregate — proof the engine
+    * runs subquery SQL as set-oriented plans, never a per-row loop.
+    * Customers with no orders surface as NULL (the scalar-subquery
+    * contract), which the oracle reproduces.
+    */
+  def corrSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_corr_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_corr_orders")
+    spark.sql(
+      """SELECT c_custkey,
+        |  (SELECT max(o_totalprice) FROM graft_corr_orders
+        |   WHERE o_custkey = c_custkey) AS max_price
+        |FROM graft_corr_customer
+        |WHERE c_custkey <= 200
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Null-handling semantics in one aggregate: count(*) vs count(col),
+    * distinct over a nullable column, null-skipping max, and a null
+    * predicate count — the SQL null contract, checked cross-engine.
+    */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("status"),
+        expr("nullif(o_orderpriority, '3-MEDIUM')").as("p"))
+      .groupBy(col("status"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        count(col("p")).as("n_nonnull"),
+        countDistinct(col("p")).as("n_distinct_p"),
+        max(col("p")).as("max_p"),
+        count_if(col("p").isNull).as("n_null"))
+      .orderBy(col("status"))
+
   /** Token frequency distribution (Zipf profile): bucket words by the
     * digit count of their corpus frequency. The bucket key is the
     * DIGIT COUNT (string length of the integer), not log10 — exact in

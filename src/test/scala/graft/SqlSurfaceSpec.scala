@@ -56,4 +56,28 @@ class SqlSurfaceSpec extends SparkTestBase {
       .orderBy("o_custkey").collect()
     assert(viaSql.sameElements(viaDf))
   }
+
+  test("GraftExtensions injects vec_dot into a session built with spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    val shared = spark // force lazy init so the SparkContext exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // reuses the live SparkContext. `spark.sql.extensions` is a
+      // STATIC conf read at SparkContext creation, so the test injects
+      // through builder.withExtensions — the same GraftExtensions class
+      // a cluster would name in spark.sql.extensions.
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val got = s2.sql(
+        "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect().head.getDouble(0)
+      assert(got === 11.0)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
