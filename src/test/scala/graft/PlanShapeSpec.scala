@@ -94,4 +94,18 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"blocked similarity join degenerated to a cross join:\n$plan")
   }
+
+  test("join strategy hints are honored (shuffle_hash / merge / broadcast)") {
+    import org.apache.spark.sql.functions.col
+    val o = graft.sources.Tables.orders(spark, sf("sf0.001"))
+    val c = graft.sources.Tables.customer(spark, sf("sf0.001"))
+    def planWith(hint: String) = {
+      val df = o.join(c.hint(hint), col("o_custkey") === col("c_custkey"))
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(planWith("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planWith("merge").contains("SortMergeJoin"))
+    assert(planWith("broadcast").contains("BroadcastHashJoin"))
+  }
 }
