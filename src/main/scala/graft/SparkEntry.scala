@@ -621,6 +621,26 @@ object SparkEntry {
         |FROM customer
         |WHERE c_custkey <= 200
         |ORDER BY c_custkey""".stripMargin,
+    "doc_fingerprints" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z \t\n]', '', 'g')), '[ \t\n]+', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    CAST(concat('0x', substr(md5(ws[i-1] || ' ' || ws[i] || ' ' || ws[i+1]), 1, 8)) AS BIGINT) AS h
+        |  FROM s, unnest(range(2, len(ws))) AS r(i)
+        |  WHERE len(ws) >= 3),
+        |wmin AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM g),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wmin)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+        |       min(fp) AS min_fp, max(fp) AS max_fp,
+        |       CAST(sum(fp) AS BIGINT) AS fp_sum
+        |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "null_semantics" ->
       """SELECT o_orderstatus AS status,
         |  CAST(count(*) AS BIGINT) AS n_all,
