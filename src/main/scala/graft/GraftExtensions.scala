@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.plans.VecDot
+import graft.plans.{RewriteSelfDotProduct, VecDot}
 
 /** Library integration point: sessions built with
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -26,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"vec_dot requires exactly 2 arguments, got ${exprs.length}")
         VecDot(exprs(0), exprs(1))
       }))
+    ext.injectOptimizerRule(_ => RewriteSelfDotProduct)
   }
 }

@@ -80,4 +80,40 @@ class SqlSurfaceSpec extends SparkTestBase {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("RewriteSelfDotProduct turns the HOF self-dot-product into VecDot — only when provably safe") {
+    import org.apache.spark.sql.SparkSession
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      // literal arrays: element containsNull = false -> rule may fire
+      val df = s2.range(3).select(
+        array((0 to 4).map(j => (col("id") + j).cast("double")): _*).as("a"))
+      val hofSelf = graft.operators.Similarity.dotHof(col("a"), col("a"))
+      val rewritten = df.select(hofSelf.as("d"))
+      assert(rewritten.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+        s"rule did not fire:\n${rewritten.queryExecution.optimizedPlan}")
+      val viaRule = rewritten.collect().map(_.getDouble(0))
+      val direct = df.select(graft.plans.VecDot(col("a"), col("a")).as("d"))
+        .collect().map(_.getDouble(0))
+      assert(viaRule.sameElements(direct))
+
+      // different arrays: zip_with padding is possible -> must NOT fire
+      val two = s2.range(3).select(
+        array(col("id").cast("double")).as("a"),
+        array(col("id").cast("double"), lit(1.0)).as("b"))
+      val unsafe = two.select(
+        graft.operators.Similarity.dotHof(col("a"), col("b")).as("d"))
+      assert(!unsafe.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+        "rule fired on arrays it cannot prove equal-length")
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
