@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Post-query hygiene for harness mains (Bench/Verify/Prof/ScaleSmoke):
+  * drop persisted RDD blocks left by localCheckpoint intermediates.
+  * Checkpoints are consumed entirely within their query; once the query
+  * has materialized, keeping the blocks only squeezes storage memory
+  * out from under LATER queries (observed: unrelated queries slowing
+  * 2-4x after a checkpoint-heavy one). The ContextCleaner would get
+  * there eventually via GC; harnesses that time queries should not
+  * wait for it.
+  */
+object Cleanup {
+  def dropPersisted(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+}

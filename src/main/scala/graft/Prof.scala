@@ -33,7 +33,9 @@ object Prof {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        Cleanup.dropPersisted(spark)
+        dt
       }
       println(f"PROF $q%-22s ${times.map(t => f"$t%.2f").mkString(" ")}")
     }

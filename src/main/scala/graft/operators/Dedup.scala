@@ -226,6 +226,57 @@ object Dedup {
       .orderBy(col("doc_id_1"), col("doc_id_2"))
   }
 
+  /** Transitive near-dup clustering: connected components over the
+    * near-dup pair graph, by iterative min-label propagation to
+    * convergence. Pairwise output (A~B, B~C) under-deletes without the
+    * transitive closure — the cluster representative (min doc_id in
+    * the component) is what a dedup pipeline actually keeps.
+    *
+    * Each iteration is one join + one aggregate; the driver's only
+    * role is the convergence test (an aggregate scalar — standard for
+    * iterative graph algorithms; the data never leaves executors).
+    * localCheckpoint truncates each iteration's lineage, without
+    * which the plan doubles per round. Rounds needed = graph diameter;
+    * duplicate clusters are near-cliques so this converges in 2-3. At
+    * 100 TB with adversarial chain-shaped graphs you would switch to
+    * the alternating large-star/small-star formulation (O(log n)
+    * rounds); the per-round plan shape is identical.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String,
+      n: Int = 3, threshold: Double = 0.5, maxIters: Int = 20): DataFrame = {
+    val pairs = minhashLshPairs(Tables.documents(spark, dir), n, threshold)
+      .select(col("doc_id_1"), col("doc_id_2"))
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_id_2"), col("doc_id_1")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("dlabel")),
+          "dst")
+        .groupBy(col("src")).agg(min(col("dlabel")).as("nmin"))
+      val next = labels
+        .join(neighborMin.select(col("src").as("doc_id"), col("nmin")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over the word stream with term-frequency weights:

@@ -34,6 +34,7 @@ object ScaleSmoke {
       val t0 = System.nanoTime()
       f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      Cleanup.dropPersisted(spark)
     }
     val docs = spark.read.parquet(dir)
     time("inverted_index")(
