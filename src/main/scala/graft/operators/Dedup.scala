@@ -243,38 +243,48 @@ object Dedup {
     * rounds); the per-round plan shape is identical.
     */
   def nearDupClusters(spark: SparkSession, dir: String,
-      n: Int = 3, threshold: Double = 0.5, maxIters: Int = 20): DataFrame = {
-    val pairs = minhashLshPairs(Tables.documents(spark, dir), n, threshold)
-      .select(col("doc_id_1"), col("doc_id_2"))
-    val edges = pairs
-      .unionAll(pairs.select(col("doc_id_2"), col("doc_id_1")))
+      n: Int = 3, threshold: Double = 0.5, maxIters: Int = 20): DataFrame =
+    connectedComponents(
+      minhashLshPairs(Tables.documents(spark, dir), n, threshold)
+        .select(col("doc_id_1"), col("doc_id_2")), maxIters)
+      .withColumnRenamed("node", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Connected components of an undirected pair graph — min-label
+    * propagation to convergence. Returns (node, cluster_rep) for every
+    * node appearing in `pairs`; cluster_rep = the component's minimum
+    * node id. See nearDupClusters for the scale discussion.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val Seq(c1, c2) = pairs.columns.toSeq.map(col)
+    val edges = pairs.select(c1, c2)
+      .unionAll(pairs.select(c2, c1))
       .toDF("src", "dst")
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
       .localCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
       val neighborMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("label").as("dlabel")),
+        .join(labels.select(col("node").as("dst"), col("label").as("dlabel")),
           "dst")
         .groupBy(col("src")).agg(min(col("dlabel")).as("nmin"))
       val next = labels
-        .join(neighborMin.select(col("src").as("doc_id"), col("nmin")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .join(neighborMin.select(col("src").as("node"), col("nmin")),
+          Seq("node"), "left")
+        .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
       val changed = next
-        .join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).count()
       labels = next
       converged = changed == 0
       it += 1
     }
-    labels.select(col("doc_id"), col("label").as("cluster_rep"))
-      .orderBy(col("doc_id"))
+    labels.select(col("node"), col("label").as("cluster_rep"))
   }
 
   // ---------- SimHash ----------

@@ -181,10 +181,15 @@ object TextAnalysis {
     * Documents with fewer than 3 words have no grams and are absent,
     * per winnowing's definition.
     */
-  def fingerprints(spark: SparkSession, dir: String, w: Int = 4): DataFrame = {
+  /** The distinct winnowed fingerprint set, one (doc_id, fp) row per
+    * selected gram hash — the joinable form (shared fingerprint =
+    * plagiarism/copy candidate). `fingerprints` aggregates this to a
+    * per-doc signature for the oracle gate.
+    */
+  def winnowedFingerprints(docs: DataFrame, w: Int = 4): DataFrame = {
     val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(-(w - 1), 0)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         split(TextOps.normalizedStream(col("text")), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
@@ -197,6 +202,11 @@ object TextAnalysis {
           element_at(col("ws"), col("i") + 1))), 1, 8), 16, 10)
           .cast("long").as("h"))
       .withColumn("fp", min(col("h")).over(win))
+      .select(col("doc_id"), col("fp"))
+  }
+
+  def fingerprints(spark: SparkSession, dir: String, w: Int = 4): DataFrame =
+    winnowedFingerprints(Tables.documents(spark, dir), w)
       .groupBy(col("doc_id"))
       .agg(
         countDistinct(col("fp")).as("n_fps"),
@@ -204,5 +214,4 @@ object TextAnalysis {
         max(col("fp")).as("max_fp"),
         sum_distinct(col("fp")).as("fp_sum"))
       .orderBy(col("doc_id"))
-  }
 }
