@@ -100,6 +100,7 @@ object SparkEntry {
     "hash_sample" -> ((s, d) => Analytics.hashSample(s, d)),
     "corr_subquery" -> ((s, d) => Analytics.corrSubquery(s, d)),
     "null_semantics" -> ((s, d) => Analytics.nullSemantics(s, d)),
+    "sql_cte_having" -> ((s, d) => Analytics.sqlCteHaving(s, d)),
   )
 
   /** Shared by dedup_ngram_jaccard (exact path) and dedup_minhash_lsh:
@@ -668,6 +669,17 @@ object SparkEntry {
         |       min(fp) AS min_fp, max(fp) AS max_fp,
         |       CAST(sum(fp) AS BIGINT) AS fp_sum
         |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sql_cte_having" ->
+      """WITH active AS (
+        |  SELECT c_custkey, c_nationkey FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders
+        |                WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT'))
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_active
+        |FROM active JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |HAVING count(*) * 25 > (SELECT count(*) FROM active)
+        |ORDER BY n_name""".stripMargin,
     "null_semantics" ->
       """SELECT o_orderstatus AS status,
         |  CAST(count(*) AS BIGINT) AS n_all,

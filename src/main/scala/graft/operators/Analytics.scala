@@ -284,6 +284,27 @@ object Analytics {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** SQL front-end breadth in one statement: CTE + correlated EXISTS
+    * (rewritten to a semi join) + GROUP BY/HAVING. The same text runs
+    * unchanged on DuckDB modulo view names.
+    */
+  def sqlCteHaving(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_cte_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_cte_orders")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_cte_nation")
+    spark.sql(
+      """WITH active AS (
+        |  SELECT c_custkey, c_nationkey FROM graft_cte_customer
+        |  WHERE EXISTS (SELECT 1 FROM graft_cte_orders
+        |                WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT'))
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_active
+        |FROM active JOIN graft_cte_nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |HAVING count(*) * 25 > (SELECT count(*) FROM active)
+        |ORDER BY n_name""".stripMargin)
+  }
+
   /** Null-handling semantics in one aggregate: count(*) vs count(col),
     * distinct over a nullable column, null-skipping max, and a null
     * predicate count — the SQL null contract, checked cross-engine.
