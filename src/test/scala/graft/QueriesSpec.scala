@@ -26,10 +26,24 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  /** Queries whose semantics genuinely need a non-equi join (brute-force
+    * scoring against a broadcast side, or a broadcast scalar): a
+    * nested-loop join is the intended plan there and nowhere else.
+    */
+  private val NljAllowed = Set(
+    "cosine_near_dup", "cosine_topk", "ann_topk", "ivf_topk",
+    "tfidf_top_term")
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs and returns rows on sf0.001") {
       val df = fn(spark, sf("sf0.001"))
       assert(df.count() > 0, s"$name returned no rows")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+      if (!NljAllowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unintended nested-loop join")
     }
   }
 }
