@@ -261,8 +261,13 @@ object Dedup {
       .unionAll(pairs.select(c2, c1))
       .toDF("src", "dst")
       .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // initial labels fold the first propagation round into the node
+    // dedup: label(0) = min(node, min direct neighbor) — one aggregate
+    // instead of distinct + a full loop iteration
+    var labels = edges
+      .groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("nmin0"))
+      .select(col("node"), least(col("node"), col("nmin0")).as("label"))
       .localCheckpoint()
     var converged = false
     var it = 0
