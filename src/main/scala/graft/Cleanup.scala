@@ -10,9 +10,13 @@ import org.apache.spark.sql.SparkSession
   * 2-4x after a checkpoint-heavy one). The ContextCleaner would get
   * there eventually via GC; harnesses that time queries should not
   * wait for it.
+  *
+  * Blocking on purpose: the call sits OUTSIDE the timed window (Bench
+  * computes dt first), and an async unpersist could overlap — and
+  * steal memory/cycles from — the next timed query.
   */
 object Cleanup {
   def dropPersisted(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
 }

@@ -251,11 +251,27 @@ object Dedup {
       .orderBy(col("doc_id"))
 
   /** Connected components of an undirected pair graph — min-label
-    * propagation to convergence. Returns (node, cluster_rep) for every
-    * node appearing in `pairs`; cluster_rep = the component's minimum
-    * node id. See nearDupClusters for the scale discussion.
+    * propagation with pointer jumping, run to convergence. Returns
+    * (node, cluster_rep) for every node appearing in `pairs`;
+    * cluster_rep = the component's minimum node id.
+    *
+    * Each round does (1) a propagation step — every node takes the min
+    * of its own label and its neighbors' labels — and (2) a pointer-
+    * jumping step — every node then takes its LABEL's label
+    * (label(x) := label(label(x))). Propagation alone moves the min
+    * one hop per round (rounds = diameter); the jump compresses label
+    * chains exponentially, so rounds = O(log diameter) — a 1M-node
+    * chain converges in ~20 rounds instead of 1M. This is the same
+    * doubling idea as the large-star/small-star CC formulation, on a
+    * simpler per-round plan (two joins + one aggregate).
+    *
+    * Convergence is verified: if maxIters rounds pass with labels
+    * still changing, this THROWS rather than silently returning
+    * non-converged (wrong) cluster representatives. With pointer
+    * jumping, the default 25 rounds covers any graph diameter that
+    * fits in a long.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val Seq(c1, c2) = pairs.columns.toSeq.map(col)
     val edges = pairs.select(c1, c2)
       .unionAll(pairs.select(c2, c1))
@@ -276,11 +292,18 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("label").as("dlabel")),
           "dst")
         .groupBy(col("src")).agg(min(col("dlabel")).as("nmin"))
-      val next = labels
+      val propagated = labels
         .join(neighborMin.select(col("src").as("node"), col("nmin")),
           Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer jump: label(x) := label(label(x)). Every label IS a
+      // node id (mins of node ids), so the inner self-join is total;
+      // label(l) <= l by the least() invariant, monotone decreasing.
+      val next = propagated.as("l1")
+        .join(propagated.select(col("node").as("label"),
+          col("label").as("ll")).as("l2"), Seq("label"))
+        .select(col("node"), least(col("label"), col("ll")).as("label"))
         .localCheckpoint()
       val changed = next
         .join(labels.withColumnRenamed("label", "old"), "node")
@@ -289,6 +312,10 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    require(converged,
+      s"connected components did not converge in $maxIters rounds; " +
+        "labels are still moving — raise maxIters (rounds needed is " +
+        "O(log graph-diameter) with pointer jumping)")
     labels.select(col("node"), col("label").as("cluster_rep"))
   }
 

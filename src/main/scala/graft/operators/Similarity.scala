@@ -68,20 +68,24 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** A bucket key plus its Hamming-ball neighbors up to `maxFlips`
-    * bit flips (multi-probe set): vectors near a hyperplane land on
+  /** A bucket key plus its full Hamming ball up to `maxFlips` bit
+    * flips (multi-probe set): vectors near a hyperplane land on
     * either side, so probing adjacent sign patterns recovers most
-    * lost neighbors at a fraction of brute-force cost.
+    * lost neighbors at a fraction of brute-force cost. Generates ALL
+    * sum(C(nPlanes, f)) for f <= maxFlips probe keys — tuning
+    * maxFlips up monotonically widens the ball (at maxFlips = nPlanes
+    * it degenerates to brute force over every bucket).
     */
-  private[operators] def probeBuckets(bucket: Column, nPlanes: Int,
+  private[graft] def probeBuckets(bucket: Column, nPlanes: Int,
       maxFlips: Int = 1): Seq[Column] = {
-    val oneBit = (0 until nPlanes).map(j => bucket.bitwiseXOR(shiftleft(lit(1L), j)))
-    val twoBit =
-      if (maxFlips < 2) Seq.empty
-      else for (i <- 0 until nPlanes; j <- i + 1 until nPlanes)
-        yield bucket.bitwiseXOR(shiftleft(lit(1L), i))
-          .bitwiseXOR(shiftleft(lit(1L), j))
-    bucket +: (oneBit ++ twoBit)
+    require(maxFlips >= 0 && maxFlips <= nPlanes,
+      s"maxFlips must be in [0, $nPlanes], got $maxFlips")
+    val flips = for {
+      f <- 1 to maxFlips
+      combo <- (0 until nPlanes).combinations(f)
+    } yield combo.foldLeft(bucket)((b, j) =>
+      b.bitwiseXOR(shiftleft(lit(1L), j)))
+    bucket +: flips.toSeq
   }
 
   /** Brute-force cosine top-k: each query vector (vec_id < nQueries)

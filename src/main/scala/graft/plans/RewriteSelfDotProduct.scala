@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 /** Optimizer rule: rewrite the idiomatic-but-interpreted higher-order
   * self-dot-product
@@ -23,7 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *    to the shorter prefix — different semantics in general);
   *  - the array's elements are non-nullable (`containsNull = false`):
   *    on a null element the HOF fold propagates NULL through
-  *    `acc + v`, while VecDot skips it.
+  *    `acc + v`, while VecDot skips it;
+  *  - the array's element type is float or double — the only types
+  *    VecDot reads (`ArrayData.getFloat/getDouble`). An int/long array
+  *    reaches this shape via `CAST(x AS DOUBLE) * CAST(y AS DOUBLE)`,
+  *    and rewriting it would make VecDot reinterpret int-backed storage
+  *    as doubles (checkInputDataTypes is not re-run post-optimizer).
   * Anything it cannot prove, it leaves alone — an optimizer rule that
   * widens semantics is a correctness bug, not an optimization.
   *
@@ -41,8 +46,9 @@ object RewriteSelfDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Non-null float/double elements — the exact domain VecDot supports. */
   private def elementsNonNull(e: Expression): Boolean = e.dataType match {
-    case ArrayType(_, containsNull) => !containsNull
+    case ArrayType(FloatType | DoubleType, containsNull) => !containsNull
     case _ => false
   }
 

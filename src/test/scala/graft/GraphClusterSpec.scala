@@ -55,6 +55,25 @@ class GraphClusterSpec extends SparkTestBase {
     assert(got.keySet === (0L to 12L).toSet)
   }
 
+  test("pointer jumping: a 120-node chain converges within 10 rounds") {
+    // plain one-hop propagation would need ~120 rounds; the pointer-
+    // jump step makes rounds O(log diameter). maxIters=10 would throw
+    // (non-convergence is a hard error now) if jumping regressed.
+    val chain = (0L until 120L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(chain.toDF("a", "b"), maxIters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet === Set(0L))
+    assert(got.keySet === (0L to 120L).toSet)
+  }
+
+  test("non-convergence throws instead of returning wrong labels") {
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain.toDF("a", "b"), maxIters = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("winnowing guarantee: docs sharing a 6-word run share a fingerprint") {
     val dir = java.nio.file.Files.createTempDirectory("winnow").toString
     val shared = "alpha beta gamma delta epsilon zeta"

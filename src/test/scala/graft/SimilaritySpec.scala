@@ -50,6 +50,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.1, s"ANN recall suspiciously low: $recall")
   }
 
+  test("probeBuckets covers the full Hamming ball at any maxFlips") {
+    // evaluate each probe expression against a concrete bucket value
+    // and check the set of keys == all values within hamming distance
+    def ball(bucket: Long, nPlanes: Int, maxFlips: Int): Set[Long] =
+      (0L until (1L << nPlanes))
+        .filter(v => java.lang.Long.bitCount(v ^ bucket) <= maxFlips).toSet
+    for (flips <- 0 to 4) {
+      val probes = Similarity.probeBuckets(lit(5L), nPlanes = 6, maxFlips = flips)
+      val got = spark.range(1)
+        .select(array(probes: _*).as("p"))
+        .as[Seq[Long]].head().toSet
+      assert(got === ball(5L, 6, flips),
+        s"maxFlips=$flips probe set is not the hamming ball")
+    }
+    // widening maxFlips must strictly widen the probe set (3 > 2 — the
+    // old implementation silently capped at 2)
+    assert(Similarity.probeBuckets(lit(5L), 6, 3).size >
+      Similarity.probeBuckets(lit(5L), 6, 2).size)
+  }
+
   test("LSH near-dup output is a subset of exact with measured recall") {
     val exact = Similarity.cosineNearDupExact(spark, sf("sf0.001"))
       .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet

@@ -111,6 +111,19 @@ class SqlSurfaceSpec extends SparkTestBase {
         graft.operators.Similarity.dotHof(col("a"), col("b")).as("d"))
       assert(!unsafe.queryExecution.optimizedPlan.toString.contains("vec_dot"),
         "rule fired on arrays it cannot prove equal-length")
+
+      // int-element arrays reach the same shape through CAST(x AS
+      // DOUBLE) * CAST(y AS DOUBLE) — VecDot only reads float/double
+      // storage, so the rule must NOT fire, and the HOF result must
+      // still be correct
+      val ints = s2.sql(
+        """SELECT aggregate(
+          |  zip_with(a, a, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |  0.0D, (acc, v) -> acc + v) AS d
+          |FROM (SELECT array(1, 2, 3) AS a)""".stripMargin)
+      assert(!ints.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+        "rule fired on an int-element array (VecDot would misread storage)")
+      assert(ints.collect().head.getDouble(0) === 14.0)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
