@@ -101,6 +101,29 @@ object SparkEntry {
     "corr_subquery" -> ((s, d) => Analytics.corrSubquery(s, d)),
     "null_semantics" -> ((s, d) => Analytics.nullSemantics(s, d)),
     "sql_cte_having" -> ((s, d) => Analytics.sqlCteHaving(s, d)),
+    // -- TPC-H composite family ------------------------------------------
+    "q4_priority_exists" -> ((s, d) => TpcH.q4PriorityExists(s, d)),
+    "q6_revenue_delta" -> ((s, d) => TpcH.q6RevenueDelta(s, d)),
+    "q7_nation_volume" -> ((s, d) => TpcH.q7NationVolume(s, d)),
+    "q10_returned_revenue" -> ((s, d) => TpcH.q10ReturnedRevenue(s, d)),
+    "q12_priority_class" -> ((s, d) => TpcH.q12PriorityClass(s, d)),
+    "q13_cust_distribution" -> ((s, d) => TpcH.q13CustDistribution(s, d)),
+    "q14_promo_share" -> ((s, d) => TpcH.q14PromoShare(s, d)),
+    "q16_supplier_variety" -> ((s, d) => TpcH.q16SupplierVariety(s, d)),
+    "q18_large_orders" -> ((s, d) => TpcH.q18LargeOrders(s, d)),
+    "q19_disjunctive" -> ((s, d) => TpcH.q19Disjunctive(s, d)),
+    // -- SQL-surface kit -------------------------------------------------
+    "unpivot_orders" -> ((s, d) => SqlKit.unpivotOrders(s, d)),
+    "listagg_nations" -> ((s, d) => SqlKit.listaggNations(s, d)),
+    "price_histogram" -> ((s, d) => SqlKit.priceHistogram(s, d)),
+    "robust_stats" -> ((s, d) => SqlKit.robustStats(s, d)),
+    "date_kit" -> ((s, d) => SqlKit.dateKit(s, d)),
+    "window_lag_lead" -> ((s, d) => SqlKit.windowLagLead(s, d)),
+    "bitwise_kit" -> ((s, d) => SqlKit.bitwiseKit(s, d)),
+    // -- corpus quality + vector analytics -------------------------------
+    "doc_repetition" -> ((s, d) => TextQuality.docRepetition(s, d)),
+    "pii_scrub" -> ((s, d) => TextQuality.piiScrub(s, d)),
+    "label_centroids" -> ((s, d) => Vectors.labelCentroids(s, d)),
   )
 
   /** Shared by dedup_ngram_jaccard (exact path) and dedup_minhash_lsh:
@@ -697,5 +720,239 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_words,
         |       CAST(min(n) AS BIGINT) AS min_freq, CAST(max(n) AS BIGINT) AS max_freq
         |FROM wc GROUP BY 1 ORDER BY digits""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_revenue_delta" ->
+      """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |       CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name,
+        |       CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q13_cust_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '3-MEDIUM'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo_share" ->
+      """WITH agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT round(promo_revenue, 4) AS promo_revenue,
+        |       round(total_revenue, 4) AS total_revenue,
+        |       round(promo_revenue / total_revenue, 6) AS promo_share
+        |FROM agg""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+        |       CAST(sq AS DOUBLE) AS sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "unpivot_orders" ->
+      """WITH wide AS (
+        |  SELECT o_orderstatus,
+        |    CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+        |    CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS n_high,
+        |    CAST(count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS n_other
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, metric, n FROM (
+        |  SELECT o_orderstatus, 'n_urgent' AS metric, n_urgent AS n FROM wide
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'n_high' AS metric, n_high AS n FROM wide
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'n_other' AS metric, n_other AS n FROM wide)
+        |ORDER BY o_orderstatus, metric""".stripMargin,
+    "listagg_nations" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "price_histogram" ->
+      """SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(min(o_totalprice), 2) AS min_price,
+        |       round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "robust_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS s3,
+        |    CAST(sum(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n, s1 / n AS mean,
+        |         s2 / n - (s1/n) * (s1/n) AS m2,
+        |         s3 / n - 3.0 * (s1/n) * (s2/n) + 2.0 * (s1/n) * (s1/n) * (s1/n) AS m3,
+        |         s4 / n - 4.0 * (s1/n) * (s3/n) + 6.0 * (s1/n) * (s1/n) * (s2/n)
+        |           - 3.0 * (s1/n) * (s1/n) * (s1/n) * (s1/n) AS m4
+        |  FROM m),
+        |modes AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty FROM (
+        |    SELECT l_returnflag, l_quantity,
+        |           row_number() OVER (PARTITION BY l_returnflag
+        |                              ORDER BY count(*) DESC, l_quantity) AS rn
+        |    FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |  WHERE rn = 1)
+        |SELECT d.l_returnflag, CAST(n AS BIGINT) AS n,
+        |       round(mean, 6) AS mean_qty,
+        |       round(m3 / pow(m2, 1.5), 6) AS skewness_qty,
+        |       round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_qty,
+        |       mode_qty
+        |FROM d JOIN modes ON d.l_returnflag = modes.l_returnflag
+        |ORDER BY d.l_returnflag""".stripMargin,
+    "date_kit" ->
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |       CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+        |       CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+        |       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |       strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+        |       CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
+    "window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       lag(o_totalprice, 1, -1.0) OVER w AS prev_price,
+        |       lead(o_totalprice, 1, -1.0) OVER w AS next_price,
+        |       CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS BIGINT) AS prio_rank,
+        |       nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders WHERE o_custkey <= 30
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "bitwise_kit" ->
+      """SELECT event_type,
+        |       CAST(bit_and(user_id) AS BIGINT) AS and_uid,
+        |       CAST(bit_or(user_id) AS BIGINT) AS or_uid,
+        |       CAST(bit_xor(user_id) AS BIGINT) AS xor_uid,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "doc_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |wc AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+        |  GROUP BY doc_id, w),
+        |wa AS (
+        |  SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct, max(c) AS top_freq
+        |  FROM wc GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |  FROM base, unnest(range(1, len(ws))) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |ba AS (
+        |  SELECT doc_id, count(*) AS n_bg, count(DISTINCT g) AS n_bg_distinct
+        |  FROM bg GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(wa.n_words, 0) AS BIGINT) AS n_words,
+        |  round(CASE WHEN wa.n_words IS NULL OR wa.n_words = 0 THEN 0.0
+        |    ELSE CAST(wa.n_distinct AS DOUBLE) / CAST(wa.n_words AS DOUBLE) END, 6) AS distinct_word_ratio,
+        |  round(CASE WHEN wa.n_words IS NULL OR wa.n_words = 0 THEN 0.0
+        |    ELSE CAST(wa.top_freq AS DOUBLE) / CAST(wa.n_words AS DOUBLE) END, 6) AS top_word_share,
+        |  round(CASE WHEN ba.n_bg IS NULL OR ba.n_bg = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(ba.n_bg_distinct AS DOUBLE) / CAST(ba.n_bg AS DOUBLE) END, 6) AS dup_bigram_ratio
+        |FROM documents d
+        |LEFT JOIN wa ON d.doc_id = wa.doc_id
+        |LEFT JOIN ba ON d.doc_id = ba.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_nums,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://[^ \t\n]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "label_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |norms AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    round(CAST(sum(CAST(sqrt(list_dot_product(v, v)) AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_norm
+        |  FROM e GROUP BY label),
+        |dims AS (
+        |  SELECT label, i, CAST(sum(CAST(v[i] AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS mean
+        |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, round(sqrt(CAST(sum(CAST(mean * mean AS DECIMAL(28,16))) AS DOUBLE)), 6) AS centroid_norm
+        |  FROM dims GROUP BY label)
+        |SELECT CAST(norms.label AS BIGINT) AS label, n_vecs, centroid_norm, avg_norm
+        |FROM norms JOIN cent ON norms.label = cent.label
+        |ORDER BY label""".stripMargin,
   )
 }

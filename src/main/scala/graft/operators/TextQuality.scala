@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.sources.Tables
+
+/** Corpus-quality operators a crawl-scale training-data pipeline runs
+  * before anything else: repetition signals (the Gopher-style filters
+  * that catch boilerplate and degenerate generations) and PII
+  * scrubbing (pattern redaction with audit counts).
+  */
+object TextQuality {
+
+  /** Per-document repetition signals:
+    *  - distinct_word_ratio: |distinct words| / |words| (low = loops);
+    *  - top_word_share: most frequent word's share of all words;
+    *  - dup_bigram_ratio: 1 - |distinct bigrams| / |bigrams| (near 1 =
+    *    repeated phrase stuffing).
+    *
+    * Both word and bigram passes are codegen explode pipelines (no
+    * array HOFs); the bigram stitch is the same posexplode + lead
+    * window as Dedup.docNgrams. Each pass is one map-side-combined
+    * aggregation; the final assembly joins three tiny per-doc frames.
+    */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), TextOps.TokenSplitRe))
+          .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), TextOps.normalize(col("tok")).as("w"))
+      .filter(length(col("w")) > 0)
+
+    val wordCounts = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val wordAgg = wordCounts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_freq"))
+
+    val bigrams = words
+      .withColumn("w2", lead(col("w"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w2")).as("g"))
+    val bigramAgg = bigrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), countDistinct(col("g")).as("n_bg_distinct"))
+
+    docs.select(col("doc_id"))
+      .join(wordAgg, Seq("doc_id"), "left")
+      .join(bigramAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        round(when(col("n_words").isNull || col("n_words") === 0, 0.0)
+          .otherwise(col("n_distinct").cast("double") /
+            col("n_words").cast("double")), 6).as("distinct_word_ratio"),
+        round(when(col("n_words").isNull || col("n_words") === 0, 0.0)
+          .otherwise(col("top_freq").cast("double") /
+            col("n_words").cast("double")), 6).as("top_word_share"),
+        round(when(col("n_bg").isNull || col("n_bg") === 0, 0.0)
+          .otherwise(lit(1.0) - col("n_bg_distinct").cast("double") /
+            col("n_bg").cast("double")), 6).as("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Patterns are valid in BOTH Java regex (Spark) and RE2 (DuckDB) —
+  // no lookarounds, no backreferences.
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val UrlRe = "https?://[^ \t\n]+"
+  private[operators] val LongNumRe = "[0-9]{6,}"
+
+  /** PII scrubbing with audit counts: redact emails, URLs, and long
+    * digit runs, and report per-doc match counts plus the hash of the
+    * scrubbed text (the pipeline's provenance record). Single
+    * projection, fully codegen (regexp_count / regexp_replace).
+    * Redaction order matters and is part of the contract: URLs first
+    * (an email-shaped substring inside a URL belongs to the URL),
+    * then emails, then standalone digit runs.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), UrlRe, "<URL>"),
+          EmailRe, "<EMAIL>"),
+        LongNumRe, "<NUM>")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr(s"regexp_count(text, '$UrlRe')").cast("long").as("n_urls"),
+        expr(s"regexp_count(text, '$EmailRe')").cast("long").as("n_emails"),
+        expr(s"regexp_count(text, '$LongNumRe')").cast("long").as("n_long_nums"),
+        md5(scrubbed).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** TPC-H-style composite queries adapted to the driver testdata's
+  * simplified star schema (no partsupp / commitdate / shipmode
+  * columns, so q2/q4/q12/q16 use equivalent predicates over the
+  * columns that exist — the OPERATOR shapes are the point: existence
+  * semi-joins, left-outer count distributions, disjunctive multi-table
+  * predicates, group-filter-semi-join composition).
+  *
+  * Scale notes, per query:
+  *  - Every aggregate follows the engine's exact-decimal policy
+  *    (sum via DECIMAL, single final division — order-independent, so
+  *    results are partitioning-invariant at any cluster size).
+  *  - Dimension tables (nation, part at sf, customer-side filters)
+  *    broadcast; the fact table (lineitem) is never shuffled except by
+  *    its aggregation key.
+  *  - Date/range filters sit directly on scan columns so they reach
+  *    the parquet reader as PushedFilters (verified in PlanShapeSpec).
+  */
+object TpcH {
+
+  private def revenue: Column =
+    sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,4)")).cast("double")
+
+  /** TPC-H q6: single-scan filtered aggregate — the pure
+    * pushdown/codegen benchmark (no join, no shuffle beyond one
+    * partial+final agg).
+    */
+  def q6RevenueDelta(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H q4 shape: priority rollup of orders having at least one
+    * matching lineitem (EXISTS -> left-semi join; the distinct is
+    * implicit in semi-join semantics — no pair fanout).
+    */
+  def q4PriorityExists(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o_orderkey"))
+    o.join(returned, Seq("o_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H q7 shape: shipping volume between a nation pair, both
+    * directions, by ship year. Two broadcast nation lookups (aliased
+    * dimensions), disjunctive pair predicate AFTER the equi-joins.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String,
+      nationA: String = "NATION_18", nationB: String = "NATION_19"): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), Seq("s_nationkey"))
+      .join(broadcast(n2), Seq("c_nationkey"))
+      .filter(
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(revenue.as("volume"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+  }
+
+  /** TPC-H q10: returned-item revenue per customer in a quarter,
+    * top 20 (explicit total tie-break so the limit is deterministic).
+    */
+  def q10ReturnedRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H q12 shape: line counts by high/low order priority per
+    * return flag for a ship-year — join + conditional aggregation.
+    */
+  def q12PriorityClass(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("high_line_count"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+
+  /** TPC-H q13: customer distribution by order count — LEFT OUTER join
+    * (customers with no orders must appear with count 0; the join-side
+    * predicate lives in the ON clause, not a WHERE, which would turn
+    * the outer join inner) + two-level aggregation.
+    */
+  def q13CustDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") =!= "3-MEDIUM"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H q14: promotion revenue share for a quarter — broadcast part
+    * join + CASE'd aggregate ratio, single final IEEE division.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).otherwise(lit(0).cast("decimal(18,4)")))
+          .cast("double").as("promo_revenue"),
+        revenue.as("total_revenue"))
+      .select(
+        round(col("promo_revenue"), 4).as("promo_revenue"),
+        round(col("total_revenue"), 4).as("total_revenue"),
+        round(col("promo_revenue") / col("total_revenue"), 6).as("promo_share"))
+
+  /** TPC-H q16 shape: distinct supplier variety per (brand, size) for
+    * mid-size parts, excluding blacklisted suppliers (NOT IN -> anti
+    * join on the supplier dimension before the distinct count).
+    */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("l_suppkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_size").between(1, 15))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), Seq("l_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** TPC-H q18: large-quantity orders — group-filter on the fact
+    * table, then join the keys back to orders+customer. The HAVING
+    * runs BEFORE the joins so only qualifying orderkeys (a tiny set)
+    * reach the join — at 100 TB the join probe side is the filter
+    * output, not the fact table.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String,
+      minQty: Double = 300.0): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    big
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** TPC-H q19: disjunctive multi-column predicate (OR of AND blocks
+    * spanning both join sides) — the planner must still use the
+    * equi-join on partkey and evaluate the residual disjunction after.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(11, 20) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(21, 30) &&
+          col("l_quantity").between(20, 40)))
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_lines"))
+}
