@@ -68,9 +68,9 @@ object TextQuality {
 
   // Patterns are valid in BOTH Java regex (Spark) and RE2 (DuckDB) —
   // no lookarounds, no backreferences.
-  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[operators] val UrlRe = "https?://[^ \t\n]+"
-  private[operators] val LongNumRe = "[0-9]{6,}"
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val UrlRe = "https?://[^ \t\n]+"
+  private[graft] val LongNumRe = "[0-9]{6,}"
 
   /** PII scrubbing with audit counts: redact emails, URLs, and long
     * digit runs, and report per-doc match counts plus the hash of the
@@ -87,12 +87,15 @@ object TextQuality {
           regexp_replace(col("text"), UrlRe, "<URL>"),
           EmailRe, "<EMAIL>"),
         LongNumRe, "<NUM>")
+    // regexp_count(Column, Column): the patterns go in as literals,
+    // never through the SQL string parser (which would eat the \. in
+    // EmailRe as an unrecognized escape)
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        expr(s"regexp_count(text, '$UrlRe')").cast("long").as("n_urls"),
-        expr(s"regexp_count(text, '$EmailRe')").cast("long").as("n_emails"),
-        expr(s"regexp_count(text, '$LongNumRe')").cast("long").as("n_long_nums"),
+        regexp_count(col("text"), lit(UrlRe)).cast("long").as("n_urls"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(LongNumRe)).cast("long").as("n_long_nums"),
         md5(scrubbed).as("scrubbed_md5"))
       .orderBy(col("doc_id"))
   }

@@ -73,6 +73,21 @@ object EventStreams {
           .as("gap_sec"))
   }
 
+  /** Streaming exact dedup with BOUNDED state:
+    * dropDuplicatesWithinWatermark keeps a key in state only until the
+    * watermark passes its event time, so state is O(keys per watermark
+    * horizon) — the only dedup shape that survives an unbounded
+    * stream. (Plain dropDuplicates on a stream accumulates every key
+    * forever.) Duplicates arriving within the horizon are suppressed;
+    * a reappearance after the horizon is treated as new, which is the
+    * documented contract, not a bug — exact global dedup of an
+    * unbounded stream requires unbounded state.
+    */
+  def dedupEvents(events: DataFrame, horizon: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- stateful sessionization ----
 
   case class Ev(user_id: Long, event_id: Long, sec: Long)

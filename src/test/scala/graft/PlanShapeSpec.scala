@@ -95,6 +95,55 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"blocked similarity join degenerated to a cross join:\n$plan")
   }
 
+  test("q6: all three predicates are pushed into the parquet scan") {
+    val scans = planOf("q6_revenue_delta").collectLeaves().map(_.toString)
+    assert(scans.exists(s => s.contains("PushedFilters") &&
+      s.contains("l_shipdate") && s.contains("l_discount") &&
+      s.contains("l_quantity")),
+      s"q6 predicates not pushed:\n${scans.mkString("\n")}")
+  }
+
+  test("q4: EXISTS plans as a left-semi join, never a pair fanout") {
+    val plan = planOf("q4_priority_exists").toString
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("q16: supplier blacklist is a broadcast anti-join; part dim broadcasts") {
+    val plan = planOf("q16_supplier_variety")
+    assert(plan.toString.contains("LeftAnti"), plan.toString)
+    val bcasts = collect(plan) { case b: BroadcastExchangeLike => b }
+    assert(bcasts.size >= 2,
+      s"part + blacklist should both broadcast:\n$plan")
+  }
+
+  test("q19: disjunctive predicate keeps the partkey equi-join (no cross join)") {
+    val plan = planOf("q19_disjunctive").toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q19 degenerated to a cross join:\n$plan")
+  }
+
+  test("q13: the priority filter stays in the outer join's ON clause") {
+    // a WHERE would make the join inner and lose zero-order customers;
+    // the physical plan must keep LeftOuter with the pushed condition
+    val plan = planOf("q13_cust_distribution").toString
+    assert(plan.contains("LeftOuter"), plan)
+  }
+
+  test("q18: the quantity HAVING runs before the joins (fact side filtered first)") {
+    // the join's probe side must be the filtered aggregate, so the
+    // aggregate appears below the first join in the plan tree
+    val plan = planOf("q18_large_orders")
+    val joins = plan.toString.linesIterator.zipWithIndex
+      .filter(_._1.contains("Join")).map(_._2).toSeq
+    val aggFilter = plan.toString.linesIterator.zipWithIndex
+      .filter { case (l, _) => l.contains("Filter") && l.contains("sum_qty") }
+      .map(_._2).toSeq
+    assert(joins.nonEmpty && aggFilter.nonEmpty &&
+      aggFilter.head > joins.last,
+      s"HAVING should sit below the joins:\n$plan")
+  }
+
   test("join strategy hints are honored (shuffle_hash / merge / broadcast)") {
     import org.apache.spark.sql.functions.col
     val o = graft.sources.Tables.orders(spark, sf("sf0.001"))

@@ -105,6 +105,30 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming dedup suppresses within-watermark duplicates, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = input.toDS().select(
+      col("user_id"), col("event_id"),
+      timestamp_seconds(col("sec")).as("ts"))
+    val q = EventStreams.dedupEvents(events).writeStream
+      .format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .start()
+    try {
+      // same event twice in one batch + once again in a later batch,
+      // all inside the watermark horizon
+      input.addData(Ev(1L, 100L, 1000L), Ev(1L, 100L, 1000L), Ev(2L, 101L, 1005L))
+      q.processAllAvailable()
+      input.addData(Ev(1L, 100L, 1010L), Ev(3L, 102L, 1020L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream")
+      .select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(100L, 101L, 102L),
+      s"each event_id must survive exactly once: ${ids.toSeq}")
+  }
+
   test("stream-stream interval join matches the equivalent batch join") {
     val joined = EventStreams.purchaseErrorJoin(
       EventStreams.readEvents(spark, sf("sf0.001")))
