@@ -110,8 +110,11 @@ object SparkEntry {
     "q13_cust_distribution" -> ((s, d) => TpcH.q13CustDistribution(s, d)),
     "q14_promo_share" -> ((s, d) => TpcH.q14PromoShare(s, d)),
     "q16_supplier_variety" -> ((s, d) => TpcH.q16SupplierVariety(s, d)),
+    "q15_top_supplier" -> ((s, d) => TpcH.q15TopSupplier(s, d)),
+    "q17_small_quantity" -> ((s, d) => TpcH.q17SmallQuantity(s, d)),
     "q18_large_orders" -> ((s, d) => TpcH.q18LargeOrders(s, d)),
     "q19_disjunctive" -> ((s, d) => TpcH.q19Disjunctive(s, d)),
+    "q22_dormant_rich" -> ((s, d) => TpcH.q22DormantRich(s, d)),
     // -- SQL-surface kit -------------------------------------------------
     "unpivot_orders" -> ((s, d) => SqlKit.unpivotOrders(s, d)),
     "listagg_nations" -> ((s, d) => SqlKit.listaggNations(s, d)),
@@ -122,6 +125,7 @@ object SparkEntry {
     "bitwise_kit" -> ((s, d) => SqlKit.bitwiseKit(s, d)),
     // -- corpus quality + vector analytics -------------------------------
     "doc_repetition" -> ((s, d) => TextQuality.docRepetition(s, d)),
+    "doc_entropy" -> ((s, d) => TextQuality.docEntropy(s, d)),
     "pii_scrub" -> ((s, d) => TextQuality.piiScrub(s, d)),
     "label_centroids" -> ((s, d) => Vectors.labelCentroids(s, d)),
   )
@@ -817,6 +821,51 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH pa AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 0.2 AS qty_limit
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN pa ON lineitem.l_partkey = pa.l_partkey
+        |WHERE p_brand = 'Brand#3' AND l_quantity < qty_limit""".stripMargin,
+    "q22_dormant_rich" ->
+      """WITH ab AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg_bal FROM ab)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "doc_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+        |  FROM documents),
+        |w AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+        |freq AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY word),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM freq)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |       round(CAST(sum(CAST(-ln(CAST(freq AS DOUBLE) / n_total) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS cross_entropy
+        |FROM w JOIN freq ON w.word = freq.word CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "unpivot_orders" ->
       """WITH wide AS (
         |  SELECT o_orderstatus,

@@ -66,6 +66,35 @@ object TextQuality {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram cross-entropy per document against the corpus word
+    * distribution — the cheapest useful "language-model" quality
+    * signal: H(doc) = -sum_w ln(p_corpus(w)) / n_words. Low = the doc
+    * is made of corpus-typical words; high = rare-word soup.
+    *
+    * The corpus distribution is a word-count aggregate (broadcast —
+    * Zipf makes the vocabulary tiny relative to the corpus); each
+    * per-occurrence -ln(p) term is cast to DECIMAL before the per-doc
+    * sum so the result is independent of row order, and p itself is a
+    * single exact-integer division per word.
+    */
+  def docEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val words = TextOps.explodedWords(
+      Tables.documents(spark, dir), col("doc_id"))
+    val freq = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum(col("freq")).as("n_total"))
+    words
+      .join(broadcast(freq), Seq("word"))
+      .join(broadcast(total))
+      .select(col("doc_id"),
+        (-log(col("freq").cast("double") / col("n_total")))
+          .cast("decimal(28,12)").as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(col("term")).cast("double") / count(lit(1)), 6)
+          .as("cross_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   // Patterns are valid in BOTH Java regex (Spark) and RE2 (DuckDB) —
   // no lookarounds, no backreferences.
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -191,6 +191,72 @@ object TpcH {
       .orderBy(col("o_orderkey"))
   }
 
+  /** TPC-H q15: top supplier(s) by quarterly revenue — aggregate once,
+    * then select the row(s) equal to the aggregate's own max (scalar
+    * subquery over the SAME aggregate; exact-decimal revenue makes the
+    * equality well-defined, which a double sum would not).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("total_rev"))
+    val top = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev
+      .join(broadcast(top), col("total_rev") === col("max_rev"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H q17: small-quantity-order revenue — each lineitem compared
+    * to 0.2x its PART's average quantity (correlated aggregate,
+    * decorrelated into a self-aggregation join on partkey).
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)) * 0.2).as("qty_limit"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_brand") === "Brand#3")),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("qty_limit"))
+      .agg(
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          / 7.0, 4).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H q22: dormant high-balance customers — balance above the
+    * positive-balance global average (scalar subquery) AND no RECENT
+    * orders (anti join on a filtered fact side; every customer in this
+    * data has SOME order, so "dormant" = nothing since 2000),
+    * counted per nation.
+    */
+  def q22DormantRich(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    cust
+      .join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** TPC-H q19: disjunctive multi-column predicate (OR of AND blocks
     * spanning both join sides) — the planner must still use the
     * equi-join on partkey and evaluate the residual disjunction after.
