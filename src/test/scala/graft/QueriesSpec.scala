@@ -32,7 +32,11 @@ class QueriesSpec extends SparkTestBase {
     */
   private val NljAllowed = Set(
     "cosine_near_dup", "cosine_topk", "ann_topk", "ivf_topk",
-    "tfidf_top_term")
+    "tfidf_top_term",
+    // 1-row broadcast scalar joins (corpus total / global average):
+    // the build side is a single row, so the "nested loop" is one
+    // comparison per streamed row — the intended plan
+    "doc_entropy", "q22_dormant_rich")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs and returns rows on sf0.001") {
