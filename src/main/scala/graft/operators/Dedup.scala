@@ -292,10 +292,12 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("label").as("dlabel")),
           "dst")
         .groupBy(col("src")).agg(min(col("dlabel")).as("nmin"))
+      // carry the previous label through so convergence is a filter on
+      // the checkpointed result — no extra join against the old table
       val propagated = labels
         .join(neighborMin.select(col("src").as("node"), col("nmin")),
           Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       // pointer jump: label(x) := label(label(x)). Every label IS a
       // node id (mins of node ids), so the inner self-join is total;
@@ -303,12 +305,11 @@ object Dedup {
       val next = propagated.as("l1")
         .join(propagated.select(col("node").as("label"),
           col("label").as("ll")).as("l2"), Seq("label"))
-        .select(col("node"), least(col("label"), col("ll")).as("label"))
+        .select(col("node"), col("old"),
+          least(col("label"), col("ll")).as("label"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0
       it += 1
     }
