@@ -67,6 +67,7 @@ object SparkEntry {
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
     "ivf_topk" -> ((s, d) => Ivf.ivfTopK(s, d)),
+    "pq_topk" -> ((s, d) => Pq.pqTopK(s, d)),
     "approx_stats" -> ((s, d) => Relational.approxStats(s, d)),
     "cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupExact(s, d)),
     "cosine_near_dup_lsh" -> ((s, d) => Similarity.cosineNearDupLsh(s, d)),

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.plans.VecDot
+
+/** Product quantization (PQ) ANN: split each vector into M contiguous
+  * subvectors, k-means each subspace into ks codewords, store each vector
+  * as M small codes (M bytes at ks<=256 — a 32x compression of the
+  * 64-float corpus). Queries score against the codebook with
+  * asymmetric distance computation (ADC): one (query, sub, code)
+  * lookup table of partial dot products, then a sum per candidate —
+  * the corpus vectors themselves are never touched until an exact
+  * re-rank of the small candidate pool.
+  *
+  * This is the storage shape that survives 100 TB: the scored
+  * relation is (vec_id, sub, code) — M small ints per vector — and
+  * the ADC join moves only code ids and 8-dim codewords, never the
+  * raw embeddings. The final re-rank reads full vectors for the top-R
+  * candidate ids only (a semi-join-sized scan at any corpus size).
+  *
+  * Determinism mirrors Ivf: codeword updates use DECIMAL per-dimension
+  * sums; every argmin/rank carries a total tie-break; ADC partial sums
+  * go through DECIMAL. The build is bit-identical at any parallelism.
+  */
+object Pq {
+
+  /** (vec_id, sub, svec array<double>) — the M-way split corpus. */
+  private def subvectors(emb: DataFrame, m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), (col("pos") / subDim).cast("int").as("sub"),
+        struct((col("pos") % subDim).as("spos"),
+          col("v").cast("double").as("v")).as("pv"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(array_sort(collect_list(col("pv"))).as("pvs"))
+      .select(col("vec_id"), col("sub"),
+        transform(col("pvs"), x => x.getField("v")).as("svec"))
+  }
+
+  /** Squared L2 via dot products (all three terms codegen VecDot). */
+  private def sqDist(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    VecDot(a, a) - lit(2.0) * VecDot(a, b) + VecDot(b, b)
+
+  /** Nearest-codeword assignment within each subspace.
+    * Returns (vec_id, sub, code). The argmin is a min_by hash
+    * aggregate keyed on (dist, code) — same deterministic tie-break as
+    * a window row_number, without sorting the ks-times-fanned-out
+    * relation (the build's hot path: this runs once per Lloyd
+    * iteration plus once to encode).
+    */
+  private def assign(subs: DataFrame, codebook: DataFrame): DataFrame =
+    subs
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        sqDist(col("svec"), col("cword")).as("d"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+
+  /** Deterministic per-subspace Lloyd build: all M codebooks train in
+    * one DataFrame pipeline (rows keyed by sub). Init = subvectors of
+    * the first ks vectors.
+    */
+  def buildCodebook(subs: DataFrame, ks: Int, iters: Int,
+      subDim: Int): DataFrame = {
+    var codebook = subs.filter(col("vec_id") < ks)
+      .select(col("sub"), col("vec_id").cast("int").as("code"),
+        col("svec").as("cword"))
+    (1 to iters).foreach { _ =>
+      val assigned = assign(subs, codebook)
+      codebook = subs
+        .join(assigned, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"),
+          posexplode(col("svec")).as(Seq("spos", "v")))
+        .groupBy(col("sub"), col("code"), col("spos"))
+        .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("spos"), col("m"))))
+          .as("pm"))
+        .select(col("sub"), col("code"),
+          transform(col("pm"), x => x.getField("m")).as("cword"))
+    }
+    codebook
+  }
+
+  /** PQ top-k with ADC + exact re-rank: encode the corpus (M codes per
+    * vector), score candidates entirely from the codebook, keep the
+    * top `rerank` per query by approximate cosine, then exact-score
+    * just those and emit the top k. Output contract matches the other
+    * search variants (exact cos_sim values on the emitted rows).
+    */
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, m: Int = 8, ks: Int = 16, iters: Int = 1,
+      rerank: Int = 50, dim: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // the subvector split feeds every Lloyd iteration AND the final
+    // encode — without a cut, the posexplode+collect pipeline reruns
+    // once per consumer (the write-the-split-table-once shape at scale)
+    val subs = subvectors(emb, m, dim)
+    // the codebook is the index artifact (M*ks rows); it feeds the
+    // corpus encoding AND every query LUT — materialize once
+    val codebook = buildCodebook(subs, ks, iters, dim / m).localCheckpoint()
+    val codes = assign(subs, codebook)
+
+    // ADC lookup table: partial dot of each query subvector with each
+    // codeword — nQueries * M * ks rows, broadcastable by construction.
+    // The codeword's self-dot rides along so the candidate aggregation
+    // below reconstructs the approximate vector norm in the SAME pass
+    // (sum c2 over a vector's M codes = ||reconstruction||^2) — no
+    // separate norm aggregation or extra join branch.
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val qsubs = subvectors(
+      queries.select(col("query_id").as("vec_id"), col("qv").as("embedding")),
+      m, dim)
+      .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
+    val lut = qsubs
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        VecDot(col("svec"), col("cword")).cast("decimal(28,12)").as("pdot"),
+        VecDot(col("cword"), col("cword")).cast("decimal(28,12)").as("c2"))
+    val qnorms = queries.select(col("query_id"),
+      sqrt(VecDot(col("qv"), col("qv"))).as("qnorm"))
+
+    // candidate scoring: codes x LUT equi-join, decimal partial sums
+    val approx = codes
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).cast("double").as("adot"),
+        sqrt(sum(col("c2")).cast("double")).as("rnorm"))
+      .join(broadcast(qnorms), Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("acos", col("adot") / (col("qnorm") * col("rnorm")))
+    val candW = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("vec_id"))
+    val candidates = approx
+      .withColumn("crn", row_number().over(candW))
+      .filter(col("crn") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+
+    // exact re-rank of the candidate pool only
+    Similarity.topKPerQuery(
+      candidates
+        .join(emb, "vec_id")
+        .join(broadcast(queries), Seq("query_id"))
+        .withColumn("cos", Similarity.cosine(col("qv"), col("embedding"))),
+      k)
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Pq, Similarity}
+
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("PQ+ADC+rerank recall vs brute force, and emitted scores are exact") {
+    val exact = Similarity.cosineTopK(spark, sf("sf0.001"))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Pq.pqTopK(spark, sf("sf0.001")).collect()
+    val pqPairs = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect pqPairs).size.toDouble / exact.size
+    info(f"PQ recall@5 = $recall%.2f (M=8, ks=16, rerank=50)")
+    assert(recall > 0.5, s"PQ recall too low: $recall")
+    // re-rank contract: every emitted cos_sim is the EXACT cosine
+    val exactScores = Similarity.cosineTopK(spark, sf("sf0.001"), k = 50)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactScores.get(key).foreach { c =>
+        assert(math.abs(r.getDouble(3) - c) < 1e-12,
+          s"$key score ${r.getDouble(3)} != exact $c")
+      }
+    }
+  }
+
+  test("PQ build is deterministic and codes are M small ints per vector") {
+    val a = Pq.pqTopK(spark, sf("sf0.001")).collect()
+    val b = Pq.pqTopK(spark, sf("sf0.001")).collect()
+    assert(a.sameElements(b), "PQ search is not reproducible")
+  }
+}
