@@ -33,4 +33,17 @@ class PqSpec extends SparkTestBase {
     val b = Pq.pqTopK(spark, sf("sf0.001")).collect()
     assert(a.sameElements(b), "PQ search is not reproducible")
   }
+
+  test("persisted codebook: write to parquet, reload, search is identical") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("pq_index").toString
+    Pq.buildCodebook(Pq.subvectors(emb, 8, 64), ks = 16, iters = 1, subDim = 8)
+      .write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+    val reloaded = spark.read.parquet(s"$dir/codebook.parquet")
+    val fresh = Pq.pqTopK(spark, sf("sf0.001")).collect()
+    val fromDisk = Pq.pqTopK(spark, sf("sf0.001"), prebuilt = Some(reloaded))
+      .collect()
+    assert(fresh.sameElements(fromDisk),
+      "search from the persisted index diverged from the fresh build")
+  }
 }

@@ -57,6 +57,33 @@ class SourcesRoundTripSpec extends SparkTestBase {
     assert(!scanned.contains("status=O"), "read did not prune partitions")
   }
 
+  test("binaryFile source ingests raw media files with metadata columns") {
+    // the ingestion path for real multimodal payloads: files on
+    // storage -> (path, modificationTime, length, content) rows, with
+    // a pathGlobFilter predicate so only the wanted kind is read
+    val dir = Files.createTempDirectory("rt-bin")
+    val payloads = Seq("a" -> Array[Byte](1, 2, 3, 4),
+      "b" -> Array[Byte](5, 6), "c" -> Array[Byte](7))
+    payloads.foreach { case (name, bytes) =>
+      Files.write(dir.resolve(s"$name.img"), bytes)
+    }
+    Files.write(dir.resolve("skip.txt"), Array[Byte](9))
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img")
+      .load(dir.toString)
+    assert(df.columns.toSet ===
+      Set("path", "modificationTime", "length", "content"))
+    val got = df.select(
+      element_at(split(col("path"), "/"), -1).as("f"),
+      col("length"), col("content"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+      .toMap
+    assert(got === payloads.map { case (n, b) =>
+      s"$n.img" -> ((b.length.toLong, b.toSeq)) }.toMap,
+      "binary content or glob filtering diverged")
+  }
+
   test("letter-partitioned text sink (scalable layout)") {
     val dir = Files.createTempDirectory("rt-letter").toString
     graft.sources.LetterSink.writePartitioned(
