@@ -69,6 +69,7 @@ object SparkEntry {
     "ivf_topk" -> ((s, d) => Ivf.ivfTopK(s, d)),
     "pq_topk" -> ((s, d) => Pq.pqTopK(s, d)),
     "approx_stats" -> ((s, d) => Relational.approxStats(s, d)),
+    "hll_rollup" -> ((s, d) => Relational.hllRollup(s, d)),
     "cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupExact(s, d)),
     "cosine_near_dup_lsh" -> ((s, d) => Similarity.cosineNearDupLsh(s, d)),
     "curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(s, d)),

@@ -253,6 +253,24 @@ object Relational {
           .as("approx_median_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Rollup-by-merge over serialized HLL sketches: distinct parts are
+    * sketched per (returnflag, linestatus), then the SKETCHES (not the
+    * rows) are unioned up to per-returnflag estimates. This is the
+    * 100 TB pre-aggregation contract — partial sketches computed where
+    * the data lives, merged upward without re-reading anything; the
+    * spec asserts the merged estimate is IDENTICAL to sketching the
+    * raw rows directly at the coarse level (union is lossless for
+    * same-lgK HLL).
+    */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("approx_parts_merged"))
+      .orderBy(col("l_returnflag"))
+
   /** Window ranking: top-3 orders per customer by price. The window
     * orderBy carries a unique tiebreaker (o_orderkey) — row_number over
     * a non-total order is nondeterministic under repartitioning.

@@ -26,6 +26,28 @@ class IvfSpec extends SparkTestBase {
     assert(recall > 0.3, s"IVF recall too low: $recall")
   }
 
+  test("HLL sketch rollup: merging partial sketches == sketching raw rows") {
+    // the mergeability contract pre-aggregation relies on: union of
+    // fine-grained sketches must equal a direct coarse sketch
+    val merged = graft.operators.Relational.hllRollup(spark, sf("sf0.001"))
+      .as[(String, Long)].collect().toMap
+    val direct = graft.sources.Tables.lineitem(spark, sf("sf0.001"))
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(merged === direct,
+      "sketch union is not lossless vs direct sketching")
+    // and the estimate itself is close to exact
+    val exact = graft.sources.Tables.lineitem(spark, sf("sf0.001"))
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .as[(String, Long)].collect().toMap
+    merged.foreach { case (flag, est) =>
+      assert(math.abs(est - exact(flag)).toDouble / exact(flag) < 0.05,
+        s"$flag: $est vs exact ${exact(flag)}")
+    }
+  }
+
   test("approximate aggregates land within 5% of exact") {
     val approx = graft.operators.Relational.approxStats(spark, sf("sf0.001"))
       .collect().map(r => r.getString(0) -> r).toMap
