@@ -107,6 +107,7 @@ object SparkEntry {
     "q4_priority_exists" -> ((s, d) => TpcH.q4PriorityExists(s, d)),
     "q6_revenue_delta" -> ((s, d) => TpcH.q6RevenueDelta(s, d)),
     "q7_nation_volume" -> ((s, d) => TpcH.q7NationVolume(s, d)),
+    "q8_market_share" -> ((s, d) => TpcH.q8MarketShare(s, d)),
     "q10_returned_revenue" -> ((s, d) => TpcH.q10ReturnedRevenue(s, d)),
     "q12_priority_class" -> ((s, d) => TpcH.q12PriorityClass(s, d)),
     "q13_cust_distribution" -> ((s, d) => TpcH.q13CustDistribution(s, d)),
@@ -755,6 +756,29 @@ object SparkEntry {
         |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
         |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+    "q8_market_share" ->
+      """WITH flat AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4)) AS vol,
+        |         n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey),
+        |agg AS (
+        |  SELECT o_year,
+        |    CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol
+        |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_volume,
+        |    CAST(sum(vol) AS DOUBLE) AS total_volume
+        |  FROM flat GROUP BY o_year)
+        |SELECT o_year, round(nation_volume, 4) AS nation_volume,
+        |       round(total_volume, 4) AS total_volume,
+        |       round(nation_volume / total_volume, 6) AS mkt_share
+        |FROM agg ORDER BY o_year""".stripMargin,
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name,
         |       CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -22,8 +22,16 @@ import graft.sources.Tables
   */
 object Pipeline {
 
+  /** Optional `audit`: an `Observation` that receives output-side
+    * metrics (rows kept, total tokens kept) computed DURING the run —
+    * `Dataset.observe` evaluates the aggregates inline on the rows
+    * flowing past, so the audit costs no extra pass. This is how a
+    * production curation job reports its keep-rate without a second
+    * count() over the result.
+    */
   def curatedCorpus(spark: SparkSession, dir: String,
-      minTokens: Int = 10): DataFrame = {
+      minTokens: Int = 10,
+      audit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val docs = Tables.documents(spark, dir)
 
     // Materialized once: the near-dup join (which itself reads keepers
@@ -46,12 +54,18 @@ object Pipeline {
     val nearDupLosers = Dedup.ngramJaccardPairs(keepers)
       .select(col("doc_id_2").as("doc_id")).distinct()
 
-    keepers
+    val curated = keepers
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
       .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
       .filter(col("n_tokens") >= minTokens)
       .filter(col("lang").isin("en", "de", "fr", "es"))
       .select(col("doc_id"), col("lang"), col("n_tokens"))
-      .orderBy(col("doc_id"))
+    // observe AFTER the sort: range partitioning runs a sampling pass
+    // over its child, so a below-the-sort observation double-counts
+    val ordered = curated.orderBy(col("doc_id"))
+    audit.fold(ordered)(obs =>
+      ordered.observe(obs,
+        count(lit(1)).as("rows_out"),
+        sum(col("n_tokens")).as("tokens_out")))
   }
 }

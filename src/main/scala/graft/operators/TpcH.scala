@@ -85,6 +85,47 @@ object TpcH {
       .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
   }
 
+  /** TPC-H q8: national market share — the share of one supplier
+    * nation in a region's PROMO-part import volume, per order year.
+    * The widest join in the registry (lineitem + orders + customer +
+    * supplier + part + nation x2 + region); every dimension broadcasts,
+    * the two aggregates are a CASE'd sum and a total sum with ONE final
+    * division.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String,
+      nation: String = "NATION_1", region: String = "ASIA"): DataFrame = {
+    val custNation = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nationkey"))
+    val suppNation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation"))
+    val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,4)")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), Seq("c_nationkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), Seq("s_nationkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === nation, vol)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double")
+          .as("nation_volume"),
+        sum(vol).cast("double").as("total_volume"))
+      .select(col("o_year"),
+        round(col("nation_volume"), 4).as("nation_volume"),
+        round(col("total_volume"), 4).as("total_volume"),
+        round(col("nation_volume") / col("total_volume"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
   /** TPC-H q10: returned-item revenue per customer in a quarter,
     * top 20 (explicit total tie-break so the limit is deterministic).
     */

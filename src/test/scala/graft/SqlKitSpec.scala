@@ -75,4 +75,16 @@ class SqlKitSpec extends SparkTestBase {
     assert(got(1) === ((2L, 0, 0, 1))) // 12345 is below the 6-digit floor
     assert(got(2) === ((3L, 0, 0, 0)))
   }
+
+  test("observe() audit metrics match the pipeline's actual output") {
+    val obs = org.apache.spark.sql.Observation("curated_audit")
+    val df = graft.operators.Pipeline.curatedCorpus(
+      spark, sf("sf0.001"), audit = Some(obs))
+    df.write.format("noop").mode("overwrite").save()
+    val metrics = obs.get
+    val rows = df.count()
+    val tokens = df.agg(sum(col("n_tokens"))).as[Long].head()
+    assert(metrics("rows_out") === rows)
+    assert(metrics("tokens_out") === tokens)
+  }
 }
