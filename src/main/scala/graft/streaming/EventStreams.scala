@@ -88,6 +88,35 @@ object EventStreams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Micro-batch upsert sink via foreachBatch: each batch merges into
+    * a parquet snapshot keyed by event_id (anti-join the current
+    * snapshot against the batch's keys, union the batch, rewrite).
+    * foreachBatch is the engine's escape hatch to ANY batch sink with
+    * exactly-once-per-batch semantics (batchId is provided for
+    * idempotence bookkeeping); against a transactional table format
+    * the same callback issues a real MERGE instead of the rewrite.
+    * The localCheckpoint materializes the merge BEFORE the overwrite —
+    * Spark reads lazily, so overwriting the directory the plan still
+    * needs to read would otherwise lose the old rows.
+    */
+  def upsertSink(events: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val merged =
+          (if (new java.io.File(path).exists())
+            spark.read.parquet(path)
+              .join(batch.select("event_id"), Seq("event_id"), "left_anti")
+              .unionByName(batch)
+          else batch)
+            .localCheckpoint()
+        merged.write.mode("overwrite").parquet(path)
+        ()
+      }
+      .outputMode("update")
+      .start()
+
   // ---- stateful sessionization ----
 
   case class Ev(user_id: Long, event_id: Long, sec: Long)

@@ -129,6 +129,26 @@ class StreamingSpec extends SparkTestBase {
       s"each event_id must survive exactly once: ${ids.toSeq}")
   }
 
+  test("foreachBatch upsert sink: later batches overwrite by key") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert_sink")
+      .resolve("snapshot").toString
+    val input = MemoryStream[Ev]
+    val events = input.toDS()
+      .select(col("event_id"), col("user_id"), col("sec"))
+    val q = EventStreams.upsertSink(events, dir)
+    try {
+      input.addData(Ev(1L, 10L, 100L), Ev(2L, 20L, 200L))
+      q.processAllAvailable()
+      input.addData(Ev(1L, 10L, 150L), Ev(3L, 30L, 300L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val snap = spark.read.parquet(dir)
+      .select("event_id", "sec").as[(Long, Long)].collect().toMap
+    assert(snap === Map(10L -> 150L, 20L -> 200L, 30L -> 300L),
+      s"snapshot after two merges: $snap")
+  }
+
   test("stream-stream interval join matches the equivalent batch join") {
     val joined = EventStreams.purchaseErrorJoin(
       EventStreams.readEvents(spark, sf("sf0.001")))
