@@ -21,20 +21,32 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val sfDir = s"/tmp/graft_scale_x$mult"
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val n = base.count()
     val big = (0 until mult).map { i =>
       base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
     }.reduce(_ unionByName _)
-    val dir = s"/tmp/graft_scale_docs_x$mult"
+    val dir = s"$sfDir/documents.parquet"
     big.write.mode("overwrite").parquet(dir)
     println(s"corpus: ${n * mult} docs (${mult}x sf0.1)")
 
-    def time(label: String)(f: => Unit): Unit = {
+    val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val nEmb = embBase.count()
+    (0 until mult).map { i =>
+      embBase.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$sfDir/embeddings.parquet")
+    println(s"vectors: ${nEmb * mult} (${mult}x sf0.1)")
+
+    def time(label: String, cleanup: Boolean = true)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
       f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      Cleanup.dropPersisted(spark)
+      // cleanup=false keeps live index artifacts (checkpoint blocks)
+      // for the next timed step — dropping them between a build and
+      // its search would destroy the index being measured
+      if (cleanup) Cleanup.dropPersisted(spark)
     }
     val docs = spark.read.parquet(dir)
     time("inverted_index")(
@@ -54,6 +66,25 @@ object ScaleSmoke {
         .write.format("noop").mode("overwrite").save())
     time("exact_dedup")(
       graft.operators.Dedup.exactClusters(docs, md5(col("text")))
+        .write.format("noop").mode("overwrite").save())
+    // vector side: brute force pays O(|Q| x N) full dot products EVERY
+    // query batch; PQ pays a one-time build, then each batch touches
+    // N 8-byte codes + a constant-size exact rerank. Timed separately
+    // because that is how they are paid (build once, search many — at
+    // scale the codes are persisted next to the corpus too).
+    time("cosine_topk_brute")(
+      graft.operators.Similarity.cosineTopK(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    var codebook: org.apache.spark.sql.DataFrame = null
+    time("pq_build_once", cleanup = false) {
+      codebook = graft.operators.Pq.buildCodebook(
+        graft.operators.Pq.subvectors(emb, 8, 64), ks = 16, iters = 1,
+        subDim = 8).localCheckpoint()
+      codebook.count()
+    }
+    time("pq_encode_and_search")(
+      graft.operators.Pq.pqTopK(spark, sfDir, prebuilt = Some(codebook))
         .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
