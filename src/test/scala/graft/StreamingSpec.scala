@@ -129,6 +129,36 @@ class StreamingSpec extends SparkTestBase {
       s"each event_id must survive exactly once: ${ids.toSeq}")
   }
 
+  test("late data beyond the watermark is dropped from the windowed aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = input.toDS().select(
+      timestamp_seconds(col("sec")).as("ts"),
+      lit("click").as("event_type"),
+      col("event_id").cast("double").as("value"))
+    val q = EventStreams.hourlyRollup(events).writeStream
+      .format("memory").queryName("late_data")
+      .outputMode("append") // append emits a window only once it is final
+      .start()
+    try {
+      // hour-0 events, then an hour-4 event that advances the
+      // watermark (2h delay) past hour 0's close -> hour 0 emits
+      input.addData(Ev(1L, 1L, 600L), Ev(1L, 2L, 700L))
+      q.processAllAvailable()
+      input.addData(Ev(1L, 3L, 4L * 3600L))
+      q.processAllAvailable()
+      // a straggler back in hour 0: older than the watermark, must be
+      // DROPPED, not re-open the emitted window
+      input.addData(Ev(1L, 4L, 650L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hour0 = spark.table("late_data")
+      .filter(col("hour_start") === 0L)
+      .select("n_events").as[Long].collect()
+    assert(hour0.toSeq === Seq(2L),
+      s"hour-0 window must emit once with the 2 on-time events: ${hour0.toSeq}")
+  }
+
   test("foreachBatch upsert sink: later batches overwrite by key") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("upsert_sink")
