@@ -62,6 +62,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshDedup(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashDedup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     // -- similarity search -----------------------------------------------
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
@@ -452,6 +453,23 @@ object SparkEntry {
         |  doc_id = min(doc_id) OVER (PARTITION BY md5(array_to_string(list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0), ' '))) AS is_keeper
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> NgramJaccardOracle,
+    "decontaminate" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |ng AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
+        |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 3),
+        |shared AS (
+        |  SELECT t.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+        |  FROM ng t JOIN ng b ON t.ngram = b.ngram
+        |  WHERE t.doc_id >= 50 AND b.doc_id < 50
+        |  GROUP BY t.doc_id, b.doc_id
+        |  HAVING count(*) >= 5)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_refs,
+        |       CAST(max(n_shared) AS BIGINT) AS max_shared
+        |FROM shared GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" -> NgramJaccardOracle,
     "dedup_clusters" ->
       """WITH RECURSIVE words AS (

@@ -151,6 +151,35 @@ object Dedup {
     ngramJaccardPairs(Tables.documents(spark, dir))
       .orderBy(col("doc_id_1"), col("doc_id_2"))
 
+  /** Benchmark decontamination: for every training document, count the
+    * evaluation-set documents it shares at least `minShared` word
+    * n-grams with — the pre-training hygiene pass that keeps eval data
+    * out of the training corpus. Unlike the dedup SELF-join, this is
+    * an asymmetric cross-corpus join: the benchmark side is small by
+    * construction and BROADCASTS, so the training corpus is one linear
+    * scan with no shuffle of the big side at any corpus size.
+    *
+    * Here the "benchmark set" is docs with doc_id below `benchBelow`
+    * (a stand-in for a real eval-set table; swap the filter for a
+    * second source and nothing else changes).
+    */
+  def decontaminate(spark: SparkSession, dir: String,
+      benchBelow: Long = 50, n: Int = 3, minShared: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docNgrams(docs.filter(col("doc_id") < benchBelow), n)
+      .select(col("doc_id").as("bench_id"), col("ngram"))
+    val train = docNgrams(docs.filter(col("doc_id") >= benchBelow), n)
+    train
+      .join(broadcast(bench), Seq("ngram"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_refs"),
+        max(col("n_shared")).as("max_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------- MinHash + LSH ----------
 
   val NumHashes = 64
