@@ -247,8 +247,10 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        // rsd 0.02 (2^12 registers) — half the sketch bytes of 0.01
+        // per partial, same merge shape; the spec's 5% bound holds
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
           .as("approx_median_qty"))
       .orderBy(col("l_returnflag"))
