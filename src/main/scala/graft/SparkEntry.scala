@@ -127,6 +127,7 @@ object SparkEntry {
     "date_kit" -> ((s, d) => SqlKit.dateKit(s, d)),
     "window_lag_lead" -> ((s, d) => SqlKit.windowLagLead(s, d)),
     "bitwise_kit" -> ((s, d) => SqlKit.bitwiseKit(s, d)),
+    "month_spine" -> ((s, d) => SqlKit.monthSpine(s, d)),
     // -- corpus quality + vector analytics -------------------------------
     "doc_repetition" -> ((s, d) => TextQuality.docRepetition(s, d)),
     "doc_entropy" -> ((s, d) => TextQuality.docEntropy(s, d)),
@@ -991,6 +992,23 @@ object SparkEntry {
         |       CAST(bit_xor(user_id) AS BIGINT) AS xor_uid,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "month_spine" ->
+      """WITH b AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |         date_trunc('month', max(o_orderdate)) AS hi
+        |  FROM orders),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m FROM b),
+        |rev AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+        |  FROM orders GROUP BY 1)
+        |SELECT strftime(spine.m, '%Y-%m') AS month,
+        |       coalesce(n, 0) AS n_orders,
+        |       coalesce(r, 0.0) AS revenue
+        |FROM spine LEFT JOIN rev ON spine.m = rev.m
+        |ORDER BY month""".stripMargin,
     "doc_repetition" ->
       """WITH base AS (
         |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws

@@ -153,6 +153,33 @@ object SqlKit {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Calendar-spine densification: generate the complete month series
+    * between the data's bounds (sequence + explode — a generator, not
+    * a table), left-join the monthly aggregate onto it, and zero-fill
+    * the gaps. Months with no orders MUST appear with n_orders = 0 —
+    * the property a bare GROUP BY cannot provide. The spine is
+    * generated from a 1-row aggregate, so this adds no scan of the
+    * fact table.
+    */
+  def monthSpine(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val spine = orders
+      .agg(date_trunc("month", min(col("o_orderdate"))).as("lo"),
+        date_trunc("month", max(col("o_orderdate"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 MONTH"))).as("m"))
+    val rev = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("r"))
+    spine.join(rev, Seq("m"), "left")
+      .select(date_format(col("m"), "yyyy-MM").as("month"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("r"), lit(0.0)).as("revenue"))
+      .orderBy(col("month"))
+  }
+
   /** Bitwise aggregates (bit_and / bit_or / bit_xor) over event user
     * ids per type — commutative/associative, so partial aggregation
     * applies like any sum.

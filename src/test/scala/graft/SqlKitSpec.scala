@@ -87,4 +87,20 @@ class SqlKitSpec extends SparkTestBase {
     assert(metrics("rows_out") === rows)
     assert(metrics("tokens_out") === tokens)
   }
+
+  test("month spine zero-fills months with no orders") {
+    val dir = java.nio.file.Files.createTempDirectory("spine").toString
+    Seq(
+      (1L, 10L, "O", 100.0, java.sql.Timestamp.valueOf("1996-01-15 00:00:00"), "1-URGENT"),
+      (2L, 11L, "O", 200.0, java.sql.Timestamp.valueOf("1996-04-02 00:00:00"), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SqlKit.monthSpine(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("1996-01", 1L, 100.0), ("1996-02", 0L, 0.0),
+      ("1996-03", 0L, 0.0), ("1996-04", 1L, 200.0)),
+      s"spine must cover the gap months: $got")
+  }
 }
