@@ -101,6 +101,7 @@ object SparkEntry {
     "source_ids" -> ((s, d) => Analytics.sourceIds(s, d)),
     "upsert_snapshot" -> ((s, d) => Analytics.upsertSnapshot(s, d)),
     "hash_sample" -> ((s, d) => Analytics.hashSample(s, d)),
+    "stratified_sample" -> ((s, d) => Analytics.stratifiedSample(s, d)),
     "corr_subquery" -> ((s, d) => Analytics.corrSubquery(s, d)),
     "null_semantics" -> ((s, d) => Analytics.nullSemantics(s, d)),
     "sql_cte_having" -> ((s, d) => Analytics.sqlCteHaving(s, d)),
@@ -692,6 +693,12 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM documents
+        |WHERE CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 <
+        |      CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 ELSE 100 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "corr_subquery" ->
       """SELECT c_custkey,
         |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price

@@ -266,6 +266,29 @@ object Analytics {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Stratified deterministic sampling — the data-MIXING operator: each
+    * language keeps a different content-hash fraction (downsample the
+    * over-represented stratum, keep the rare ones whole). Same
+    * md5-derived coin as hashSample, so membership is a pure function
+    * of content: reproducible across runs, partitionings, and engines,
+    * and stable under corpus growth (a doc's fate never changes when
+    * neighbors arrive — a property random sampling lacks).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      rates: Map[String, Int] = Map("en" -> 10, "de" -> 50),
+      defaultRate: Int = 100): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, r).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .filter(
+        conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+          % 100 < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** Correlated scalar subquery through the SQL front-end: Catalyst
     * decorrelates it into an outer-joined aggregate — proof the engine
     * runs subquery SQL as set-oriented plans, never a per-row loop.
