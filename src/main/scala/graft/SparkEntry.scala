@@ -129,6 +129,7 @@ object SparkEntry {
     "window_lag_lead" -> ((s, d) => SqlKit.windowLagLead(s, d)),
     "bitwise_kit" -> ((s, d) => SqlKit.bitwiseKit(s, d)),
     "month_spine" -> ((s, d) => SqlKit.monthSpine(s, d)),
+    "safe_casts" -> ((s, d) => SqlKit.safeCasts(s, d)),
     // -- corpus quality + vector analytics -------------------------------
     "doc_repetition" -> ((s, d) => TextQuality.docRepetition(s, d)),
     "doc_entropy" -> ((s, d) => TextQuality.docEntropy(s, d)),
@@ -999,6 +1000,12 @@ object SparkEntry {
         |       CAST(bit_xor(user_id) AS BIGINT) AS xor_uid,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "safe_casts" ->
+      """SELECT o_orderkey,
+        |       TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+        |       TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+        |       round(o_totalprice / nullif(CAST(o_orderkey % 3 AS DOUBLE), 0.0), 4) AS per_bucket
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
     "month_spine" ->
       """WITH b AS (
         |  SELECT date_trunc('month', min(o_orderdate)) AS lo,

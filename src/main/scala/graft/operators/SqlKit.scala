@@ -153,6 +153,23 @@ object SqlKit {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** ANSI-safe casts and division: try_cast yields NULL instead of a
+    * runtime error on malformed input, try_divide on a zero divisor —
+    * the difference between a 100 TB job dying at hour 9 on one dirty
+    * row and a null that downstream aggregation can count.
+    */
+  def safeCasts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 200)
+      .select(
+        col("o_orderkey"),
+        expr("try_cast(o_orderstatus AS INT)").as("status_as_int"), // NULL
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
+          .as("prio_digit"),
+        round(try_divide(col("o_totalprice"), (col("o_orderkey") % 3)
+          .cast("double")), 4).as("per_bucket"))
+      .orderBy(col("o_orderkey"))
+
   /** Calendar-spine densification: generate the complete month series
     * between the data's bounds (sequence + explode — a generator, not
     * a table), left-join the monthly aggregate onto it, and zero-fill
