@@ -103,4 +103,15 @@ class SqlKitSpec extends SparkTestBase {
       ("1996-03", 0L, 0.0), ("1996-04", 1L, 200.0)),
       s"spine must cover the gap months: $got")
   }
+
+  test("from_json with explicit schema agrees with the regexp extraction") {
+    val ev = graft.sources.Tables.events(spark, sf("sf0.001"))
+    val mismatches = ev.select(
+      from_json(col("props"), "k INT").getField("k").as("typed"),
+      regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int")
+        .as("rx"))
+      .filter(!(col("typed") <=> col("rx")))
+      .count()
+    assert(mismatches === 0)
+  }
 }
