@@ -107,7 +107,7 @@ class SqlKitSpec extends SparkTestBase {
   test("from_json with explicit schema agrees with the regexp extraction") {
     val ev = graft.sources.Tables.events(spark, sf("sf0.001"))
     val mismatches = ev.select(
-      from_json(col("props"), "k INT").getField("k").as("typed"),
+      expr("from_json(props, 'k INT').k").as("typed"),
       regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int")
         .as("rx"))
       .filter(!(col("typed") <=> col("rx")))
