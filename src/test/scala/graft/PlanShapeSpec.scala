@@ -144,6 +144,25 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"HAVING should sit below the joins:\n$plan")
   }
 
+  test("q8: all five dimension joins broadcast (no fact-side shuffle joins)") {
+    val plan = planOf("q8_market_share")
+    val bcasts = collect(plan) { case b: BroadcastExchangeLike => b }
+    assert(bcasts.size >= 4,
+      s"part/customer-nation/supplier-nation (+supplier) should broadcast:\n$plan")
+    assert(!plan.toString.contains("SortMergeJoin"),
+      s"q8 fell back to a sort-merge join:\n$plan")
+  }
+
+  test("month_spine: the spine comes from a 1-row aggregate, not a fact re-scan") {
+    // at most two scans of orders: the bounds aggregate and the
+    // monthly rollup (exchange reuse may collapse them to one) — the
+    // generated series itself reads nothing
+    val scans = planOf("month_spine").collectLeaves()
+      .map(_.toString).count(_.contains("orders"))
+    assert(scans >= 1 && scans <= 2,
+      s"spine must not re-scan the fact table, got $scans orders scans")
+  }
+
   test("join strategy hints are honored (shuffle_hash / merge / broadcast)") {
     import org.apache.spark.sql.functions.col
     val o = graft.sources.Tables.orders(spark, sf("sf0.001"))
