@@ -8,7 +8,7 @@ import graft.plans.VecDot
   * API. Idempotent per session.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot",
       exprs => {
@@ -17,4 +17,18 @@ object GraftFunctions {
         VecDot(exprs(0), exprs(1))
       },
       "built-in")
+    // cosine composed from the same codegen primitive — expanded at
+    // parse time, so the optimizer sees three VecDots it can CSE
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_cosine",
+      exprs => {
+        require(exprs.length == 2,
+          s"vec_cosine requires exactly 2 arguments, got ${exprs.length}")
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        val (a, b) = (exprs(0), exprs(1))
+        Divide(VecDot(a, b),
+          Multiply(Sqrt(VecDot(a, a)), Sqrt(VecDot(b, b))))
+      },
+      "built-in")
+  }
 }

@@ -41,6 +41,28 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(viaSql.sameElements(viaDf))
   }
 
+  test("vec_cosine in SQL matches the Column-API cosine bit-for-bit") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+      .createOrReplaceTempView("embeddings")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, vec_cosine(a.embedding, b.embedding) AS c
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 20 ORDER BY a.vec_id""".stripMargin).collect()
+    val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val viaDf = emb.as("a")
+      .join(emb.as("b"),
+        org.apache.spark.sql.functions.col("b.vec_id") ===
+          org.apache.spark.sql.functions.col("a.vec_id") + 1)
+      .filter(org.apache.spark.sql.functions.col("a.vec_id") < 20)
+      .select(org.apache.spark.sql.functions.col("a.vec_id"),
+        graft.operators.Similarity.cosine(
+          org.apache.spark.sql.functions.col("a.embedding"),
+          org.apache.spark.sql.functions.col("b.embedding")).as("c"))
+      .orderBy("vec_id").collect()
+    assert(viaSql.sameElements(viaDf))
+  }
+
   test("SQL join + window agree with the DataFrame plan") {
     registerViews()
     val viaSql = spark.sql(
