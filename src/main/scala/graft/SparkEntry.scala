@@ -914,11 +914,17 @@ object SparkEntry {
         |  FROM documents),
         |w AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
         |freq AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY word),
-        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM freq)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-        |       round(CAST(sum(CAST(-ln(CAST(freq AS DOUBLE) / n_total) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS cross_entropy
-        |FROM w JOIN freq ON w.word = freq.word CROSS JOIN tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM freq),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |         round(CAST(sum(CAST(-ln(CAST(freq AS DOUBLE) / n_total) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS cross_entropy
+        |  FROM w JOIN freq ON w.word = freq.word CROSS JOIN tot
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(n_words, 0) AS n_words,
+        |       coalesce(cross_entropy, 0.0) AS cross_entropy
+        |FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "unpivot_orders" ->
       """WITH wide AS (
         |  SELECT o_orderstatus,

@@ -53,7 +53,7 @@ object Pq {
     * relation (the build's hot path: this runs once per Lloyd
     * iteration plus once to encode).
     */
-  private def assign(subs: DataFrame, codebook: DataFrame): DataFrame =
+  private[graft] def assign(subs: DataFrame, codebook: DataFrame): DataFrame =
     subs
       .join(broadcast(codebook), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("code"),
@@ -65,8 +65,7 @@ object Pq {
     * one DataFrame pipeline (rows keyed by sub). Init = subvectors of
     * the first ks vectors.
     */
-  def buildCodebook(subs: DataFrame, ks: Int, iters: Int,
-      subDim: Int): DataFrame = {
+  def buildCodebook(subs: DataFrame, ks: Int, iters: Int): DataFrame = {
     var codebook = subs.filter(col("vec_id") < ks)
       .select(col("sub"), col("vec_id").cast("int").as("code"),
         col("svec").as("cword"))
@@ -106,7 +105,7 @@ object Pq {
     // PqSpec) skips the build entirely: the 100 TB deployment builds
     // once, writes the codebook, and every query job starts here.
     val codebook = prebuilt.getOrElse(
-      buildCodebook(subs, ks, iters, dim / m).localCheckpoint())
+      buildCodebook(subs, ks, iters).localCheckpoint())
     val codes = assign(subs, codebook)
 
     // ADC lookup table: partial dot of each query subvector with each

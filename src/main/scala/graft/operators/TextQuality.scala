@@ -78,11 +78,11 @@ object TextQuality {
     * single exact-integer division per word.
     */
   def docEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val words = TextOps.explodedWords(
-      Tables.documents(spark, dir), col("doc_id"))
+    val docs = Tables.documents(spark, dir)
+    val words = TextOps.explodedWords(docs, col("doc_id"))
     val freq = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
     val total = freq.agg(sum(col("freq")).as("n_total"))
-    words
+    val perDoc = words
       .join(broadcast(freq), Seq("word"))
       .join(broadcast(total))
       .select(col("doc_id"),
@@ -92,6 +92,15 @@ object TextQuality {
       .agg(count(lit(1)).as("n_words"),
         round(sum(col("term")).cast("double") / count(lit(1)), 6)
           .as("cross_entropy"))
+    // left-join back so docs that normalize to ZERO words still get a
+    // row (n_words 0, entropy 0.0) — a quality filter must see the
+    // degenerate docs, not silently lose them (same zero-fill contract
+    // as docRepetition)
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("cross_entropy"), lit(0.0)).as("cross_entropy"))
       .orderBy(col("doc_id"))
   }
 

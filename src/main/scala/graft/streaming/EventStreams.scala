@@ -95,23 +95,45 @@ object EventStreams {
     * exactly-once-per-batch semantics (batchId is provided for
     * idempotence bookkeeping); against a transactional table format
     * the same callback issues a real MERGE instead of the rewrite.
+    *
+    * A batch can itself carry duplicate keys (the shape dedupEvents
+    * exists for), so the batch is keyed FIRST — per event_id, the row
+    * with the greatest `orderCol` wins, deterministically. Without
+    * this, both rows land in the snapshot and the key invariant the
+    * sink exists to maintain is broken.
+    *
     * The localCheckpoint materializes the merge BEFORE the overwrite —
     * Spark reads lazily, so overwriting the directory the plan still
-    * needs to read would otherwise lose the old rows.
+    * needs to read would otherwise lose the old rows. The checkpoint
+    * blocks are dropped after the write: a stream runs unboundedly
+    * many batches, and per-batch blocks left to the ContextCleaner
+    * accumulate in executor storage in the meantime.
     */
-  def upsertSink(events: DataFrame, path: String)
+  def upsertSink(events: DataFrame, path: String, orderCol: String = "sec")
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
+        val sc = spark.sparkContext
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_id"))
+          .orderBy(col(orderCol).desc, col("event_id"))
+        val keyed = batch
+          .withColumn("graft_rn", row_number().over(w))
+          .filter(col("graft_rn") === 1)
+          .drop("graft_rn")
+        val persistedBefore = sc.getPersistentRDDs.keySet
         val merged =
           (if (new java.io.File(path).exists())
             spark.read.parquet(path)
-              .join(batch.select("event_id"), Seq("event_id"), "left_anti")
-              .unionByName(batch)
-          else batch)
+              .join(keyed.select("event_id"), Seq("event_id"), "left_anti")
+              .unionByName(keyed)
+          else keyed)
             .localCheckpoint()
         merged.write.mode("overwrite").parquet(path)
+        sc.getPersistentRDDs
+          .filter { case (id, _) => !persistedBefore.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
         ()
       }
       .outputMode("update")

@@ -28,16 +28,31 @@ class PqSpec extends SparkTestBase {
     }
   }
 
-  test("PQ build is deterministic and codes are M small ints per vector") {
+  test("PQ search is deterministic run-to-run") {
     val a = Pq.pqTopK(spark, sf("sf0.001")).collect()
     val b = Pq.pqTopK(spark, sf("sf0.001")).collect()
     assert(a.sameElements(b), "PQ search is not reproducible")
   }
 
+  test("encoding emits exactly M codes per vector, one per subspace") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val subs = Pq.subvectors(emb, 8, 64)
+    val codes = Pq.assign(subs,
+      Pq.buildCodebook(subs, ks = 16, iters = 1))
+    val nVecs = emb.count()
+    assert(codes.count() === nVecs * 8)
+    assert(codes.select("vec_id", "sub").distinct().count() === nVecs * 8,
+      "duplicate (vec_id, sub) code rows")
+    val codeRange = codes.agg(min(col("code")), max(col("code")))
+      .collect().head
+    assert(codeRange.getInt(0) >= 0 && codeRange.getInt(1) < 16,
+      s"codes outside [0, ks): $codeRange")
+  }
+
   test("persisted codebook: write to parquet, reload, search is identical") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("pq_index").toString
-    Pq.buildCodebook(Pq.subvectors(emb, 8, 64), ks = 16, iters = 1, subDim = 8)
+    Pq.buildCodebook(Pq.subvectors(emb, 8, 64), ks = 16, iters = 1)
       .write.mode("overwrite").parquet(s"$dir/codebook.parquet")
     val reloaded = spark.read.parquet(s"$dir/codebook.parquet")
     val fresh = Pq.pqTopK(spark, sf("sf0.001")).collect()

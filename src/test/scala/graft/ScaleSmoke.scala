@@ -79,8 +79,8 @@ object ScaleSmoke {
     var codebook: org.apache.spark.sql.DataFrame = null
     time("pq_build_once", cleanup = false) {
       codebook = graft.operators.Pq.buildCodebook(
-        graft.operators.Pq.subvectors(emb, 8, 64), ks = 16, iters = 1,
-        subDim = 8).localCheckpoint()
+        graft.operators.Pq.subvectors(emb, 8, 64), ks = 16, iters = 1)
+        .localCheckpoint()
       codebook.count()
     }
     time("pq_encode_and_search")(

@@ -12,7 +12,11 @@ class SqlKitSpec extends SparkTestBase {
   import spark.implicits._
 
   test("histogram bucket formula == built-in width_bucket - 1") {
+    // parity holds on [lo, hi); at x >= hi width_bucket reports the
+    // overflow bucket (n+1) while the histogram clamps into the top
+    // bucket by design — so compare inside the domain only
     val mismatches = graft.sources.Tables.orders(spark, sf("sf0.001"))
+      .filter(col("o_totalprice") < 500000.0)
       .select(
         least(floor(col("o_totalprice") / 50000.0), lit(9L)).cast("long")
           .as("formula"),

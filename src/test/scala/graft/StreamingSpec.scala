@@ -168,7 +168,9 @@ class StreamingSpec extends SparkTestBase {
       .select(col("event_id"), col("user_id"), col("sec"))
     val q = EventStreams.upsertSink(events, dir)
     try {
-      input.addData(Ev(1L, 10L, 100L), Ev(2L, 20L, 200L))
+      // batch 1 carries a WITHIN-batch duplicate key: the greater sec
+      // must win before the merge ever sees the batch
+      input.addData(Ev(1L, 10L, 100L), Ev(1L, 10L, 120L), Ev(2L, 20L, 200L))
       q.processAllAvailable()
       input.addData(Ev(1L, 10L, 150L), Ev(3L, 30L, 300L))
       q.processAllAvailable()
