@@ -102,6 +102,7 @@ object SparkEntry {
     "upsert_snapshot" -> ((s, d) => Analytics.upsertSnapshot(s, d)),
     "hash_sample" -> ((s, d) => Analytics.hashSample(s, d)),
     "stratified_sample" -> ((s, d) => Analytics.stratifiedSample(s, d)),
+    "quota_sample" -> ((s, d) => Analytics.quotaSample(s, d)),
     "corr_subquery" -> ((s, d) => Analytics.corrSubquery(s, d)),
     "null_semantics" -> ((s, d) => Analytics.nullSemantics(s, d)),
     "sql_cte_having" -> ((s, d) => Analytics.sqlCteHaving(s, d)),
@@ -700,6 +701,12 @@ object SparkEntry {
         |WHERE CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 <
         |      CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 ELSE 100 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "quota_sample" ->
+      """SELECT lang, pick, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS INTEGER) AS pick
+        |  FROM documents)
+        |WHERE pick <= 5 ORDER BY lang, pick""".stripMargin,
     "corr_subquery" ->
       """SELECT c_custkey,
         |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price

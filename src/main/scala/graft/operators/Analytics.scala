@@ -289,6 +289,25 @@ object Analytics {
       .orderBy(col("lang"))
   }
 
+  /** Per-stratum QUOTA sampling: exactly k docs per language, chosen
+    * by content-hash order — the fixed-budget companion to
+    * stratifiedSample's rates (build an eval slice of k docs per
+    * language, reproducibly). The md5 ranking makes the choice a pure
+    * function of content: stable across runs, partitionings, and
+    * engines; ties cannot occur (md5 collisions aside) so the window
+    * is total-ordered.
+    */
+  def quotaSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("text")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= k)
+      .select(col("lang"), col("pick"), col("doc_id"))
+      .orderBy(col("lang"), col("pick"))
+  }
+
   /** Correlated scalar subquery through the SQL front-end: Catalyst
     * decorrelates it into an outer-joined aggregate — proof the engine
     * runs subquery SQL as set-oriented plans, never a per-row loop.
