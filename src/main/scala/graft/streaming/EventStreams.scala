@@ -89,51 +89,51 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Micro-batch upsert sink via foreachBatch: each batch merges into
-    * a parquet snapshot keyed by event_id (anti-join the current
-    * snapshot against the batch's keys, union the batch, rewrite).
-    * foreachBatch is the engine's escape hatch to ANY batch sink with
-    * exactly-once-per-batch semantics (batchId is provided for
-    * idempotence bookkeeping); against a transactional table format
-    * the same callback issues a real MERGE instead of the rewrite.
+    * a parquet snapshot keyed by event_id. foreachBatch is the
+    * engine's escape hatch to ANY batch sink with exactly-once-per-
+    * batch semantics (batchId is provided for idempotence
+    * bookkeeping); against a transactional table format the same
+    * callback issues a real MERGE instead of the rewrite.
     *
-    * A batch can itself carry duplicate keys (the shape dedupEvents
-    * exists for), so the batch is keyed FIRST — per event_id, the row
-    * with the greatest `orderCol` wins, deterministically. Without
-    * this, both rows land in the snapshot and the key invariant the
-    * sink exists to maintain is broken.
+    * Merge rule: per event_id, the row with the GREATEST `orderCol`
+    * wins — globally, not per batch. One window over
+    * (snapshot UNION batch) enforces it everywhere at once: duplicate
+    * keys within a batch, batch-vs-snapshot conflicts, and a late
+    * replay carrying an OLDER orderCol than the snapshot row (which an
+    * anti-join merge would wrongly let overwrite). Exact ties are
+    * broken by a content hash, so the pick is a pure function of the
+    * data — reproducible at any parallelism.
     *
     * The localCheckpoint materializes the merge BEFORE the overwrite —
     * Spark reads lazily, so overwriting the directory the plan still
-    * needs to read would otherwise lose the old rows. The checkpoint
-    * blocks are dropped after the write: a stream runs unboundedly
-    * many batches, and per-batch blocks left to the ContextCleaner
-    * accumulate in executor storage in the meantime.
+    * needs to read would otherwise lose the old rows. The checkpoint's
+    * own RDD (and only it — a shared SparkContext can hold OTHER jobs'
+    * persisted blocks, which must not be touched) is dropped after the
+    * write: a stream runs unboundedly many batches, and per-batch
+    * blocks left to the ContextCleaner accumulate in the meantime.
     */
   def upsertSink(events: DataFrame, path: String, orderCol: String = "sec")
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val sc = spark.sparkContext
+        val all =
+          if (new java.io.File(path).exists())
+            spark.read.parquet(path).unionByName(batch)
+          else batch
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("event_id"))
-          .orderBy(col(orderCol).desc, col("event_id"))
-        val keyed = batch
+          .orderBy(col(orderCol).desc,
+            xxhash64(struct(batch.columns.map(col): _*)))
+        val merged = all
           .withColumn("graft_rn", row_number().over(w))
           .filter(col("graft_rn") === 1)
           .drop("graft_rn")
-        val persistedBefore = sc.getPersistentRDDs.keySet
-        val merged =
-          (if (new java.io.File(path).exists())
-            spark.read.parquet(path)
-              .join(keyed.select("event_id"), Seq("event_id"), "left_anti")
-              .unionByName(keyed)
-          else keyed)
-            .localCheckpoint()
+          .localCheckpoint()
         merged.write.mode("overwrite").parquet(path)
-        sc.getPersistentRDDs
-          .filter { case (id, _) => !persistedBefore.contains(id) }
-          .values.foreach(_.unpersist(blocking = false))
+        merged.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(blocking = false))
         ()
       }
       .outputMode("update")

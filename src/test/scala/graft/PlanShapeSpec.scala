@@ -145,19 +145,26 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   }
 
   test("q8: all five dimension joins broadcast (no fact-side shuffle joins)") {
+    // collect() (AdaptiveSparkPlanHelper) traverses INTO the finalized
+    // adaptive plan — a tree-string substring match would see the
+    // pre-AQE initial plan and flag joins AQE already demoted
     val plan = planOf("q8_market_share")
     val bcasts = collect(plan) { case b: BroadcastExchangeLike => b }
     assert(bcasts.size >= 4,
       s"part/customer-nation/supplier-nation (+supplier) should broadcast:\n$plan")
-    assert(!plan.toString.contains("SortMergeJoin"),
-      s"q8 fell back to a sort-merge join:\n$plan")
+    val smjs = collect(plan) {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }
+    assert(smjs.isEmpty, s"q8 fell back to a sort-merge join:\n$plan")
   }
 
   test("month_spine: the spine comes from a 1-row aggregate, not a fact re-scan") {
     // at most two scans of orders: the bounds aggregate and the
     // monthly rollup (exchange reuse may collapse them to one) — the
-    // generated series itself reads nothing
-    val scans = planOf("month_spine").collectLeaves()
+    // generated series itself reads nothing. collectLeaves must be the
+    // AdaptiveSparkPlanHelper one: AdaptiveSparkPlanExec is itself a
+    // leaf to TreeNode.collectLeaves, which would always count 1
+    val scans = collectLeaves(planOf("month_spine"))
       .map(_.toString).count(_.contains("orders"))
     assert(scans >= 1 && scans <= 2,
       s"spine must not re-scan the fact table, got $scans orders scans")

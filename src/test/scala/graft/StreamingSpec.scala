@@ -174,6 +174,10 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       input.addData(Ev(1L, 10L, 150L), Ev(3L, 30L, 300L))
       q.processAllAvailable()
+      // a STALE replay (sec older than the snapshot row) must NOT
+      // regress the snapshot — greatest orderCol wins across batches
+      input.addData(Ev(1L, 10L, 90L))
+      q.processAllAvailable()
     } finally q.stop()
     val snap = spark.read.parquet(dir)
       .select("event_id", "sec").as[(Long, Long)].collect().toMap
