@@ -70,6 +70,24 @@ object InvertedIndex {
         count(lit(1)).cast("long").as("n_docs_in_shard"))
   }
 
+  /** Incremental index maintenance: fold a batch of NEW documents into
+    * an existing index without re-reading the indexed corpus — the
+    * operation a daily-crawl pipeline runs instead of a full rebuild.
+    * The existing index contributes its posting lists as pre-
+    * aggregated id arrays; only the delta's text is tokenized. One
+    * union + one aggregate; `flatten` merges list-of-lists, and
+    * `array_distinct` guards re-delivered docs (idempotent merge).
+    * Equivalence to a full rebuild is property-tested.
+    */
+  def incremental(existing: DataFrame, newDocs: DataFrame): DataFrame =
+    apply(newDocs)
+      .unionByName(existing)
+      .groupBy(col("word"))
+      .agg(sort_array(array_distinct(flatten(collect_list(col("ids")))))
+        .as("ids"))
+      .select(col("word"), col("ids"),
+        size(col("ids")).cast("long").as("n_docs"))
+
   /** Full reference output ordering: letter bucket, then doc-count desc,
     * word asc (tema1.cpp:110-115, :234).
     */

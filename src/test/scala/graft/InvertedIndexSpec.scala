@@ -95,4 +95,22 @@ class InvertedIndexSpec extends SparkTestBase {
       }
     }
   }
+
+  test("incremental maintenance == full rebuild, and the merge is idempotent") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val oldDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val full = InvertedIndex(docs).orderBy("word").collect()
+    val inc = InvertedIndex
+      .incremental(InvertedIndex(oldDocs), delta)
+      .orderBy("word").collect()
+    assert(inc.sameElements(full),
+      "incremental merge diverged from the full rebuild")
+    // re-delivering the same delta must change nothing
+    val again = InvertedIndex
+      .incremental(InvertedIndex.incremental(InvertedIndex(oldDocs), delta), delta)
+      .orderBy("word").collect()
+    assert(again.sameElements(full), "incremental merge is not idempotent")
+  }
 }
