@@ -704,7 +704,7 @@ object SparkEntry {
     "quota_sample" ->
       """SELECT lang, pick, doc_id FROM (
         |  SELECT lang, doc_id,
-        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS INTEGER) AS pick
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(text) NULLS LAST, doc_id) AS INTEGER) AS pick
         |  FROM documents)
         |WHERE pick <= 5 ORDER BY lang, pick""".stripMargin,
     "corr_subquery" ->

@@ -292,17 +292,29 @@ object Analytics {
   /** Per-stratum QUOTA sampling: exactly k docs per language, chosen
     * by content-hash order — the fixed-budget companion to
     * stratifiedSample's rates (build an eval slice of k docs per
-    * language, reproducibly). The md5 ranking makes the choice a pure
-    * function of content: stable across runs, partitionings, and
-    * engines; ties cannot occur (md5 collisions aside) so the window
-    * is total-ordered.
+    * language, reproducibly). The (md5, doc_id) ranking makes the
+    * choice a pure function of content: stable across runs,
+    * partitionings, and engines (doc_id breaks ties between duplicate
+    * texts, which share an md5; null ordering is pinned NULLS LAST in
+    * both engines).
+    *
+    * Two-phase top-k: phase 1 takes k per (lang, deterministic salt),
+    * so no task ever sorts more than its salted slice; phase 2 ranks
+    * only the <= 32k survivors per language. Top-k distributes over
+    * partitions, so the final pick is EXACTLY the single-window
+    * answer — without funneling a whole stratum through one sort task.
     */
   def quotaSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"))
-      .orderBy(md5(col("text")), col("doc_id"))
+    val byHash = Seq(md5(col("text")).asc_nulls_last, col("doc_id").asc)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("salt")).orderBy(byHash: _*)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(byHash: _*)
     Tables.documents(spark, dir)
-      .withColumn("pick", row_number().over(w))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(32)).cast("int"))
+      .withColumn("lrn", row_number().over(w1))
+      .filter(col("lrn") <= k)
+      .withColumn("pick", row_number().over(w2))
       .filter(col("pick") <= k)
       .select(col("lang"), col("pick"), col("doc_id"))
       .orderBy(col("lang"), col("pick"))

@@ -96,13 +96,19 @@ object EventStreams {
     * callback issues a real MERGE instead of the rewrite.
     *
     * Merge rule: per event_id, the row with the GREATEST `orderCol`
-    * wins — globally, not per batch. One window over
-    * (snapshot UNION batch) enforces it everywhere at once: duplicate
-    * keys within a batch, batch-vs-snapshot conflicts, and a late
-    * replay carrying an OLDER orderCol than the snapshot row (which an
-    * anti-join merge would wrongly let overwrite). Exact ties are
-    * broken by a content hash, so the pick is a pure function of the
-    * data — reproducible at any parallelism.
+    * wins — globally, not per batch. So duplicate keys within a batch
+    * collapse, and a late replay carrying an OLDER orderCol than the
+    * snapshot row loses (an anti-join merge would wrongly let it
+    * overwrite). Exact ties break on a content hash, so the pick is a
+    * pure function of the data — reproducible at any parallelism.
+    *
+    * Plan shape per batch: ONLY the small batch and the snapshot rows
+    * whose keys conflict with it go through the argmax (max_by hash
+    * aggregates — no sort); the rest of the snapshot rides through an
+    * untouched broadcast anti-join. The snapshot — which grows
+    * unboundedly over a stream's lifetime — is never shuffled or
+    * sorted, which a single window over snapshot-union-batch would do
+    * on every batch.
     *
     * The localCheckpoint materializes the merge BEFORE the overwrite —
     * Spark reads lazily, so overwriting the directory the plan still
@@ -117,23 +123,36 @@ object EventStreams {
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val all =
-          if (new java.io.File(path).exists())
-            spark.read.parquet(path).unionByName(batch)
-          else batch
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("event_id"))
-          .orderBy(col(orderCol).desc,
-            xxhash64(struct(batch.columns.map(col): _*)))
-        val merged = all
-          .withColumn("graft_rn", row_number().over(w))
-          .filter(col("graft_rn") === 1)
-          .drop("graft_rn")
-          .localCheckpoint()
+        val cols = batch.columns
+        // deterministic argmax of a whole row by (orderCol, content)
+        def best(df: DataFrame): DataFrame = df
+          .groupBy(col("event_id"))
+          .agg(max_by(struct(cols.map(col): _*),
+            struct(col(orderCol), xxhash64(struct(cols.map(col): _*))))
+            .as("r"))
+          .select(col("r.*"))
+        val keyed = best(batch) // within-batch dedup, batch-sized
+        val merged =
+          (if (new java.io.File(path).exists()) {
+            val snapshot = spark.read.parquet(path)
+            val keys = keyed.select("event_id")
+            val untouched = snapshot
+              .join(broadcast(keys), Seq("event_id"), "left_anti")
+            val conflicts = snapshot
+              .join(broadcast(keys), Seq("event_id"), "left_semi")
+              .unionByName(keyed)
+            untouched.unionByName(best(conflicts))
+          } else keyed)
+            .localCheckpoint()
         merged.write.mode("overwrite").parquet(path)
-        merged.queryExecution.analyzed.collectFirst {
+        val checkpointed = merged.queryExecution.analyzed.collectFirst {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-        }.foreach(_.unpersist(blocking = false))
+        }
+        if (checkpointed.isEmpty)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "upsertSink: checkpointed RDD not found in the analyzed plan; " +
+              "per-batch checkpoint blocks will accumulate until GC")
+        checkpointed.foreach(_.unpersist(blocking = false))
         ()
       }
       .outputMode("update")
