@@ -76,6 +76,7 @@ object SparkEntry {
     "curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(s, d)),
     // -- temporal joins --------------------------------------------------
     "asof_join" -> ((s, d) => Temporal.purchaseAsofClick(s, d)),
+    "asof_join_forward" -> ((s, d) => Temporal.errorNextPurchase(s, d)),
     "range_join" -> ((s, d) => Temporal.purchaseThenError(s, d)),
     // -- multimodal ------------------------------------------------------
     "media_stats" -> ((s, d) => Multimodal.mediaStats(s, d)),
@@ -428,6 +429,15 @@ object SparkEntry {
         |       CAST(epoch_ns(r.ts) // 1000000000 AS BIGINT) AS click_sec,
         |       r.value AS click_value
         |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+    "asof_join_forward" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |     r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id,
+        |       CAST(epoch_ns(l.ts) // 1000000000 AS BIGINT) AS error_sec,
+        |       CAST(epoch_ns(r.ts) // 1000000000 AS BIGINT) AS purchase_sec,
+        |       r.value AS purchase_value
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY event_id""".stripMargin,
     "range_join" ->
       """SELECT a.event_id AS purchase_id, b.event_id AS error_id,

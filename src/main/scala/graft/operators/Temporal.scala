@@ -93,6 +93,58 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of join: for each left row, the EARLIEST right row
+    * with rightTime >= leftTime on the same key (the time-reversed
+    * mirror of asofJoin — "what happened next"). Same plan shape: one
+    * tagged union, one window pass over the FOLLOWING frame, zero
+    * join nodes. left=0/right=1 tags keep an exactly-simultaneous
+    * right row visible; tied right rows resolve by payload order.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      time: String, leftCols: Seq[String], rightCols: Seq[String])
+      : DataFrame = {
+    val lPayT = left.select(leftCols.map(col): _*).schema
+    val rPayT = right.select(rightCols.map(col): _*).schema
+    val l = left.select(
+      col(key), col(time).as("t"), lit(0).as("side"),
+      struct(leftCols.map(col): _*).as("lpay"),
+      lit(null).cast(rPayT).as("rpay"))
+    val r = right.select(
+      col(key), col(time).as("t"), lit(1).as("side"),
+      lit(null).cast(lPayT).as("lpay"),
+      struct(rightCols.map(col): _*).as("rpay"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("t"), col("side"), col("rpay"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val outCols = Seq(col(key), col("t")) ++
+      leftCols.map(c => col(s"lpay.$c").as(c)) ++
+      rightCols.map(c => col(s"matched.$c").as(s"r_$c"))
+    l.unionByName(r)
+      .withColumn("matched", first(col("rpay"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0 && col("matched").isNotNull)
+      .select(outCols: _*)
+  }
+
+  /** For each error event: the user's next (or simultaneous) purchase —
+    * the "did the user recover" question.
+    */
+  def errorNextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = rawEvents(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    asofJoinForward(errors, purchases, "user_id", "ts",
+      leftCols = Seq("event_id"), rightCols = Seq("ts", "value"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        expr(s"t div $NsPerSec").as("error_sec"),
+        expr(s"r_ts div $NsPerSec").as("purchase_sec"),
+        col("r_value").as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Generic bounded range self/pair join: (a, b) on the same key with
     * b.t in (a.t, a.t + windowNs]. Bucketed equi-join, constant fanout.
     */
