@@ -38,6 +38,26 @@ class TemporalSpec extends SparkTestBase {
     assert(results.head === Seq("z")) // greatest payload wins the tie
   }
 
+  test("forward asof picks the earliest right row at or after each left time") {
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 500L, "p3"))
+      .toDF("k", "t", "lp")
+    val right = Seq((1L, 150L, "r1"), (1L, 250L, "r2"), (2L, 400L, "r3"))
+      .toDF("k", "t", "rp")
+    val r = Temporal.asofJoinForward(left, right, "k", "t",
+      leftCols = Seq("lp"), rightCols = Seq("rp"))
+      .select("lp", "r_rp").as[(String, String)].collect().toMap
+    assert(r === Map("p1" -> "r1", "p2" -> "r2")) // p3 has no following right
+  }
+
+  test("forward asof: simultaneous right row is visible and plan has no join nodes") {
+    val left = Seq((1L, 100L, "p")).toDF("k", "t", "lp")
+    val right = Seq((1L, 100L, "exact")).toDF("k", "t", "rp")
+    val df = Temporal.asofJoinForward(left, right, "k", "t", Seq("lp"), Seq("rp"))
+    assert(df.select("r_rp").as[String].collect() === Array("exact"))
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+      "forward asof must be a window formulation, not a join")
+  }
+
   test("range join honors the (a.t, a.t + window] bound across bucket edges") {
     val a = Seq((1L, 1000L, 10L), (1L, 3_600_000_000_000L - 1000L, 11L))
       .toDF("user_id", "ts", "event_id")
