@@ -170,6 +170,13 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"spine must not re-scan the fact table, got $scans orders scans")
   }
 
+  test("decontaminate: the benchmark side broadcasts (train corpus never shuffles to it)") {
+    val plan = planOf("decontaminate")
+    val bcasts = collect(plan) { case b: BroadcastExchangeLike => b }
+    assert(bcasts.nonEmpty,
+      s"eval-set n-grams should broadcast to the training scan:\n$plan")
+  }
+
   test("join strategy hints are honored (shuffle_hash / merge / broadcast)") {
     import org.apache.spark.sql.functions.col
     val o = graft.sources.Tables.orders(spark, sf("sf0.001"))
