@@ -38,13 +38,34 @@ object Bench {
       Cleanup.dropPersisted(spark)
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    // The driver keeps only a ~2000-char tail of this process's output and
+    // parses the JSON line out of THAT (rounds 1-3 all came back
+    // "parsed": null because the full 100-query map at full float precision
+    // was ~4 KB — the line's head fell off the tail window). So: the
+    // parseable line carries the total plus a fixed HEADLINE subset at 3
+    // decimals (kept well under 1.5 KB), and the full per-query map goes to
+    // stderr for humans.
+    val headline = Seq(
+      "q1_pricing", "q3_shipping_priority", "q5_local_volume",
+      "q8_market_share", "q18_large_orders", "inverted_index",
+      "dedup_minhash_lsh", "dedup_clusters", "simhash_pairs",
+      "cosine_topk", "pq_topk", "ivf_topk", "tfidf_top_term",
+      "sessionize", "rolling_7d_qty", "stats_lineitem", "percentiles",
+      "curated_corpus", "decontaminate", "window_top_orders",
+      "upsert_snapshot", "top_words")
+    val byName = results.toMap
+    val qs = headline.filter(byName.contains)
+      .map(k => "\"" + k + "\":" + fmt(byName(k)))
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    System.err.println(s"""[bench-detail] {"total":${fmt(total)},"queries":$detail}""")
     // a failed query makes the total meaningless — surface it in-band,
     // not just on stderr
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

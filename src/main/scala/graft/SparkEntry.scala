@@ -423,7 +423,8 @@ object SparkEntry {
         |ORDER BY lang, rank""".stripMargin,
     "asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
-        |     r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        |     r AS (SELECT user_id, ts, MIN(value) AS value FROM events
+        |           WHERE event_type = 'click' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id,
         |       CAST(epoch_ns(l.ts) // 1000000000 AS BIGINT) AS purchase_sec,
         |       CAST(epoch_ns(r.ts) // 1000000000 AS BIGINT) AS click_sec,
@@ -432,7 +433,8 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "asof_join_forward" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
-        |     r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |     r AS (SELECT user_id, ts, MIN(value) AS value FROM events
+        |           WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id,
         |       CAST(epoch_ns(l.ts) // 1000000000 AS BIGINT) AS error_sec,
         |       CAST(epoch_ns(r.ts) // 1000000000 AS BIGINT) AS purchase_sec,

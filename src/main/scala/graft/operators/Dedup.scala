@@ -296,9 +296,11 @@ object Dedup {
     *
     * Convergence is verified: if maxIters rounds pass with labels
     * still changing, this THROWS rather than silently returning
-    * non-converged (wrong) cluster representatives. With pointer
-    * jumping, the default 25 rounds covers any graph diameter that
-    * fits in a long.
+    * non-converged (wrong) cluster representatives. One
+    * propagate+jump round roughly doubles the covered distance, so
+    * maxIters rounds cover diameter ~2^maxIters — the default 25
+    * handles any component of up to ~2^25 (~33M) hops, far beyond any
+    * near-dup cluster; raise maxIters for pathological chain graphs.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val Seq(c1, c2) = pairs.columns.toSeq.map(col)

@@ -29,6 +29,10 @@ object Pq {
 
   /** (vec_id, sub, svec array<double>) — the M-way split corpus. */
   private[graft] def subvectors(emb: DataFrame, m: Int, dim: Int): DataFrame = {
+    // integer division below floors — with dim % m != 0 the trailing
+    // dims would spill into an undeclared (m+1)-th subspace, breaking
+    // the "M codes per vector" contract downstream (LUT/ADC math)
+    require(dim % m == 0, s"PQ requires dim % m == 0, got dim=$dim m=$m")
     val subDim = dim / m
     emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))

@@ -80,8 +80,11 @@ object Temporal {
     val ev = rawEvents(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    // one click per (user_id, ts): DuckDB ASOF leaves exact-timestamp
+    // ties unspecified — collapsing them keeps both engines aligned
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("value"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("value")).as("value"))
     asofJoin(purchases, clicks, "user_id", "ts",
       leftCols = Seq("event_id", "value"), rightCols = Seq("ts", "value"))
       .select(
@@ -127,13 +130,20 @@ object Temporal {
 
   /** For each error event: the user's next (or simultaneous) purchase —
     * the "did the user recover" question.
+    *
+    * The right side is pre-aggregated to ONE row per (user_id, ts)
+    * (min value): asofJoinForward breaks exact-timestamp ties by
+    * payload order, but DuckDB's ASOF JOIN (the oracle) leaves that
+    * tie unspecified — collapsing ties before the join makes both
+    * engines' pick a function of the data, not of engine internals.
     */
   def errorNextPurchase(spark: SparkSession, dir: String): DataFrame = {
     val ev = rawEvents(spark, dir)
     val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts"), col("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("value"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("value")).as("value"))
     asofJoinForward(errors, purchases, "user_id", "ts",
       leftCols = Seq("event_id"), rightCols = Seq("ts", "value"))
       .select(

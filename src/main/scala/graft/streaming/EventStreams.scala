@@ -132,8 +132,15 @@ object EventStreams {
             .as("r"))
           .select(col("r.*"))
         val keyed = best(batch) // within-batch dedup, batch-sized
+        // snapshot existence must go through the Hadoop FileSystem for
+        // the path's own scheme — java.io.File is local-only, so on
+        // hdfs:// or s3a:// (or even a file:/ URI) it would always say
+        // "absent" and every batch would overwrite the snapshot with
+        // just itself, silently dropping all previously merged keys
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          (if (new java.io.File(path).exists()) {
+          (if (fs.exists(hPath)) {
             val snapshot = spark.read.parquet(path)
             val keys = keyed.select("event_id")
             val untouched = snapshot
