@@ -38,7 +38,11 @@ object Bench {
       Cleanup.dropPersisted(spark)
       name -> dt
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale-pinned: the f-interpolator uses the default JVM locale, which
+    // on a comma-decimal locale (de_DE) would emit "1,234" and break the
+    // driver's JSON parse.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // The driver keeps only a ~2000-char tail of this process's output and
     // parses the JSON line out of THAT (rounds 1-3 all came back
     // "parsed": null because the full 100-query map at full float precision
@@ -55,6 +59,11 @@ object Bench {
       "curated_corpus", "decontaminate", "window_top_orders",
       "upsert_snapshot", "top_words")
     val byName = results.toMap
+    // a renamed/removed registry entry silently shrinking the headline map
+    // would go unnoticed — surface it
+    val missing = headline.filterNot(byName.contains)
+    if (missing.nonEmpty)
+      System.err.println(s"[bench] headline queries missing from registry: ${missing.mkString(", ")}")
     val qs = headline.filter(byName.contains)
       .map(k => "\"" + k + "\":" + fmt(byName(k)))
       .mkString("{", ",", "}")

@@ -139,9 +139,33 @@ object EventStreams {
         // just itself, silently dropping all previously merged keys
         val hPath = new org.apache.hadoop.fs.Path(path)
         val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // bare exists() is true for a partially-written snapshot (a crash
+        // mid-overwrite leaves a directory without the job-commit marker,
+        // possibly with a subset of task files that would read "fine" but
+        // silently miss rows). A snapshot counts only if the commit marker
+        // is present AND the footers parse; otherwise treat it as absent —
+        // with mode("overwrite") the pre-crash snapshot is already gone,
+        // so absent/rebuild-from-batch is the best recovery available.
+        val snapshotOpt: Option[DataFrame] =
+          if (fs.exists(hPath) &&
+              fs.exists(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS"))) {
+            try Some(spark.read.parquet(path))
+            catch { case e: Exception =>
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"upsertSink: snapshot at $path unreadable " +
+                  s"(${e.getMessage}); treating as absent", e)
+              None
+            }
+          } else {
+            if (fs.exists(hPath))
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"upsertSink: snapshot at $path has no _SUCCESS marker " +
+                  "(incomplete write); treating as absent")
+            None
+          }
         val merged =
-          (if (fs.exists(hPath)) {
-            val snapshot = spark.read.parquet(path)
+          (if (snapshotOpt.isDefined) {
+            val snapshot = snapshotOpt.get
             val keys = keyed.select("event_id")
             val untouched = snapshot
               .join(broadcast(keys), Seq("event_id"), "left_anti")

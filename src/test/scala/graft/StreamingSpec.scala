@@ -185,6 +185,30 @@ class StreamingSpec extends SparkTestBase {
       s"snapshot after two merges: $snap")
   }
 
+  test("upsert sink recovers from a partial (uncommitted) snapshot write") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert_partial")
+      .resolve("snapshot")
+    // simulate a crash mid-overwrite: a snapshot directory containing a
+    // stray data file but NO _SUCCESS job-commit marker (and invalid
+    // footers, so a naive read would throw)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("part-00000.parquet"),
+      "not a parquet file".getBytes)
+    val input = MemoryStream[Ev]
+    val events = input.toDS()
+      .select(col("event_id"), col("user_id"), col("sec"))
+    val q = EventStreams.upsertSink(events, dir.toString)
+    try {
+      input.addData(Ev(1L, 10L, 100L), Ev(2L, 20L, 200L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val snap = spark.read.parquet(dir.toString)
+      .select("event_id", "sec").as[(Long, Long)].collect().toMap
+    assert(snap === Map(10L -> 100L, 20L -> 200L),
+      s"snapshot rebuilt from the batch after a partial write: $snap")
+  }
+
   test("stream-stream interval join matches the equivalent batch join") {
     val joined = EventStreams.purchaseErrorJoin(
       EventStreams.readEvents(spark, sf("sf0.001")))
