@@ -33,18 +33,20 @@ object Ivf {
   /** Nearest-centroid assignment: broadcast the centroid array table,
     * score each (vector, centroid) pair, keep the argmin by (dist,
     * centroid id). Returns (vec_id, cell).
+    *
+    * The argmin is a min_by hash aggregate over NARROW rows (vec_id,
+    * cid, d) — the previous row_number window sorted the k-way fanout
+    * with the full embedding and centroid arrays riding through the
+    * exchange. Same deterministic (dist, cid) tie-break, map-side
+    * combined to one row per vector before the shuffle.
     */
-  private def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = emb
+  private def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb
       .crossJoin(broadcast(centroids))
-      .withColumn("d", -cosine(col("embedding"), col("cvec")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d"), col("cid"))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-  }
+      .select(col("vec_id"), col("cid"),
+        (-cosine(col("embedding"), col("cvec"))).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cell"))
 
   /** k deterministic Lloyd iterations. Init = the first k vectors by
     * id (deterministic; at scale you'd use k-means|| with a fixed

@@ -34,16 +34,26 @@ object Pipeline {
       audit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val docs = Tables.documents(spark, dir)
 
+    // Keeper selection shuffles ONLY (fp, doc_id) — the min-doc_id-per-
+    // fingerprint aggregate is map-side combined down to one row per
+    // distinct fp before the exchange. The previous formulation (a
+    // min() window over fp) dragged the full `text` column through the
+    // fingerprint shuffle; at 100 TB that is the difference between
+    // shuffling ~16 bytes/doc and shuffling the corpus. The semi-join
+    // back is on doc_id: AQE broadcasts the keeper-id side here, and on
+    // a cluster where the id set outgrows broadcast it degrades to a
+    // doc_id shuffle — the same bytes the window shape paid, minus the
+    // fingerprint pass.
+    val keeperIds = docs
+      .select(col("doc_id"), md5(TextOps.normalizedStream(col("text"))).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
     // Materialized once: the near-dup join (which itself reads keepers
     // on two self-join sides via Dedup's checkpoint) and the final
     // anti-join both consume keepers; a real pipeline writes the
     // post-exact-dedup corpus between stages for the same reason.
     val keepers = docs
-      .withColumn("fp", md5(TextOps.normalizedStream(col("text"))))
-      .withColumn("is_keeper",
-        col("doc_id") === min(col("doc_id"))
-          .over(Window.partitionBy(col("fp"))))
-      .filter(col("is_keeper"))
+      .join(keeperIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), col("text"))
       .localCheckpoint()
 

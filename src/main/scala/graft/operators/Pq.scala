@@ -27,22 +27,31 @@ import graft.plans.VecDot
   */
 object Pq {
 
-  /** (vec_id, sub, svec array<double>) — the M-way split corpus. */
+  /** (vec_id, sub, svec array<double>) — the M-way split corpus.
+    *
+    * Pure narrow codegen: an array-level cast to double (bit-identical
+    * to the old per-element cast) and M contiguous `slice`s exploded
+    * into rows. The previous posexplode formulation fanned out dim
+    * rows per vector, shuffled them, and reassembled subvectors with
+    * collect_list + array_sort + an interpreted `transform` — a whole
+    * shuffle and an ObjectHashAggregate for what is a per-row split.
+    * This runs uncheckpointed on the build's hot path (init, each
+    * Lloyd assign, encode), so making it shuffle-free removes the
+    * dominant repeated cost.
+    */
   private[graft] def subvectors(emb: DataFrame, m: Int, dim: Int): DataFrame = {
     // integer division below floors — with dim % m != 0 the trailing
     // dims would spill into an undeclared (m+1)-th subspace, breaking
     // the "M codes per vector" contract downstream (LUT/ADC math)
     require(dim % m == 0, s"PQ requires dim % m == 0, got dim=$dim m=$m")
     val subDim = dim / m
+    val splits = (0 until m).map(s =>
+      struct(lit(s).as("sub"),
+        slice(col("e"), s * subDim + 1, subDim).as("svec")))
     emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .select(col("vec_id"), (col("pos") / subDim).cast("int").as("sub"),
-        struct((col("pos") % subDim).as("spos"),
-          col("v").cast("double").as("v")).as("pv"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(array_sort(collect_list(col("pv"))).as("pvs"))
-      .select(col("vec_id"), col("sub"),
-        transform(col("pvs"), x => x.getField("v")).as("svec"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .select(col("vec_id"), explode(array(splits: _*)).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.svec").as("svec"))
   }
 
   /** Squared L2 via dot products (all three terms codegen VecDot). */

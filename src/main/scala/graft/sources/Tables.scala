@@ -16,8 +16,42 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Ingest auto-split (opt-in via `spark.graft.ingest.autosplit`):
+    * when a fact table's scan yields far fewer partitions than the
+    * session's parallelism — the "one big unsplittable file" ingest
+    * case (single-row-group parquet, gzip csv, one giant json) — all
+    * per-row map work (regex, hashing, decimal aggregation partials)
+    * runs on one core until the first shuffle. The fix is one early
+    * repartition by the table's natural key, which costs a shuffle of
+    * the COMPACT raw rows and in return parallelizes every downstream
+    * map stage; keying (rather than round-robin) keeps results
+    * deterministic and lets same-key consumers (windows by doc_id,
+    * orderkey joins) absorb the exchange as their own.
+    *
+    * Off by default: on a production many-file corpus the scan is
+    * already parallel and the extra exchange is pure waste. Dimension
+    * tables are never split (they broadcast). Bench/Verify/Prof enable
+    * it because the driver's testdata is single-row-group parquet.
+    */
+  private val splitKeys = Map(
+    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+    "events" -> "user_id", "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val auto = spark.conf
+      .getOption("spark.graft.ingest.autosplit").contains("true")
+    splitKeys.get(name) match {
+      case Some(key) if auto =>
+        val target = spark.sparkContext.defaultParallelism
+        // plan-only (no job): the scan's actual file-split count
+        val scanParts = df.rdd.getNumPartitions
+        if (scanParts * 2 <= target) df.repartition(target, col(key))
+        else df
+      case _ => df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
