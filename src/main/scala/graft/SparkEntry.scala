@@ -74,6 +74,8 @@ object SparkEntry {
     "cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupExact(s, d)),
     "cosine_near_dup_lsh" -> ((s, d) => Similarity.cosineNearDupLsh(s, d)),
     "curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(s, d)),
+    "split_assign" -> ((s, d) => Pipeline.splitAssign(s, d)),
+    "pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
     // -- temporal joins --------------------------------------------------
     "asof_join" -> ((s, d) => Temporal.purchaseAsofClick(s, d)),
     "asof_join_forward" -> ((s, d) => Temporal.errorNextPurchase(s, d)),
@@ -376,6 +378,30 @@ object SparkEntry {
         |SELECT p_partkey, part.p_brand, p_retailprice
         |FROM part JOIN ba ON part.p_brand = ba.p_brand
         |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
+    "split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(text, '[ \t\n]+'), t -> length(t) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(FLOOR(cum_before / 2048) AS BIGINT) AS bin,
+        |  CAST(cum_before % 2048 AS BIGINT) AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     "curated_corpus" ->
       """WITH normed AS (
         |  SELECT doc_id, lang, text,

@@ -186,15 +186,27 @@ object Dedup {
   val BandRows = 2
   val NumBands: Int = NumHashes / BandRows // 32
 
-  /** MinHash signature per doc: NumHashes independent permutations
-    * simulated by seeded xxhash64; each is a plain `min` aggregate, so
-    * the whole signature is ONE map-side-combined hash aggregate — no
-    * per-doc array materialization of shingles.
+  /** The NumHashes "permutations" derived from ONE base hash of the
+    * n-gram string: h_i = xxhash64(i, base). The one-hash minhash
+    * trick: the variable-length STRING is hashed once per (doc, ngram)
+    * row, and each permutation re-hashes only the fixed 16-byte
+    * (seed, long) pair — a full-avalanche family (a plain multiply-add
+    * would be cheaper still, but ANSI mode makes wrapped 64-bit
+    * multiplication an overflow error). Deterministic across runs and
+    * machines by construction.
+    */
+  private def derivedMinHashes(base: Column): Seq[Column] =
+    (0 until NumHashes).map(i => min(xxhash64(lit(i), base)).as(s"h$i"))
+
+  /** MinHash signature per doc: NumHashes derived permutations of one
+    * base xxhash64, each a plain `min` aggregate, so the whole
+    * signature is ONE map-side-combined hash aggregate — no per-doc
+    * array materialization of shingles.
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
-    val hashes = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("ngram"))).as(s"h$i"))
+    val hashes = derivedMinHashes(col("bh"))
     docNgrams(docs, n)
+      .select(col("doc_id"), xxhash64(col("ngram")).as("bh"))
       .groupBy(col("doc_id"))
       .agg(hashes.head, hashes.tail: _*)
   }
@@ -235,9 +247,10 @@ object Dedup {
     // read twice by the band self-join), and both exact-verification
     // join sides. Without the cuts the extraction would run 4x.
     val ngs = ngramsWithSize(docs, n).localCheckpoint()
-    val hashes = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("ngram"))).as(s"h$i"))
-    val sigs = ngs.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
+    val hashes = derivedMinHashes(col("bh"))
+    val sigs = ngs
+      .select(col("doc_id"), xxhash64(col("ngram")).as("bh"))
+      .groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
     val cands = lshCandidates(sigs.localCheckpoint())
     cands
       .join(ngs.select(col("doc_id").as("doc_id_1"), col("ngram"),

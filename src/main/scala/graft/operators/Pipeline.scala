@@ -83,4 +83,47 @@ object Pipeline {
         count(lit(1)).as("rows_out"),
         sum(col("n_tokens")).as("tokens_out")))
   }
+
+  /** Deterministic train/validation/test assignment by content-stable
+    * hash: bucket = md5(doc_id) mod 100, split by fixed cut points
+    * (80/10/10). The property that matters at scale: assignment is a
+    * pure per-row function — no shuffle, no global state, stable
+    * across reruns and cluster sizes, and a doc keeps its split when
+    * the corpus grows (unlike modulo-on-row-number schemes, which
+    * reshuffle every doc on any insertion).
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"), lit(100)).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
+  /** Sequence packing for LLM pre-training: concatenate each
+    * language's doc stream in doc_id order and chop it into
+    * fixed-token-budget bins — every doc gets (bin, bin_offset), the
+    * exact write position a packed-example writer needs. This is the
+    * concat-and-chop packing used in practice (docs may straddle a
+    * boundary and be truncated/continued by the writer); the whole
+    * operator is ONE window cumulative sum per language stream — no
+    * driver loop, no per-bin state, scales to any corpus.
+    */
+  def packSequences(spark: SparkSession, dir: String,
+      budget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor(col("cum_before") / budget).cast("long").as("bin"),
+        (col("cum_before") % budget).as("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
 }

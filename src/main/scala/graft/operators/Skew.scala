@@ -30,4 +30,27 @@ object Skew {
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col("_key"))
       .agg(sum(col("_partial")).as(countName))
+
+  /** Salted equi-join for a skewed fact against a dimension too large
+    * to broadcast: each fact row gets a uniform salt in [0, saltFactor)
+    * and the dimension is replicated once per salt value, so the join
+    * key becomes (key, salt) and the hottest key's rows spread over
+    * `saltFactor` reducers instead of pinning one. Exact same result
+    * as the plain inner join at saltFactor times the dimension's
+    * shuffle volume — the standard trade when one key holds a
+    * double-digit share of the fact (AQE's skew split handles the
+    * moderate cases first; this is the explicit escape hatch).
+    *
+    * Both inputs must carry the join column `key`; `_salt` never
+    * escapes.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltFactor: Int): DataFrame = {
+    val salted = fact.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
+        .cast("int"))
+    val replicated = dim.withColumn("_salt",
+      explode(array((0 until saltFactor).map(lit(_)): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

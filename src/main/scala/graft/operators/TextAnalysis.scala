@@ -46,7 +46,13 @@ object TextAnalysis {
     * referenced).
     */
   def docStats(spark: SparkSession, dir: String): DataFrame =
+    // sort-then-project: a per-row projection above the sort preserves
+    // its ordering, and the range partitioner's sampling pass then
+    // scans only the narrow input instead of executing the whole regex
+    // battery a second time (project-below-sort ran it twice)
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id"))
       .withColumn("ws", TextOps.words(col("text")))
       .select(
         col("doc_id"),
@@ -58,7 +64,6 @@ object TextAnalysis {
         round(TextOps.punctRatio(col("text")), 4).as("punct_ratio"),
         round(TextOps.stopwordRatioOf(col("ws")), 4).as("stopword_ratio"),
         TextOps.qualityScoreOf(col("text"), col("ws")).as("quality"))
-      .orderBy(col("doc_id"))
 
   /** Corpus profile by language: doc counts, size stats. */
   def langProfile(spark: SparkSession, dir: String): DataFrame =
@@ -105,7 +110,9 @@ object TextAnalysis {
   }
 
   def langIdQuery(spark: SparkSession, dir: String): DataFrame =
-    langId(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    // sort-then-project (see docStats): langId is per-row, so it rides
+    // above the sort and the sampling pass never runs the marker scoring
+    langId(Tables.documents(spark, dir).orderBy(col("doc_id")))
 
   /** TF-IDF: classic log-scaled variant, top term per doc.
     * tf = occurrences in doc; idf = ln(N / df). Exact integer inputs,
