@@ -33,18 +33,27 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // warmup needs a CHEAP scale factor — falling back to sfDir would
+    // silently run the whole suite twice at the target SF and double
+    // the wall clock, so without a smaller sibling we skip it instead
     val warmDir = {
       val p = java.nio.file.Paths.get(sfDir)
       Option(p.getParent).map(_.resolve("sf0.001"))
         .filter(java.nio.file.Files.isDirectory(_))
-        .map(_.toString).getOrElse(sfDir)
+        .map(_.toString)
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        Cleanup.dropPersisted(spark)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+    if (warmDir.isEmpty)
+      System.err.println(
+        s"[bench] no sf0.001 sibling of $sfDir; skipping per-query warmup " +
+          "(first-run timings will include codegen/JIT cost)")
+    warmDir.foreach { wd =>
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          fn(spark, wd).write.format("noop").mode("overwrite").save()
+          Cleanup.dropPersisted(spark)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        }
       }
     }
     val failed = scala.collection.mutable.ArrayBuffer[String]()

@@ -108,19 +108,48 @@ object Pipeline {
     * fixed-token-budget bins — every doc gets (bin, bin_offset), the
     * exact write position a packed-example writer needs. This is the
     * concat-and-chop packing used in practice (docs may straddle a
-    * boundary and be truncated/continued by the writer); the whole
-    * operator is ONE window cumulative sum per language stream — no
-    * driver loop, no per-bin state, scales to any corpus.
+    * boundary and be truncated/continued by the writer).
+    *
+    * The cumulative sum is a TWO-PHASE distributed prefix sum, not a
+    * `Window.partitionBy(lang)` — that window puts an entire
+    * language's stream on one reducer, which is a single-task
+    * bottleneck on any real (mostly-one-language) corpus. Here:
+    * range-partition by (lang, doc_id), sum per partition (one tiny
+    * row per partition), prefix-sum those partials per language (the
+    * only serial step — over #partitions rows, not #docs), broadcast
+    * the offsets back, and finish with a per-(lang, partition) running
+    * sum that parallelizes across the range chunks. Result is
+    * identical to the global formulation for any partition boundary
+    * placement, so the oracle and the determinism gate see the same
+    * rows at any parallelism.
     */
   def packSequences(spark: SparkSession, dir: String,
       budget: Int = 2048): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    val stats = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    // freeze the partition ids: two consumers (partials, join-back)
+    // must see the SAME range boundaries
+    val ranged = stats
+      .repartitionByRange(col("lang"), col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged
+      .groupBy(col("lang"), col("pid"))
+      .agg(sum(col("n_tokens")).as("part_sum"))
+      .withColumn("offset",
+        coalesce(sum(col("part_sum")).over(wOff), lit(0L)))
+      .select(col("lang"), col("pid"), col("offset"))
+    val wIn = Window.partitionBy(col("lang"), col("pid"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(offsets), Seq("lang", "pid"))
       .withColumn("cum_before",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        col("offset") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         floor(col("cum_before") / budget).cast("long").as("bin"),
         (col("cum_before") % budget).as("bin_offset"))

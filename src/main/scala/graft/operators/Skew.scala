@@ -21,11 +21,25 @@ object Skew {
     * `aggs` must be decomposable (sum/count/min/max): phase 1 computes
     * them per salt, phase 2 re-aggregates with the matching merge fn.
     */
+  /** Row-content salt: deterministic under task retry. A salt from
+    * monotonically_increasing_id (or rand) is NOT — when a lost
+    * executor forces a partial map-stage re-run, re-executed tasks
+    * would assign DIFFERENT salts than the lost originals while
+    * already-fetched reduce partitions keep the old routing, silently
+    * duplicating/dropping rows (Spark's indeterminate-stage rollback
+    * covers round-robin repartition, not nondeterministic SQL shuffle
+    * keys). Hashing the whole row keeps retries bit-identical;
+    * identical duplicate rows share a salt, which costs nothing for
+    * correctness and only concentrates skew if the hot key's rows are
+    * also byte-identical duplicates.
+    */
+  private def contentSalt(df: DataFrame, saltFactor: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltFactor))
+
   def saltedCount(df: DataFrame, key: Column, saltFactor: Int,
       countName: String = "n"): DataFrame =
     df
-      .withColumn("_salt",
-        pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)))
+      .withColumn("_salt", contentSalt(df, saltFactor))
       .groupBy(key.as("_key"), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col("_key"))
@@ -46,9 +60,10 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "saltedJoin reserves the column name _salt; rename the input column")
     val salted = fact.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
-        .cast("int"))
+      contentSalt(fact, saltFactor).cast("int"))
     val replicated = dim.withColumn("_salt",
       explode(array((0 until saltFactor).map(lit(_)): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

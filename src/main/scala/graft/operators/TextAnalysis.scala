@@ -46,13 +46,13 @@ object TextAnalysis {
     * referenced).
     */
   def docStats(spark: SparkSession, dir: String): DataFrame =
-    // sort-then-project: a per-row projection above the sort preserves
-    // its ordering, and the range partitioner's sampling pass then
-    // scans only the narrow input instead of executing the whole regex
-    // battery a second time (project-below-sort ran it twice)
+    // narrow-project, CUT, then sort: the regex battery runs exactly
+    // once (a bare orderBy above it would run it twice — the range
+    // partitioner's sampling pass re-executes the child), and the sort
+    // then shuffles only the ~50-byte stat rows, never the corpus text
+    // (sorting the text-bearing input first would ship the whole
+    // corpus through the range exchange at scale)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text"))
-      .orderBy(col("doc_id"))
       .withColumn("ws", TextOps.words(col("text")))
       .select(
         col("doc_id"),
@@ -64,6 +64,8 @@ object TextAnalysis {
         round(TextOps.punctRatio(col("text")), 4).as("punct_ratio"),
         round(TextOps.stopwordRatioOf(col("ws")), 4).as("stopword_ratio"),
         TextOps.qualityScoreOf(col("text"), col("ws")).as("quality"))
+      .localCheckpoint()
+      .orderBy(col("doc_id"))
 
   /** Corpus profile by language: doc counts, size stats. */
   def langProfile(spark: SparkSession, dir: String): DataFrame =
@@ -110,9 +112,11 @@ object TextAnalysis {
   }
 
   def langIdQuery(spark: SparkSession, dir: String): DataFrame =
-    // sort-then-project (see docStats): langId is per-row, so it rides
-    // above the sort and the sampling pass never runs the marker scoring
-    langId(Tables.documents(spark, dir).orderBy(col("doc_id")))
+    // narrow-project, cut, sort (see docStats): marker scoring runs
+    // once and only (doc_id, pred_lang, hits) rows reach the sort
+    langId(Tables.documents(spark, dir))
+      .localCheckpoint()
+      .orderBy(col("doc_id"))
 
   /** TF-IDF: classic log-scaled variant, top term per doc.
     * tf = occurrences in doc; idf = ln(N / df). Exact integer inputs,

@@ -128,16 +128,16 @@ object TextQuality {
     // regexp_count(Column, Column): the patterns go in as literals,
     // never through the SQL string parser (which would eat the \. in
     // EmailRe as an unrecognized escape)
-    // sort-then-project (see TextAnalysis.docStats): the six regex
-    // passes run once, above the sort, not again in range sampling
+    // narrow-project, cut, sort (see TextAnalysis.docStats): the six
+    // regex passes run once and only narrow audit rows reach the sort
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .orderBy(col("doc_id"))
       .select(
         col("doc_id"),
         regexp_count(col("text"), lit(UrlRe)).cast("long").as("n_urls"),
         regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
         regexp_count(col("text"), lit(LongNumRe)).cast("long").as("n_long_nums"),
         md5(scrubbed).as("scrubbed_md5"))
+      .localCheckpoint()
+      .orderBy(col("doc_id"))
   }
 }

@@ -38,15 +38,45 @@ object Tables {
     "events" -> "user_id", "documents" -> "doc_id",
     "embeddings" -> "vec_id")
 
+  /** Row groups per parquet path, cached: byte-range split count alone
+    * overstates real scan parallelism — a 700 MB single-row-group file
+    * splits into ~6 byte ranges at the default maxPartitionBytes, but
+    * every row lives in the one split containing the row group, so the
+    * other five tasks read nothing. Effective parallelism is bounded by
+    * row groups, and that is what the autosplit guard must compare.
+    */
+  private val rowGroupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  private def rowGroups(spark: SparkSession, path: String): Int =
+    rowGroupCache.computeIfAbsent(path, { p =>
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = hp.getFileSystem(conf)
+        val files =
+          if (fs.getFileStatus(hp).isDirectory)
+            fs.listStatus(hp).filter(_.getPath.getName.endsWith(".parquet"))
+          else Array(fs.getFileStatus(hp))
+        files.map { st =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+          try rd.getFooter.getBlocks.size finally rd.close()
+        }.sum
+      } catch { case _: Exception => Int.MaxValue } // unknown: assume fine
+    })
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
     val auto = spark.conf
       .getOption("spark.graft.ingest.autosplit").contains("true")
     splitKeys.get(name) match {
       case Some(key) if auto =>
         val target = spark.sparkContext.defaultParallelism
-        // plan-only (no job): the scan's actual file-split count
-        val scanParts = df.rdd.getNumPartitions
+        // plan-only (no job): the scan's byte-range split count, capped
+        // by the number of row groups actually available to read
+        val scanParts =
+          math.min(df.rdd.getNumPartitions, rowGroups(spark, path))
         if (scanParts * 2 <= target) df.repartition(target, col(key))
         else df
       case _ => df

@@ -142,25 +142,29 @@ object EventStreams {
         // bare exists() is true for a partially-written snapshot (a crash
         // mid-overwrite leaves a directory without the job-commit marker,
         // possibly with a subset of task files that would read "fine" but
-        // silently miss rows). A snapshot counts only if the commit marker
-        // is present AND the footers parse; otherwise treat it as absent —
-        // with mode("overwrite") the pre-crash snapshot is already gone,
-        // so absent/rebuild-from-batch is the best recovery available.
+        // silently miss rows). Recovery decision tree:
+        //  - no directory: first batch, start fresh;
+        //  - directory without _SUCCESS: the previous overwrite died
+        //    mid-write, and mode("overwrite") had already deleted the
+        //    old snapshot — nothing recoverable exists, rebuild from the
+        //    batch (WARNed);
+        //  - directory WITH _SUCCESS: a committed snapshot. Read errors
+        //    here (transient S3/HDFS failures, not crash damage) must
+        //    FAIL the batch so the stream retries — mapping them to
+        //    "absent" would overwrite the committed snapshot with just
+        //    this batch and silently destroy every previously merged key.
+        // Note the sink therefore requires its own _SUCCESS markers:
+        // importing a snapshot written with marksuccessfuljobs=false
+        // is treated as incomplete.
         val snapshotOpt: Option[DataFrame] =
           if (fs.exists(hPath) &&
               fs.exists(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS"))) {
-            try Some(spark.read.parquet(path))
-            catch { case e: Exception =>
-              org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                s"upsertSink: snapshot at $path unreadable " +
-                  s"(${e.getMessage}); treating as absent", e)
-              None
-            }
+            Some(spark.read.parquet(path))
           } else {
             if (fs.exists(hPath))
               org.slf4j.LoggerFactory.getLogger(getClass).warn(
                 s"upsertSink: snapshot at $path has no _SUCCESS marker " +
-                  "(incomplete write); treating as absent")
+                  "(incomplete write); rebuilding from the current batch")
             None
           }
         val merged =
