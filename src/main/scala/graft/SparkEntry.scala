@@ -76,6 +76,7 @@ object SparkEntry {
     "curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(s, d)),
     "split_assign" -> ((s, d) => Pipeline.splitAssign(s, d)),
     "pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
+    "chunk_docs" -> ((s, d) => Pipeline.chunkDocs(s, d)),
     // -- temporal joins --------------------------------------------------
     "asof_join" -> ((s, d) => Temporal.purchaseAsofClick(s, d)),
     "asof_join_forward" -> ((s, d) => Temporal.errorNextPurchase(s, d)),
@@ -402,6 +403,20 @@ object SparkEntry {
         |  CAST(FLOOR(cum_before / 2048) AS BIGINT) AS bin,
         |  CAST(cum_before % 2048 AS BIGINT) AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    "chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '[ \t\n]+') END AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+        |c AS (
+        |  SELECT doc_id, ws, n, CAST(i AS INTEGER) AS chunk_id
+        |  FROM s, unnest(range(0, CAST(ceil(CAST(n AS DOUBLE) / 48) AS BIGINT))) AS u(i))
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(ws[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, n)]) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(ws[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, n)], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "curated_corpus" ->
       """WITH normed AS (
         |  SELECT doc_id, lang, text,

@@ -155,4 +155,43 @@ object Pipeline {
         (col("cum_before") % budget).as("bin_offset"))
       .orderBy(col("doc_id"))
   }
+
+  /** Sliding-window token chunking — the RAG-ingestion op: each doc is
+    * cut into chunks of `chunkSize` whitespace tokens starting every
+    * `step = chunkSize - overlap` tokens, so consecutive chunks share
+    * `overlap` tokens and every token lands in at least one chunk.
+    * Emits the chunk's write-position metadata and a content hash (the
+    * join key an embedding/indexing stage needs) rather than the text
+    * itself — hash-stable for the oracle, and the narrow shape a
+    * downstream embed job would shuffle.
+    *
+    * Pure per-row generate: split once, explode the chunk-start
+    * sequence, slice per chunk — no shuffle until the final sort, no
+    * per-doc state. Zero-token docs produce no chunks (their presence
+    * is the quality gate's concern, not the chunker's).
+    */
+  def chunkDocs(spark: SparkSession, dir: String,
+      chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got overlap=$overlap size=$chunkSize")
+    val step = chunkSize - overlap
+    // trim + single-pass regex split leaves no empty tokens (the
+    // separator class collapses runs), so no interpreted HOF filter
+    val ws = when(length(trim(col("text"))) === 0,
+      array().cast("array<string>"))
+      .otherwise(split(trim(col("text")), TextOps.TokenSplitRe))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"), size(ws).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0),
+          ceil(col("n").cast("double") / step).cast("int") - 1))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("ws"), col("chunk_id") * step + 1, lit(chunkSize)))
+          .cast("long").as("n_chunk_tokens"),
+        md5(array_join(slice(col("ws"), col("chunk_id") * step + 1, lit(chunkSize)),
+          " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
 }
