@@ -27,5 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VecDot(exprs(0), exprs(1))
       }))
     ext.injectOptimizerRule(_ => RewriteSelfDotProduct)
+    // whole-operator extension: plans graft.plans.AsOfJoinPlan as the
+    // co-partitioned single-pass merge (AsOfMergeJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -79,6 +79,7 @@ object SparkEntry {
     "chunk_docs" -> ((s, d) => Pipeline.chunkDocs(s, d)),
     // -- temporal joins --------------------------------------------------
     "asof_join" -> ((s, d) => Temporal.purchaseAsofClick(s, d)),
+    "asof_join_native" -> ((s, d) => Temporal.purchaseAsofClickNative(s, d)),
     "asof_join_forward" -> ((s, d) => Temporal.errorNextPurchase(s, d)),
     "range_join" -> ((s, d) => Temporal.purchaseThenError(s, d)),
     // -- multimodal ------------------------------------------------------
@@ -463,6 +464,18 @@ object SparkEntry {
         |SELECT lang, word, n, rank FROM ranked WHERE rank <= 3
         |ORDER BY lang, rank""".stripMargin,
     "asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT user_id, ts, MIN(value) AS value FROM events
+        |           WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id,
+        |       CAST(epoch_ns(l.ts) // 1000000000 AS BIGINT) AS purchase_sec,
+        |       CAST(epoch_ns(r.ts) // 1000000000 AS BIGINT) AS click_sec,
+        |       r.value AS click_value
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+    // identical SQL to asof_join by design: the native merge operator
+    // must reproduce the window formulation's rows exactly
+    "asof_join_native" ->
       """WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
         |     r AS (SELECT user_id, ts, MIN(value) AS value FROM events
         |           WHERE event_type = 'click' GROUP BY 1, 2)

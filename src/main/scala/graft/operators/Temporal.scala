@@ -73,6 +73,40 @@ object Temporal {
       .select(outCols: _*)
   }
 
+  /** Native as-of join via the custom operator (graft.plans.AsOfJoin*):
+    * same contract and output shape as [[asofJoin]], executed as a
+    * co-partitioned single-pass merge instead of a tagged-union window.
+    * Lazily registers the planner strategy on the session (clusters
+    * that set `spark.sql.extensions=graft.GraftExtensions` already
+    * have it). Null keys are dropped on both sides — the same rows the
+    * window formulation can only match to each other, documented here
+    * as out of the operator's contract.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+      time: String, leftCols: Seq[String], rightCols: Seq[String])
+      : DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(
+        graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // fresh aliases on every column: both sides usually derive from the
+    // same scan, and reusing the source attributes verbatim would put
+    // duplicate ExprIds in the custom node's output
+    val l = left.filter(col(key).isNotNull)
+      .select(col(key).cast("long").as("k"), col(time).cast("long").as("t"),
+        struct(leftCols.map(col): _*).as("lpay"))
+    val r = right.filter(col(key).isNotNull)
+      .select(col(key).cast("long").as("rk"), col(time).cast("long").as("rt"),
+        struct(rightCols.map(col): _*).as("rpay"))
+    val joinedPlan = graft.plans.AsOfJoinPlan(
+      l.queryExecution.analyzed, r.queryExecution.analyzed)
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark, joinedPlan)
+      .select(Seq(col("k").as(key), col("t")) ++
+        leftCols.map(c => col(s"lpay.$c").as(c)) ++
+        rightCols.map(c => col(s"rpay.$c").as(s"r_$c")): _*)
+  }
+
   /** For each purchase event: the user's latest preceding (or
     * simultaneous) click, with its value.
     */
@@ -86,6 +120,27 @@ object Temporal {
       .groupBy(col("user_id"), col("ts"))
       .agg(min(col("value")).as("value"))
     asofJoin(purchases, clicks, "user_id", "ts",
+      leftCols = Seq("event_id", "value"), rightCols = Seq("ts", "value"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        expr(s"t div $NsPerSec").as("purchase_sec"),
+        expr(s"r_ts div $NsPerSec").as("click_sec"),
+        col("r_value").as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** purchaseAsofClick on the native merge operator — same rows, same
+    * oracle, different physical plan (AsOfMergeJoinExec).
+    */
+  def purchaseAsofClickNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = rawEvents(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("value")).as("value"))
+    asofJoinNative(purchases, clicks, "user_id", "ts",
       leftCols = Seq("event_id", "value"), rightCols = Seq("ts", "value"))
       .select(
         col("event_id"),

@@ -14,3 +14,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Same-namespace bridge for constructing a DataFrame from a custom
+  * LogicalPlan (`classic.Dataset.ofRows` is private[sql]) — needed to
+  * hand a `graft.plans.AsOfJoinPlan` to the planner.
+  */
+object PlanBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

@@ -84,6 +84,34 @@ class SourcesRoundTripSpec extends SparkTestBase {
       "binary content or glob filtering diverged")
   }
 
+  test("ingest autosplit repartitions fact tables only when enabled") {
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+    def hasRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collectFirst {
+        case r: RepartitionByExpression => r }.nonEmpty
+    val conf = "spark.graft.ingest.autosplit"
+    try {
+      // default off: the plan is a bare scan (plan-shape specs rely on it)
+      assert(!hasRepartition(
+        graft.sources.Tables.documents(spark, sf("sf0.001"))))
+      spark.conf.set(conf, "true")
+      // single-row-group testdata + local[4]: scanParts(1)*2 <= 4
+      assert(hasRepartition(
+        graft.sources.Tables.documents(spark, sf("sf0.001"))),
+        "fact table with a degenerate layout must be repartitioned")
+      // dimension tables never split (they broadcast)
+      assert(!hasRepartition(
+        graft.sources.Tables.nation(spark, sf("sf0.001"))))
+      // results are identical either way
+      val on = graft.sources.Tables.documents(spark, sf("sf0.001"))
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      spark.conf.set(conf, "false")
+      val off = graft.sources.Tables.documents(spark, sf("sf0.001"))
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(on.sameElements(off))
+    } finally spark.conf.unset(conf)
+  }
+
   test("letter-partitioned text sink (scalable layout)") {
     val dir = Files.createTempDirectory("rt-letter").toString
     graft.sources.LetterSink.writePartitioned(

@@ -58,6 +58,34 @@ class TemporalSpec extends SparkTestBase {
       "forward asof must be a window formulation, not a join")
   }
 
+  test("native merge as-of join: plans AsOfMergeJoinExec and matches the window formulation") {
+    val ev = graft.sources.Tables.events(spark, sf("sf0.001"))
+    // same shaping as purchaseAsofClick so the comparison is end-to-end
+    val native = Temporal.purchaseAsofClickNative(spark, sf("sf0.001"))
+    val window = Temporal.purchaseAsofClick(spark, sf("sf0.001"))
+    val n = native.collect().map(_.toSeq).toSet
+    val w = window.collect().map(_.toSeq).toSet
+    assert(ev.count() > 0 && n.nonEmpty)
+    assert(n === w, "native merge as-of must reproduce the window rows")
+    val hasExec = native.queryExecution.executedPlan.toString
+      .contains("AsOfMergeJoin")
+    assert(hasExec, "expected AsOfMergeJoinExec in the physical plan:\n" +
+      native.queryExecution.executedPlan)
+  }
+
+  test("native as-of: unit semantics (latest-at-or-before, >=, greatest-payload tie)") {
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"),
+      (3L, 10L, "p4")).toDF("k", "t", "lp")
+    val right = Seq((1L, 90L, "r1"), (1L, 150L, "r2"), (1L, 150L, "z2"),
+      (2L, 50L, "exact"), (9L, 1L, "other")).toDF("k", "t", "rp")
+    val r = Temporal.asofJoinNative(left, right, "k", "t",
+      leftCols = Seq("lp"), rightCols = Seq("rp"))
+      .select("lp", "r_rp").as[(String, String)].collect().toMap
+    // p1: r1; p2: greatest payload among the t=150 tie (z2); p3: exact
+    // simultaneous match; p4: no right row on key 3 -> dropped
+    assert(r === Map("p1" -> "r1", "p2" -> "z2", "p3" -> "exact"))
+  }
+
   test("range join honors the (a.t, a.t + window] bound across bucket edges") {
     val a = Seq((1L, 1000L, 10L), (1L, 3_600_000_000_000L - 1000L, 11L))
       .toDF("user_id", "ts", "event_id")
