@@ -73,6 +73,7 @@ object SparkEntry {
     "hll_rollup" -> ((s, d) => Relational.hllRollup(s, d)),
     "cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupExact(s, d)),
     "cosine_near_dup_lsh" -> ((s, d) => Similarity.cosineNearDupLsh(s, d)),
+    "knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(s, d)),
     "split_assign" -> ((s, d) => Pipeline.splitAssign(s, d)),
     "pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
@@ -589,6 +590,18 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY vec_id_1, vec_id_2""".stripMargin,
+    "knn_graph" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings),
+        |s AS (SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+        |             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, label, neighbor_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        |      FROM s)
+        |SELECT vec_id, label, rank, neighbor_id, round(cos, 6) AS cos_sim
+        |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
     "hourly_rollup" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
         |       event_type, CAST(count(*) AS BIGINT) AS n_events,

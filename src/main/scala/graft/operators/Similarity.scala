@@ -203,4 +203,37 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
       .orderBy(col("vec_id_1"), col("vec_id_2"))
   }
+
+  /** Per-label kNN graph: every vector's k nearest same-label
+    * neighbors by cosine — the all-rows top-k similarity join (kNN
+    * graphs feed clustering, label propagation, and within-class
+    * near-dup audits), blocked on the label column so the quadratic
+    * term is per-block, not corpus-wide. An EQUI-join on the block key
+    * (shuffle join, parallel across labels), one VecDot per candidate
+    * pair, then the standard (cos desc, vec_id) deterministic ranking.
+    * At 100 TB the blocking column is whatever partitions the corpus
+    * (label, language, shard); an unblocked corpus-wide kNN graph goes
+    * through the ANN paths (LSH/IVF/PQ) instead.
+    */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+    val scored = emb.as("a")
+      .join(emb.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("b.vec_id").as("neighbor_id"),
+        (dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("label"), col("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
 }
