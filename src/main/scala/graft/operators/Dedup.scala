@@ -71,6 +71,16 @@ object Dedup {
     * consecutive SURVIVING words — token positions keep their order
     * across the empty-word filter, so adjacency semantics are identical
     * to the array formulation (and to the DuckDB oracle).
+    *
+    * The emitted key `ng` is the 64-bit xxhash of the n-gram string,
+    * not the string: every downstream consumer (distinct, size count,
+    * inverted-index join, minhash, decontamination) needs only key
+    * EQUALITY, and 8-byte keys make each of those shuffles ~3x
+    * narrower and the join probes cheap. The string never leaves this
+    * method. Caveat, stated rather than hidden: two distinct n-grams
+    * colliding in 64 bits would count as one (P ~ m^2/2^65 — under
+    * 1e-8 up to ~30M distinct n-grams per corpus; the at-scale
+    * mitigation is a 128-bit hash, same plan shape).
     */
   private def docNgrams(docs: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -86,11 +96,12 @@ object Dedup {
       .select(col("doc_id") +: col("w0") +: leads: _*)
       .filter(col(s"w${n - 1}").isNotNull)
       .select(col("doc_id"),
-        concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*).as("ngram"))
+        xxhash64(concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*))
+          .as("ng"))
       .distinct()
   }
 
-  /** (doc_id, ngram, n_ng) — n-grams annotated with their doc's set
+  /** (doc_id, ng, n_ng) — n-gram hashes annotated with their doc's set
     * size via a window (no second aggregation pass over the corpus).
     */
   private def ngramsWithSize(docs: DataFrame, n: Int): DataFrame =
@@ -128,13 +139,13 @@ object Dedup {
     val enriched = maxDocFreq.fold(sized)(cap =>
       sized
         .withColumn("df",
-          count(lit(1)).over(Window.partitionBy(col("ngram"))))
+          count(lit(1)).over(Window.partitionBy(col("ng"))))
         .filter(col("df") <= cap))
-    val a = enriched.select(col("doc_id").as("doc_id_1"), col("ngram"),
+    val a = enriched.select(col("doc_id").as("doc_id_1"), col("ng"),
       col("n_ng").as("n1"))
-    val b = enriched.select(col("doc_id").as("doc_id_2"), col("ngram"),
+    val b = enriched.select(col("doc_id").as("doc_id_2"), col("ng"),
       col("n_ng").as("n2"))
-    a.join(b, Seq("ngram"))
+    a.join(b, Seq("ng"))
       .filter(col("doc_id_1") < col("doc_id_2"))
       .groupBy(col("doc_id_1"), col("doc_id_2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("n_common"))
@@ -167,10 +178,10 @@ object Dedup {
       benchBelow: Long = 50, n: Int = 3, minShared: Int = 5): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val bench = docNgrams(docs.filter(col("doc_id") < benchBelow), n)
-      .select(col("doc_id").as("bench_id"), col("ngram"))
+      .select(col("doc_id").as("bench_id"), col("ng"))
     val train = docNgrams(docs.filter(col("doc_id") >= benchBelow), n)
     train
-      .join(broadcast(bench), Seq("ngram"))
+      .join(broadcast(bench), Seq("ng"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -204,9 +215,8 @@ object Dedup {
     * array materialization of shingles.
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
-    val hashes = derivedMinHashes(col("bh"))
+    val hashes = derivedMinHashes(col("ng"))
     docNgrams(docs, n)
-      .select(col("doc_id"), xxhash64(col("ngram")).as("bh"))
       .groupBy(col("doc_id"))
       .agg(hashes.head, hashes.tail: _*)
   }
@@ -247,16 +257,14 @@ object Dedup {
     // read twice by the band self-join), and both exact-verification
     // join sides. Without the cuts the extraction would run 4x.
     val ngs = ngramsWithSize(docs, n).localCheckpoint()
-    val hashes = derivedMinHashes(col("bh"))
-    val sigs = ngs
-      .select(col("doc_id"), xxhash64(col("ngram")).as("bh"))
-      .groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
+    val hashes = derivedMinHashes(col("ng"))
+    val sigs = ngs.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
     val cands = lshCandidates(sigs.localCheckpoint())
     cands
-      .join(ngs.select(col("doc_id").as("doc_id_1"), col("ngram"),
+      .join(ngs.select(col("doc_id").as("doc_id_1"), col("ng"),
         col("n_ng").as("n1")), "doc_id_1")
-      .join(ngs.select(col("doc_id").as("doc_id_2"), col("ngram"),
-        col("n_ng").as("n2")), Seq("doc_id_2", "ngram"))
+      .join(ngs.select(col("doc_id").as("doc_id_2"), col("ng"),
+        col("n_ng").as("n2")), Seq("doc_id_2", "ng"))
       .groupBy(col("doc_id_1"), col("doc_id_2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard",
