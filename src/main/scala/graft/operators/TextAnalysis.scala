@@ -127,9 +127,12 @@ object TextAnalysis {
     val tf = TextOps.explodedWords(docs, col("doc_id"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
+    // tf has exactly one row per (doc_id, word) and doc_id is unique in
+    // documents, so both "distinct" counts are plain counts — skipping
+    // the two-phase distinct aggregation (Expand + double shuffle)
     val df_ = tf.groupBy(col("word"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    val nDocs = docs.select(countDistinct(col("doc_id")).as("n"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n"))
     val scored = tf
       .join(broadcast(df_), Seq("word"))
       .crossJoin(broadcast(nDocs))
