@@ -129,12 +129,16 @@ object Pipeline {
       .select(col("doc_id"), col("lang"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
     // freeze the partition ids: two consumers (partials, join-back)
-    // must see the SAME range boundaries
+    // must see the SAME range boundaries. Lazy checkpoint: the RDD is
+    // shared by both branches and materializes on the first action, so
+    // merely CONSTRUCTING this query (plan printing, dry runs) costs
+    // nothing. No sortWithinPartitions — spark_partition_id depends
+    // only on the partitioning, and every consumer re-sorts or
+    // aggregates regardless.
     val ranged = stats
       .repartitionByRange(col("lang"), col("doc_id"))
-      .sortWithinPartitions(col("lang"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val wOff = Window.partitionBy(col("lang")).orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ranged
@@ -142,12 +146,17 @@ object Pipeline {
       .agg(sum(col("n_tokens")).as("part_sum"))
       .withColumn("offset",
         coalesce(sum(col("part_sum")).over(wOff), lit(0L)))
-      .select(col("lang"), col("pid"), col("offset"))
+      .select(col("lang").as("o_lang"), col("pid").as("o_pid"),
+        col("offset"))
     val wIn = Window.partitionBy(col("lang"), col("pid"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     ranged
-      .join(broadcast(offsets), Seq("lang", "pid"))
+      // null-safe on lang: an equi-join would silently DROP null-lang
+      // docs that the window formulation (and the oracle's PARTITION
+      // BY lang) treat as a valid group
+      .join(broadcast(offsets),
+        col("lang") <=> col("o_lang") && col("pid") === col("o_pid"))
       .withColumn("cum_before",
         col("offset") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
       .select(col("doc_id"), col("lang"), col("n_tokens"),

@@ -33,8 +33,25 @@ object Skew {
     * correctness and only concentrates skew if the hot key's rows are
     * also byte-identical duplicates.
     */
-  private def contentSalt(df: DataFrame, saltFactor: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltFactor))
+  private def contentSalt(df: DataFrame, saltFactor: Int): Column = {
+    // xxhash64 rejects MapType inputs (undefined entry order) — salt
+    // from the hashable columns only; identical rows on those columns
+    // share a salt, which never affects correctness
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case a: org.apache.spark.sql.types.ArrayType =>
+          hashable(a.elementType)
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.forall(f => hashable(f.dataType))
+        case _ => true
+      }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => col(f.name)).toSeq
+    require(cols.nonEmpty,
+      "salting needs at least one non-map column to hash")
+    pmod(xxhash64(cols: _*), lit(saltFactor))
+  }
 
   def saltedCount(df: DataFrame, key: Column, saltFactor: Int,
       countName: String = "n"): DataFrame =

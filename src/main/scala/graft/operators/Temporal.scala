@@ -90,15 +90,32 @@ object Temporal {
         graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // Integral key/time only: a widening cast from int is lossless,
+    // but silently casting timestamps (seconds vs the raw ns the
+    // window formulation compares) or decimals/strings (null or
+    // truncation AFTER a pre-cast null filter — nulls collapse onto
+    // key 0 inside the merge) would change semantics, so reject them.
+    def requireIntegral(df: DataFrame, c: String): Unit = {
+      val dt = df.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType,
+        s"asofJoinNative needs an integral $c column (raw ns longs, " +
+          s"as asofJoin), got $dt")
+    }
+    Seq(key, time).foreach { c =>
+      requireIntegral(left, c); requireIntegral(right, c)
+    }
     // fresh aliases on every column: both sides usually derive from the
     // same scan, and reusing the source attributes verbatim would put
-    // duplicate ExprIds in the custom node's output
-    val l = left.filter(col(key).isNotNull)
-      .select(col(key).cast("long").as("k"), col(time).cast("long").as("t"),
-        struct(leftCols.map(col): _*).as("lpay"))
-    val r = right.filter(col(key).isNotNull)
-      .select(col(key).cast("long").as("rk"), col(time).cast("long").as("rt"),
-        struct(rightCols.map(col): _*).as("rpay"))
+    // duplicate ExprIds in the custom node's output. Null keys/times
+    // are filtered AFTER the cast so nothing can slip past the guard.
+    def prep(df: DataFrame, k: String, t: String, pay: String,
+        cols: Seq[String]): DataFrame =
+      df.select(col(key).cast("long").as(k), col(time).cast("long").as(t),
+        struct(cols.map(col): _*).as(pay))
+        .filter(col(k).isNotNull && col(t).isNotNull)
+    val l = prep(left, "k", "t", "lpay", leftCols)
+    val r = prep(right, "rk", "rt", "rpay", rightCols)
     val joinedPlan = graft.plans.AsOfJoinPlan(
       l.queryExecution.analyzed, r.queryExecution.analyzed)
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark, joinedPlan)
@@ -107,10 +124,13 @@ object Temporal {
         rightCols.map(c => col(s"rpay.$c").as(s"r_$c")): _*)
   }
 
-  /** For each purchase event: the user's latest preceding (or
-    * simultaneous) click, with its value.
+  /** Shared purchase-asof-click query body, parameterized by the join
+    * implementation so the window and native-merge variants cannot
+    * drift apart (their bit-equality is spec-asserted).
     */
-  def purchaseAsofClick(spark: SparkSession, dir: String): DataFrame = {
+  private def purchaseAsofClickWith(spark: SparkSession, dir: String)(
+      join: (DataFrame, DataFrame, String, String, Seq[String], Seq[String])
+        => DataFrame): DataFrame = {
     val ev = rawEvents(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
@@ -119,8 +139,8 @@ object Temporal {
     val clicks = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id"), col("ts"))
       .agg(min(col("value")).as("value"))
-    asofJoin(purchases, clicks, "user_id", "ts",
-      leftCols = Seq("event_id", "value"), rightCols = Seq("ts", "value"))
+    join(purchases, clicks, "user_id", "ts",
+      Seq("event_id", "value"), Seq("ts", "value"))
       .select(
         col("event_id"),
         col("user_id"),
@@ -130,26 +150,17 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** For each purchase event: the user's latest preceding (or
+    * simultaneous) click, with its value.
+    */
+  def purchaseAsofClick(spark: SparkSession, dir: String): DataFrame =
+    purchaseAsofClickWith(spark, dir)(asofJoin)
+
   /** purchaseAsofClick on the native merge operator — same rows, same
     * oracle, different physical plan (AsOfMergeJoinExec).
     */
-  def purchaseAsofClickNative(spark: SparkSession, dir: String): DataFrame = {
-    val ev = rawEvents(spark, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id"), col("ts"))
-      .agg(min(col("value")).as("value"))
-    asofJoinNative(purchases, clicks, "user_id", "ts",
-      leftCols = Seq("event_id", "value"), rightCols = Seq("ts", "value"))
-      .select(
-        col("event_id"),
-        col("user_id"),
-        expr(s"t div $NsPerSec").as("purchase_sec"),
-        expr(s"r_ts div $NsPerSec").as("click_sec"),
-        col("r_value").as("click_value"))
-      .orderBy(col("event_id"))
-  }
+  def purchaseAsofClickNative(spark: SparkSession, dir: String): DataFrame =
+    purchaseAsofClickWith(spark, dir)(asofJoinNative)
 
   /** Forward as-of join: for each left row, the EARLIEST right row
     * with rightTime >= leftTime on the same key (the time-reversed

@@ -64,7 +64,7 @@ object TextAnalysis {
         round(TextOps.punctRatio(col("text")), 4).as("punct_ratio"),
         round(TextOps.stopwordRatioOf(col("ws")), 4).as("stopword_ratio"),
         TextOps.qualityScoreOf(col("text"), col("ws")).as("quality"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
       .orderBy(col("doc_id"))
 
   /** Corpus profile by language: doc counts, size stats. */
@@ -115,7 +115,7 @@ object TextAnalysis {
     // narrow-project, cut, sort (see docStats): marker scoring runs
     // once and only (doc_id, pred_lang, hits) rows reach the sort
     langId(Tables.documents(spark, dir))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
       .orderBy(col("doc_id"))
 
   /** TF-IDF: classic log-scaled variant, top term per doc.

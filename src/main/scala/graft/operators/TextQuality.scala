@@ -137,7 +137,7 @@ object TextQuality {
         regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
         regexp_count(col("text"), lit(LongNumRe)).cast("long").as("n_long_nums"),
         md5(scrubbed).as("scrubbed_md5"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
       .orderBy(col("doc_id"))
   }
 }

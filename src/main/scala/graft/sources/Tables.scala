@@ -57,13 +57,21 @@ object Tables {
           if (fs.getFileStatus(hp).isDirectory)
             fs.listStatus(hp).filter(_.getPath.getName.endsWith(".parquet"))
           else Array(fs.getFileStatus(hp))
-        files.map { st =>
+        val total = files.map { st =>
           val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
           try rd.getFooter.getBlocks.size finally rd.close()
         }.sum
+        // zero means we found no parquet files at the top level (e.g. a
+        // Hive-partitioned dir of subdirectories) — that is "layout
+        // unknown", not "zero parallelism"; returning 0 would force a
+        // repartition unconditionally
+        if (total == 0) Int.MaxValue else total
       } catch { case _: Exception => Int.MaxValue } // unknown: assume fine
     })
+  // NOTE: the cache assumes immutable inputs (true for the testdata and
+  // for any write-once corpus); rewriting a file at a cached path
+  // in-process would reuse the stale count
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
