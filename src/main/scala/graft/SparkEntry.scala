@@ -142,6 +142,10 @@ object SparkEntry {
     "doc_entropy" -> ((s, d) => TextQuality.docEntropy(s, d)),
     "pii_scrub" -> ((s, d) => TextQuality.piiScrub(s, d)),
     "label_centroids" -> ((s, d) => Vectors.labelCentroids(s, d)),
+    "vec_quantize" -> ((s, d) => Vectors.vecQuantize(s, d)),
+    "bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
+    "pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
+    "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
   )
 
   /** Shared by dedup_ngram_jaccard (exact path) and dedup_minhash_lsh:
@@ -1171,5 +1175,81 @@ object SparkEntry {
         |SELECT CAST(norms.label AS BIGINT) AS label, n_vecs, centroid_norm, avg_norm
         |FROM norms JOIN cent ON norms.label = cent.label
         |ORDER BY label""".stripMargin,
+    "vec_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+        |    embedding
+        |  FROM embeddings)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |  CASE WHEN scale = 0 THEN 0
+        |       ELSE CAST(list_sum(list_transform(embedding,
+        |         x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))) AS BIGINT)
+        |  END AS q_sum,
+        |  CASE WHEN scale = 0 THEN 0.0
+        |       ELSE round(list_max(list_transform(embedding,
+        |         x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale) * scale))), 9)
+        |  END AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+        |  FROM documents),
+        |w AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY doc_id),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |       FROM w WHERE word IN ('hash', 'join', 'scan', 'filter')
+        |       GROUP BY doc_id, word),
+        |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |      (tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 * dl / avgdl)),
+        |      12) AS DECIMAL(28,12)) AS s
+        |  FROM tf JOIN df ON tf.word = df.word
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN corpus)
+        |SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS bm25,
+        |       CAST(count(*) AS BIGINT) AS n_terms_hit
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 25""".stripMargin,
+    "pmi_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+        |  FROM documents),
+        |dw AS (SELECT DISTINCT doc_id, word FROM toks WHERE length(word) > 0),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |df AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY word
+        |  HAVING count(*) * 10 >= (SELECT n_docs FROM nd)),
+        |fdw AS (SELECT dw.doc_id, dw.word, df.df FROM dw JOIN df ON dw.word = df.word),
+        |pairs AS (
+        |  SELECT a.word AS word_a, b.word AS word_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab,
+        |    any_value(a.df) AS n_a, any_value(b.df) AS n_b
+        |  FROM fdw a JOIN fdw b ON a.doc_id = b.doc_id AND a.word < b.word
+        |  GROUP BY a.word, b.word
+        |  HAVING count(*) * 20 >= (SELECT n_docs FROM nd))
+        |SELECT word_a, word_b, n_ab,
+        |  round(ln(CAST(n_ab AS DOUBLE) * n_docs / (CAST(n_a AS DOUBLE) * n_b)), 6) AS pmi
+        |FROM pairs CROSS JOIN nd
+        |ORDER BY pmi DESC, word_a, word_b LIMIT 50""".stripMargin,
+    "data_mix" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split_regex(text, '[ \t\n]+'), t -> length(t) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |        CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 9) AS DECIMAL(28,9)) AS w_raw
+        |      FROM per),
+        |tot AS (SELECT sum(n_tokens) AS tot_tokens, sum(w_raw) AS tot_w FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(w_raw AS DOUBLE) / CAST(tot_w AS DOUBLE), 9) AS weight,
+        |  round((CAST(w_raw AS DOUBLE) / CAST(tot_w AS DOUBLE)) /
+        |        (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)), 6) AS oversample
+        |FROM w CROSS JOIN tot ORDER BY source""".stripMargin,
   )
 }

@@ -203,4 +203,47 @@ object Pipeline {
           " ")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_id"))
   }
+
+  /** Temperature-scaled data-mixing weights per source — the sampling
+    * table a multi-source pre-training run is configured from
+    * (UnifiedQA / GPT-3-style alpha-smoothing):
+    *
+    *   weight(s) ∝ n_tokens(s)^alpha        (alpha < 1 upweights
+    *                                         small sources)
+    *   oversample(s) = weight(s) / natural_share(s)
+    *
+    * One narrow aggregate over (source, token count) — partial-agg
+    * combines map-side to one row per source, so the shuffle carries
+    * |sources| rows regardless of corpus size; the normalizing sum is
+    * a broadcast of that tiny aggregate. Determinism: the powered
+    * weights are rounded to 9-dp DECIMAL before normalization, so the
+    * total is order-independent and the oracle reproduces it exactly.
+    */
+  def dataMix(spark: SparkSession, dir: String): DataFrame = {
+    // alpha is pinned at 0.5 so the power is sqrt — correctly rounded
+    // by IEEE 754 on every engine, unlike pow(x, 0.5) which libm does
+    // not guarantee to the last ulp
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), TextOps.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("w_raw",
+        round(sqrt(col("n_tokens").cast("double")), 9)
+          .cast("decimal(28,9)"))
+    val totals = per.agg(
+      sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("w_raw")).as("tot_w"))
+    // decimal sums keep the totals order-independent; the DIVISIONS
+    // happen in double (decimal/decimal rounding rules differ between
+    // engines, double division is IEEE-identical everywhere)
+    val share = col("w_raw").cast("double") / col("tot_w").cast("double")
+    per.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(share, 9).as("weight"),
+        round(share /
+          (col("n_tokens").cast("double") / col("tot_tokens").cast("double")),
+          6).as("oversample"))
+      .orderBy(col("source"))
+  }
 }

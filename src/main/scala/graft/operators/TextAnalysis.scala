@@ -228,4 +228,105 @@ object TextAnalysis {
         max(col("fp")).as("max_fp"),
         sum_distinct(col("fp")).as("fp_sum"))
       .orderBy(col("doc_id"))
+
+  /** BM25 ranked retrieval (Robertson/Lucene idf variant) for a fixed
+    * query term set — the relevance scorer an LLM-data search/filter
+    * stage runs over a corpus.
+    *
+    *   idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))
+    *   s(d,t)  = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    *   score(d) = sum over query terms of s(d,t)
+    *
+    * Scale shape: the term filter lands BEFORE the tf aggregate, so
+    * only rows for the |Q| query terms survive the explode (at 100 TB
+    * that is the difference between shuffling the corpus vocabulary
+    * and shuffling |Q| * n_docs scalar rows); doc length is its own
+    * narrow aggregate joined back on doc_id; df and the corpus
+    * constants are tiny broadcast sides. Determinism: tf/df/dl/N are
+    * exact integers, avgdl is ONE integer division; each per-term
+    * score is rounded to a 12-dp DECIMAL before the per-doc sum, so
+    * the sum is order-independent (float sums in shuffle order are
+    * not) and the DuckDB oracle reproduces it bit-for-bit.
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("hash", "join", "scan", "filter"),
+      k: Int = 25, k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    // k1/b defaults are exactly binary-representable (1.25, 0.75), so
+    // k1+1 and 1-b fold to exact constants on BOTH engines — 1.2 would
+    // make `k1 + 1` a round-to-nearest event the SQL literal 2.2 need
+    // not agree with
+    val toks = TextOps.explodedWords(Tables.documents(spark, dir), col("doc_id"))
+    val dl = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks
+      .filter(col("word").isin(queryTerms.map(x => x: Any): _*))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df_), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("s",
+        round(col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + (col("dl") * b / col("avgdl") + (1 - b)) * k1), 12)
+          .cast("decimal(28,12)"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")).cast("double"), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Pointwise mutual information over word co-occurrence — the
+    * collocation/topic-signal extractor:
+    *
+    *   pmi(a,b) = ln( (n_ab * N) / (n_a * n_b) )
+    *
+    * over DISTINCT (doc, word) presence, for words above a document-
+    * frequency floor (df >= N/dfDenom) and pairs above a support floor
+    * (n_ab >= N/pairDenom) — both RELATIVE to corpus size, so the
+    * operator's cost model is scale-invariant. The floors are pure
+    * INTEGER comparisons (df * dfDenom >= N): `ceil(N * 0.1)` would
+    * evaluate in double on one engine and decimal on the other, and
+    * 500 * 0.1 = 50.000000000000007 in IEEE — ceil 51 vs 50, a
+    * threshold off-by-one that silently changes the vocabulary.
+    *
+    * Scale shape: the df floor is applied before the self-join, which
+    * bounds the per-doc fanout at (frequent words per doc)^2 — per-doc
+    * quadratic, corpus linear — and the join is an equi-join on doc_id
+    * over narrow (doc_id, word) rows. The df side joins back via
+    * broadcast (it is at most the frequent vocabulary). All inputs to
+    * the ln are exact integers, so the oracle matches at 6 dp.
+    */
+  def pmiPairs(spark: SparkSession, dir: String,
+      dfDenom: Int = 10, pairDenom: Int = 20,
+      k: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dw = TextOps.explodedWords(docs, col("doc_id"))
+      .select(col("doc_id"), col("word")).distinct()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val df_ = dw.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * dfDenom >= col("n_docs"))
+      .select(col("word"), col("df"))
+    val fdw = dw.join(broadcast(df_), Seq("word"))
+    val a = fdw.select(col("doc_id"), col("word").as("word_a"), col("df").as("df_a"))
+    val bSide = fdw.select(col("doc_id"), col("word").as("word_b"), col("df").as("df_b"))
+    a.join(bSide, Seq("doc_id"))
+      .filter(col("word_a") < col("word_b"))
+      .groupBy(col("word_a"), col("word_b"))
+      .agg(count(lit(1)).as("n_ab"),
+        first(col("df_a")).as("n_a"), first(col("df_b")).as("n_b"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("n_ab") * pairDenom >= col("n_docs"))
+      .select(col("word_a"), col("word_b"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("n_docs") /
+          (col("n_a").cast("double") * col("n_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("word_a"), col("word_b"))
+      .limit(k)
+  }
 }

@@ -52,4 +52,45 @@ object Vectors {
         col("centroid_norm"), col("avg_norm"))
       .orderBy(col("label"))
   }
+
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * 4x-compression step a vector store applies before indexing:
+    *
+    *   scale = max(|v_i|) / 127,   q_i = round(v_i / scale)
+    *
+    * Per vector, emits the scale, a checksum of the quantized codes
+    * (sum — order-free, exact integers) and the max absolute
+    * reconstruction error. Pure per-row projection: no shuffle until
+    * the output sort, embeddings never leave their input partition —
+    * at 100 TB this runs at scan speed and the narrow (id, 3 scalars)
+    * result is all that moves. All arithmetic is IEEE double widened
+    * from the float input, identically reproducible in the oracle.
+    * Zero vectors (scale 0) quantize to all-zero codes with zero error
+    * rather than dividing by zero.
+    */
+  def vecQuantize(spark: SparkSession, dir: String): DataFrame =
+    // the working column is named scale_RAW, distinct from the rounded
+    // output alias "scale": lateral column alias resolution would
+    // otherwise bind same-select references to the freshly aliased
+    // (rounded) value and quantize against the wrong step size
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        (aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0d)
+          .as("scale_raw"),
+        col("embedding"))
+      .select(col("vec_id"), round(col("scale_raw"), 9).as("scale"),
+        when(col("scale_raw") === 0d, lit(0L)).otherwise(
+          aggregate(col("embedding"), lit(0L),
+            (acc, x) => acc + round(x.cast("double") / col("scale_raw"), 0)
+              .cast("long"))).as("q_sum"),
+        when(col("scale_raw") === 0d, lit(0.0d)).otherwise(
+          aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => greatest(acc,
+              abs(x.cast("double") -
+                round(x.cast("double") / col("scale_raw"), 0) * col("scale_raw")))))
+          .as("max_err"))
+      .select(col("vec_id"), col("scale"), col("q_sum"),
+        round(col("max_err"), 9).as("max_err"))
+      .orderBy(col("vec_id"))
 }

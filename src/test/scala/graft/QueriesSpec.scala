@@ -36,7 +36,8 @@ class QueriesSpec extends SparkTestBase {
     // 1-row broadcast scalar joins (corpus total / global average):
     // the build side is a single row, so the "nested loop" is one
     // comparison per streamed row — the intended plan
-    "doc_entropy", "q22_dormant_rich")
+    "doc_entropy", "q22_dormant_rich",
+    "bm25_topk", "pmi_pairs", "data_mix")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs and returns rows on sf0.001") {
