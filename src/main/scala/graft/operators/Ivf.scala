@@ -24,12 +24,6 @@ import graft.operators.Similarity.{cosine, topKPerQuery}
   */
 object Ivf {
 
-  /** posexploded (vec_id, pos, v as double) view of the corpus. */
-  private def unnested(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("pos", "v")))
-      .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
-
   /** Nearest-centroid assignment: broadcast the centroid array table,
     * score each (vector, centroid) pair, keep the argmin by (dist,
     * centroid id). Returns (vec_id, cell).
@@ -51,23 +45,38 @@ object Ivf {
   /** k deterministic Lloyd iterations. Init = the first k vectors by
     * id (deterministic; at scale you'd use k-means|| with a fixed
     * seed — same plan shape).
+    *
+    * Each iteration is exactly TWO exchanges: the assignment argmin
+    * (carrying the vector through as a first() — constant per group)
+    * and one wide aggregate of `dim` per-dimension DECIMAL sums keyed
+    * on the cell (the simhash trick: a fixed-width column battery
+    * map-side combines to one row per cell, where the posexplode
+    * formulation shuffled corpus x dim narrow rows and needed a second
+    * aggregate to re-assemble arrays). Means stay decimal-sum /
+    * count — order-independent, bit-identical to the per-dim layout.
     */
-  def buildCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  def buildCentroids(emb: DataFrame, k: Int, iters: Int,
+      dim: Int = 64): DataFrame = {
     var centroids = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"),
         col("embedding").as("cvec"))
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("embedding"), i + 1).cast("decimal(28,12)"))
+        .as(s"s$i"))
     (1 to iters).foreach { _ =>
-      val assigned = assign(emb, centroids)
-      centroids = unnested(emb)
-        .join(assigned, "vec_id")
-        .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
-          .cast("float").as("m"))
+      val assigned = emb
+        .crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          (-cosine(col("embedding"), col("cvec"))).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cell"),
+          first(col("embedding")).as("embedding"))
+      centroids = assigned
         .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .as("pm"))
+        .agg(count(lit(1)).as("n"), sums: _*)
         .select(col("cell").as("cid"),
-          transform(col("pm"), x => x.getField("m")).as("cvec"))
+          array((0 until dim).map(i =>
+            (col(s"s$i") / col("n")).cast("float")): _*).as("cvec"))
     }
     centroids
   }
