@@ -146,6 +146,9 @@ object SparkEntry {
     "bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
     "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
+    "dup_span_coverage" -> ((s, d) => Dedup.dupSpanCoverage(s, d)),
+    "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
+    "doc_perplexity" -> ((s, d) => TextAnalysis.docPerplexity(s, d)),
   )
 
   /** Shared by dedup_ngram_jaccard (exact path) and dedup_minhash_lsh:
@@ -1251,5 +1254,72 @@ object SparkEntry {
         |  round((CAST(w_raw AS DOUBLE) / CAST(tot_w AS DOUBLE)) /
         |        (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)), 6) AS oversample
         |FROM w CROSS JOIN tot ORDER BY source""".stripMargin,
+    "dup_span_coverage" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+        |  FROM words, unnest(range(1, len(ws) - 6)) AS t(i)
+        |  WHERE len(ws) >= 8),
+        |pg AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf
+        |       FROM g GROUP BY doc_id, gram),
+        |occ AS (SELECT gram, CAST(sum(tf) AS BIGINT) AS n_occ
+        |        FROM pg GROUP BY gram),
+        |per AS (
+        |  SELECT pg.doc_id,
+        |    CAST(sum(tf) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN n_occ > 1 THEN tf ELSE 0 END) AS BIGINT) AS n_dup_grams
+        |  FROM pg JOIN occ ON pg.gram = occ.gram
+        |  GROUP BY pg.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_grams, 0) AS n_grams,
+        |  COALESCE(n_dup_grams, 0) AS n_dup_grams,
+        |  CASE WHEN n_grams IS NULL THEN 0.0
+        |       ELSE round(CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+        |  END AS dup_frac
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_word
+        |       FROM toks WHERE length(word) >= 2 GROUP BY word),
+        |pairs AS (
+        |  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, n_word
+        |  FROM wc, unnest(range(1, length(word))) AS t(i))
+        |SELECT pair, CAST(sum(n_word) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "doc_perplexity" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |uni AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS c1
+        |        FROM (SELECT unnest(ws) AS w FROM words) GROUP BY w),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bg AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg, ws[i] AS w1,
+        |         CAST(count(*) AS BIGINT) AS tf
+        |  FROM words, unnest(range(1, len(ws))) AS t(i)
+        |  WHERE len(ws) >= 2
+        |  GROUP BY 1, 2, 3),
+        |c2 AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c2 FROM bg GROUP BY bg),
+        |scored AS (
+        |  SELECT doc_id, tf,
+        |    CAST(round(tf * -ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 12) AS DECIMAL(28,12)) AS term
+        |  FROM bg JOIN c2 USING (bg)
+        |  JOIN uni ON bg.w1 = uni.word
+        |  CROSS JOIN v),
+        |per AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |         round(CAST(sum(term) AS DOUBLE) / sum(tf), 6) AS cross_entropy
+        |  FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(cross_entropy, 0.0) AS cross_entropy
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -409,6 +409,58 @@ object Dedup {
     * best-effort (the blocking can miss pairs whose differing bits
     * spread across all chunks).
     */
+  /** Exact duplicated-span coverage — the substring-level dedup signal
+    * (the "how much of this doc appears verbatim elsewhere" metric a
+    * training-data pipeline uses to drop boilerplate-heavy pages,
+    * after Lee et al.'s exact-substring dedup): slide a k-word window
+    * over the normalized word stream, mark every window whose content
+    * occurs more than once in the CORPUS (cross-doc or repeated
+    * in-doc), and report per document the gram count, duplicated-gram
+    * count, and coverage fraction.
+    *
+    * Scale shape: grams travel as 64-bit xxhash keys, never strings —
+    * the shuffle carries (doc_id, hash, tf) after a map-side combine
+    * per (doc, gram). Occurrence totals are a second hash aggregate on
+    * the gram key; the membership join back is an equi-join on that
+    * same key, so the whole operator is explode -> two narrow hash
+    * aggs -> one equi-join -> per-doc agg. Nothing is driver-bound and
+    * no corpus text moves after the explode projection. The oracle
+    * groups the literal gram strings; hashed grouping matches it
+    * unless xxhash64 collides (~1e-9 at 1e5 grams).
+    */
+  def dupSpanCoverage(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perDocGram = docs
+      .select(col("doc_id"),
+        explode(TextOps.wordNgrams(col("text"), k)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .groupBy(col("doc_id"), col("gh"))
+      .agg(count(lit(1)).as("tf"))
+    val occ = perDocGram.groupBy(col("gh"))
+      .agg(sum(col("tf")).as("n_occ"))
+    val per = perDocGram
+      .join(occ, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_grams"),
+        sum(when(col("n_occ") > 1, col("tf")).otherwise(lit(0L)))
+          .as("n_dup_grams"))
+    // left join from the doc table keeps sub-k-word docs (zero grams);
+    // the frac is computed BEFORE the zero-fill select so the column
+    // references cannot laterally rebind to the fresh aliases
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .withColumn("dup_frac",
+        when(col("n_grams").isNull, lit(0.0))
+          .otherwise(round(col("n_dup_grams").cast("double") /
+            col("n_grams").cast("double"), 6)))
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        col("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def simhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
     // (doc_id, simhash) is 16 bytes/doc; materializing it means the

@@ -281,6 +281,88 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** First iteration of BPE tokenizer training: count adjacent
+    * character pairs over the corpus, weighted by word frequency — the
+    * pair with the max count is the merge a BPE trainer would perform.
+    * Emits the top-k candidate merges.
+    *
+    * Scale shape: the pair explode runs over the DISTINCT word table
+    * (Heaps' law: vocabulary grows ~sqrt of corpus, so the expensive
+    * per-character enumeration touches a tiny fraction of the input),
+    * carrying each word's corpus frequency as the weight. Two narrow
+    * hash aggregates (word counts, then pair sums) and a top-k — the
+    * corpus itself is read once, map-side combined to (word, count).
+    * Repeated pairs inside a word each count ("aaa" contributes "aa"
+    * twice), matching the reference BPE counting convention.
+    */
+  def bpePairs(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    TextOps.explodedWords(Tables.documents(spark, dir))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_word"))
+      .filter(length(col("word")) >= 2)
+      .select(col("n_word"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("n_word")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
+  /** Per-document cross-entropy under a Laplace-smoothed bigram LM
+    * trained on the corpus itself — the perplexity-style quality score
+    * a data pipeline uses to rank documents by "typicality" (KenLM
+    * filtering, CCNet-style):
+    *
+    *   P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)
+    *   ce(d)    = -(1/n_d) * sum over bigram slots of ln P
+    *
+    * Every count is an exact integer (bigram counts, unigram counts,
+    * vocabulary size), so the probabilities are ratios of integers and
+    * the score is engine-reproducible; each per-(doc, bigram) term is
+    * rounded to a 12-dp DECIMAL before the per-doc sum, making the sum
+    * order-independent under any partitioning.
+    *
+    * Scale shape: bigram slots are pre-aggregated per (doc, bigram) —
+    * map-side combined — before anything joins; the corpus bigram
+    * count comes from a window sum over the SAME shuffled layout (one
+    * exchange on the bigram key serves both the per-doc tf and the
+    * global count, no self-join re-scan); the unigram table joins on
+    * the prefix word (AQE broadcasts it while it fits, degrades to a
+    * hash join when the vocabulary outgrows that); V and the final
+    * per-doc aggregate are narrow.
+    */
+  def docPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val uni = TextOps.explodedWords(docs)
+      .groupBy(col("word")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bg = docs
+      .select(col("doc_id"),
+        explode(TextOps.wordNgrams(col("text"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("c2", sum(col("tf")).over(Window.partitionBy(col("bg"))))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val per = bg
+      .join(uni.withColumnRenamed("word", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("term",
+        round(col("tf") * -log((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")), 12)
+          .cast("decimal(28,12)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("term")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s").cast("double") / col("n_bigrams"), 6)
+          .as("cross_entropy"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .withColumn("ce0", coalesce(col("cross_entropy"), lit(0.0)))
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("ce0").as("cross_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pointwise mutual information over word co-occurrence — the
     * collocation/topic-signal extractor:
     *

@@ -67,6 +67,66 @@ class TrainingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bpe pairs: 2-char pairs, counts descend, top pair matches recount") {
+    val out = TextAnalysis.bpePairs(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getString(0).length === 2))
+    val ns = out.map(_.getLong(1))
+    assert(ns.sameElements(ns.sortBy(-_)), "pair counts not descending")
+    // recount the winning pair from the raw word stream
+    val (top, topN) = (out.head.getString(0), out.head.getLong(1))
+    val words = graft.functions.TextOps
+      .explodedWords(Tables.documents(spark, dir))
+      .collect().map(_.getString(0))
+    val recount = words.iterator.filter(_.length >= 2)
+      .map(w => (0 until w.length - 1).count(i => w.substring(i, i + 2) == top))
+      .sum
+    assert(recount.toLong === topN, s"top pair $top recount")
+  }
+
+  test("dup spans: coverage bounded, exact duplicate docs reach 1.0") {
+    val out = operators.Dedup.dupSpanCoverage(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+    assert(out.length === docs.count())
+    out.foreach { r =>
+      val (n, nd, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nd <= n, s"doc ${r.getLong(0)}: dup grams exceed grams")
+      assert(f >= 0.0 && f <= 1.0)
+      if (n == 0) assert(nd == 0 && f == 0.0)
+    }
+    // docs sharing an identical normalized word stream (and long enough
+    // to produce grams) must be fully covered on both sides
+    val fps = docs.select(col("doc_id"),
+        md5(graft.functions.TextOps.normalizedStream(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val dupDocs = fps.groupBy(_._2).filter(_._2.length > 1)
+      .values.flatMap(_.map(_._1).toSeq).toSet
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    dupDocs.foreach { d =>
+      val r = byId(d)
+      if (r.getLong(1) > 0)
+        assert(r.getDouble(3) === 1.0, s"exact-dup doc $d not fully covered")
+    }
+  }
+
+  test("perplexity: ce positive and bounded by ln((c_min+V)); zero-bigram docs are 0") {
+    val out = TextAnalysis.docPerplexity(spark, dir).collect()
+    assert(out.nonEmpty)
+    val vocab = graft.functions.TextOps
+      .explodedWords(Tables.documents(spark, dir))
+      .select(col("word")).distinct().count()
+    // Laplace bigram probs lie in (0, 1], so 0 <= ce <= ln(c_max + V)
+    // with c_max the largest unigram count; use total words as a loose cap
+    val totalWords = graft.functions.TextOps
+      .explodedWords(Tables.documents(spark, dir)).count()
+    val cap = math.log(totalWords.toDouble + vocab)
+    out.foreach { r =>
+      val (nBg, ce) = (r.getLong(1), r.getDouble(2))
+      if (nBg == 0) assert(ce === 0.0)
+      else assert(ce > 0.0 && ce <= cap, s"doc ${r.getLong(0)}: ce $ce")
+    }
+  }
+
   test("data mix: weights normalize to 1; sqrt-mixing upweights small sources") {
     val out = Pipeline.dataMix(spark, dir).collect()
     assert(out.length > 1)
