@@ -149,6 +149,8 @@ object SparkEntry {
     "dup_span_coverage" -> ((s, d) => Dedup.dupSpanCoverage(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "doc_perplexity" -> ((s, d) => TextAnalysis.docPerplexity(s, d)),
+    "rank_corr" -> ((s, d) => Analytics.rankCorr(s, d)),
+    "tfidf_cosine_pairs" -> ((s, d) => TextAnalysis.tfidfCosinePairs(s, d)),
   )
 
   /** Shared by dedup_ngram_jaccard (exact path) and dedup_minhash_lsh:
@@ -1321,5 +1323,66 @@ object SparkEntry {
         |  COALESCE(cross_entropy, 0.0) AS cross_entropy
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "rank_corr" ->
+      """WITH r AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y,
+        |    CAST(2 * RANK() OVER (ORDER BY l_quantity)
+        |         + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS BIGINT) AS rx2,
+        |    CAST(2 * RANK() OVER (ORDER BY l_extendedprice)
+        |         + COUNT(*) OVER (PARTITION BY l_extendedprice) - 1 AS BIGINT) AS ry2
+        |  FROM lineitem),
+        |s AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(rx2 AS DECIMAL(38,0))) AS sx,
+        |  sum(CAST(ry2 AS DECIMAL(38,0))) AS sy,
+        |  sum(CAST(rx2 AS DECIMAL(38,0)) * CAST(rx2 AS DECIMAL(38,0))) AS sxx,
+        |  sum(CAST(ry2 AS DECIMAL(38,0)) * CAST(ry2 AS DECIMAL(38,0))) AS syy,
+        |  sum(CAST(rx2 AS DECIMAL(38,0)) * CAST(ry2 AS DECIMAL(38,0))) AS sxy,
+        |  CAST(sum(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS px,
+        |  CAST(sum(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS py,
+        |  CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS pxx,
+        |  CAST(sum(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS pyy,
+        |  CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS pxy
+        |  FROM r)
+        |SELECT n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_qty_price,
+        |  round((n * pxy - px * py) /
+        |    (sqrt(n * pxx - px * px) * sqrt(n * pyy - py * py)), 6) AS pearson_qty_price
+        |FROM s""".stripMargin,
+    "tfidf_cosine_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks WHERE length(word) > 0 GROUP BY doc_id, word),
+        |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |vec AS (
+        |  SELECT doc_id, word, w FROM (
+        |    SELECT tf.doc_id, tf.word,
+        |      tf * ln(CAST(n AS DOUBLE) / df) AS w,
+        |      row_number() OVER (PARTITION BY tf.doc_id
+        |        ORDER BY tf * ln(CAST(n AS DOUBLE) / df) DESC, tf.word) AS rn
+        |    FROM tf JOIN df USING (word) CROSS JOIN nd
+        |    WHERE df * 8 <= n)
+        |  WHERE rn <= 8),
+        |norms AS (
+        |  SELECT doc_id,
+        |    sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        |  FROM vec GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |         sum(CAST(round(a.w * b.w, 12) AS DECIMAL(38,12))) AS dot
+        |  FROM vec a JOIN vec b ON a.word = b.word AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_id_1, doc_id_2,
+        |  round(CAST(dot AS DOUBLE) / (n1.nrm * n2.nrm), 6) AS cosine
+        |FROM dots
+        |JOIN norms n1 ON doc_id_1 = n1.doc_id
+        |JOIN norms n2 ON doc_id_2 = n2.doc_id
+        |WHERE CAST(dot AS DOUBLE) / (n1.nrm * n2.nrm) >= 0.7
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
   )
 }

@@ -81,6 +81,81 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Average-rank table for one column: (value, r2) where r2 = TWICE
+    * the tie-averaged rank — always an integer (avg rank is k or
+    * k+0.5), which keeps every downstream moment exact. Ranks come
+    * from a two-phase distributed prefix sum over the DISTINCT-value
+    * table (the Pipeline.packSequences pattern): range-partition the
+    * values, per-partition counts, prefix the per-partition partials
+    * (a window over #partitions rows — the only serial step), finish
+    * within partitions. No global single-reducer sort anywhere, which
+    * is what a naive rank() window would do.
+    */
+  private def avgRank2(rows: DataFrame, value: Column, out: String)
+      : DataFrame = {
+    val dist = rows.groupBy(value.as("v")).agg(count(lit(1)).as("cnt"))
+    val ranged = dist.repartitionByRange(col("v"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("pid"))
+      .agg(sum(col("cnt")).as("part_sum"))
+      .withColumn("offset",
+        coalesce(sum(col("part_sum")).over(wOff), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offsets), "pid")
+      .withColumn("cum_smaller",
+        col("offset") + coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+      .select(col("v").as(s"${out}_v"),
+        (col("cum_smaller") * 2 + col("cnt") + 1).as(out))
+  }
+
+  /** Spearman rank correlation (tie-averaged) between quantity and
+    * extended price, with the Pearson coefficient alongside — the
+    * monotone-vs-linear association pair an analyst reads together.
+    * Spearman = Pearson over average ranks; ranks are doubled so all
+    * five moments accumulate as exact DECIMAL integers (see the
+    * statistics policy above — Spearman is scale-invariant, so the
+    * doubling cancels). The rank join keys on the value itself;
+    * distinct-value tables are far smaller than the fact table and
+    * AQE broadcasts them when they fit.
+    */
+  def rankCorr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val rx = avgRank2(li, col("l_quantity"), "rx2")
+    val ry = avgRank2(li, col("l_extendedprice"), "ry2")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val joined = li
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      .join(rx, col("x") === col("rx2_v"))
+      .join(ry, col("y") === col("ry2_v"))
+    val s = joined.agg(
+      count(lit(1)).as("n"),
+      sum(d38(col("rx2"))).as("sx"),
+      sum(d38(col("ry2"))).as("sy"),
+      sum(d38(col("rx2")) * d38(col("rx2"))).as("sxx"),
+      sum(d38(col("ry2")) * d38(col("ry2"))).as("syy"),
+      sum(d38(col("rx2")) * d38(col("ry2"))).as("sxy"),
+      decSum(col("x"), 2).as("px"),
+      decSum(col("y"), 2).as("py"),
+      decSum(col("x") * col("x"), 4).as("pxx"),
+      decSum(col("y") * col("y"), 4).as("pyy"),
+      decSum(col("x") * col("y"), 4).as("pxy"))
+    s.select(
+      col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+          sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+        6).as("spearman_qty_price"),
+      round((col("n") * col("pxy") - col("px") * col("py")) /
+        (sqrt(col("n") * col("pxx") - col("px") * col("px")) *
+          sqrt(col("n") * col("pyy") - col("py") * col("py"))), 6)
+        .as("pearson_qty_price"))
+  }
+
   /** Date arithmetic: order→ship latency in days, aggregated by order
     * month. The join shuffles on the order key; day differences are
     * exact integers so every aggregate is engine-exact.

@@ -281,6 +281,70 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** All-pairs document cosine similarity over TRUNCATED tf-idf
+    * vectors: each doc is represented by its top-m tf-idf terms and
+    * pairs scoring >= threshold on those signatures are emitted. This
+    * is the sparse-vector APSS operator (the text-side complement of
+    * the embedding near-dup family) with the truncation acting as the
+    * prefix filter: high-df terms carry low idf and never make a
+    * top-m, so posting lists stay short and the term self-join fanout
+    * is bounded by (docs sharing a DISCRIMINATIVE term)^2 instead of
+    * (docs sharing "the")^2 — the difference between an all-pairs
+    * explosion and a linear-ish candidate set at 100 TB.
+    *
+    * Determinism: tf/df/N are exact integers; w = tf * ln(N/df) is one
+    * IEEE multiply+ln; the top-m cut breaks ties on the word; every
+    * w_a*w_b product is rounded to a 12-dp DECIMAL before the dot-
+    * product sum, so dots are order-independent; norms use the same
+    * discipline. The truncated vector table is checkpointed once and
+    * feeds the norm aggregate and both self-join sides.
+    */
+  def tfidfCosinePairs(spark: SparkSession, dir: String,
+      m: Int = 8, threshold: Double = 0.7, dfCapDenom: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = TextOps.explodedWords(docs, col("doc_id"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n"))
+    val wTop = Window.partitionBy(col("doc_id"))
+      .orderBy(col("w").desc, col("word"))
+    // eligibility floor BEFORE the top-m cut: only terms in at most
+    // N/dfCapDenom docs can enter a signature (integer comparison — no
+    // float threshold). This hard-bounds every posting list at
+    // N/dfCapDenom regardless of corpus shape; idf alone de-ranks
+    // common terms but cannot bound the worst-case fanout when the
+    // whole corpus shares a mid-frequency vocabulary.
+    val vec = tf.join(broadcast(df_), Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * dfCapDenom <= col("n"))
+      .withColumn("w", col("tf") * log(col("n").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= m)
+      .select(col("doc_id"), col("word"), col("w"))
+      .localCheckpoint(eager = false)
+    val norms = vec.groupBy(col("doc_id"))
+      .agg(sqrt(sum(round(col("w") * col("w"), 12).cast("decimal(38,12)"))
+        .cast("double")).as("norm"))
+    val dots = vec
+      .select(col("doc_id").as("doc_id_1"), col("word"), col("w").as("w1"))
+      .join(vec.select(col("doc_id").as("doc_id_2"), col("word"),
+        col("w").as("w2")), Seq("word"))
+      .filter(col("doc_id_1") < col("doc_id_2"))
+      .groupBy(col("doc_id_1"), col("doc_id_2"))
+      .agg(sum(round(col("w1") * col("w2"), 12).cast("decimal(38,12)"))
+        .as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_id_1"),
+        col("norm").as("n1")), "doc_id_1")
+      .join(norms.select(col("doc_id").as("doc_id_2"),
+        col("norm").as("n2")), "doc_id_2")
+      .withColumn("cosine", col("dot").cast("double") / (col("n1") * col("n2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_id_1"), col("doc_id_2"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+  }
+
   /** First iteration of BPE tokenizer training: count adjacent
     * character pairs over the corpus, weighted by word frequency — the
     * pair with the max count is the merge a BPE trainer would perform.

@@ -37,7 +37,8 @@ class QueriesSpec extends SparkTestBase {
     // the build side is a single row, so the "nested loop" is one
     // comparison per streamed row — the intended plan
     "doc_entropy", "q22_dormant_rich",
-    "bm25_topk", "pmi_pairs", "data_mix", "doc_perplexity")
+    "bm25_topk", "pmi_pairs", "data_mix", "doc_perplexity",
+    "tfidf_cosine_pairs")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs and returns rows on sf0.001") {
