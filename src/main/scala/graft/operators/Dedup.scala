@@ -431,10 +431,26 @@ object Dedup {
   def dupSpanCoverage(spark: SparkSession, dir: String,
       k: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val perDocGram = docs
+    // posexplode + lead-window gram assembly, NOT explode(wordNgrams):
+    // see docNgrams — the array HOF path is interpreted and ~10x
+    // slower on this hot path. Same gram strings, hashed to 64-bit
+    // keys, with multiplicity kept (no distinct — within-doc repeats
+    // are part of the signal).
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = docs
       .select(col("doc_id"),
-        explode(TextOps.wordNgrams(col("text"), k)).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+        posexplode(split(col("text"), TextOps.TokenSplitRe))
+          .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        TextOps.normalize(col("tok")).as("w0"))
+      .filter(length(col("w0")) > 0)
+    val leads = (1 until k).map(i => lead(col("w0"), i).over(w).as(s"w$i"))
+    val perDocGram = words
+      .select(col("doc_id") +: col("w0") +: leads: _*)
+      .filter(col(s"w${k - 1}").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", (0 until k).map(i => col(s"w$i")): _*))
+          .as("gh"))
       .groupBy(col("doc_id"), col("gh"))
       .agg(count(lit(1)).as("tf"))
     val occ = perDocGram.groupBy(col("gh"))

@@ -399,13 +399,25 @@ object TextAnalysis {
     val uni = TextOps.explodedWords(docs)
       .groupBy(col("word")).agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
+    // posexplode + lead bigram assembly (see Dedup.docNgrams — the
+    // array-HOF path is interpreted); the bigram travels as a 64-bit
+    // hash key: it is only ever grouped/windowed on, never output, and
+    // the prefix word rides along as its own column
+    val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val bg = docs
       .select(col("doc_id"),
-        explode(TextOps.wordNgrams(col("text"), 2)).as("bg"))
-      .groupBy(col("doc_id"), col("bg"))
+        posexplode(split(col("text"), TextOps.TokenSplitRe))
+          .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        TextOps.normalize(col("tok")).as("wa"))
+      .filter(length(col("wa")) > 0)
+      .withColumn("wb", lead(col("wa"), 1).over(wPos))
+      .filter(col("wb").isNotNull)
+      .select(col("doc_id"), col("wa").as("w1"),
+        xxhash64(concat_ws(" ", col("wa"), col("wb"))).as("bg"))
+      .groupBy(col("doc_id"), col("bg"), col("w1"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("c2", sum(col("tf")).over(Window.partitionBy(col("bg"))))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
     val per = bg
       .join(uni.withColumnRenamed("word", "w1"), Seq("w1"))
       .crossJoin(broadcast(vocab))
