@@ -151,6 +151,8 @@ object SparkEntry {
     "doc_perplexity" -> ((s, d) => TextAnalysis.docPerplexity(s, d)),
     "rank_corr" -> ((s, d) => Analytics.rankCorr(s, d)),
     "tfidf_cosine_pairs" -> ((s, d) => TextAnalysis.tfidfCosinePairs(s, d)),
+    "weighted_sample" -> ((s, d) => Analytics.weightedSample(s, d)),
+    "cms_heavy_hitters" -> ((s, d) => TextAnalysis.cmsHeavyHitters(s, d)),
   )
 
   /** Shared by dedup_ngram_jaccard (exact path) and dedup_minhash_lsh:
@@ -1384,5 +1386,15 @@ object SparkEntry {
         |JOIN norms n2 ON doc_id_2 = n2.doc_id
         |WHERE CAST(dot AS DOUBLE) / (n1.nrm * n2.nrm) >= 0.7
         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+    "weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '[ \t\n]+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+        |    (CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, round(-ln(u) / n_tokens, 9) AS es_key
+        |FROM t WHERE n_tokens > 0
+        |ORDER BY -ln(u) / n_tokens, doc_id
+        |LIMIT 20""".stripMargin,
   )
 }

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import scala.util.hashing.MurmurHash3
+
+/** Count-min sketch as a typed Aggregator: a d x w grid of long
+  * counters; every input increments one cell per row (d independent
+  * hash rows), and a point estimate reads the MINIMUM of its d cells —
+  * an upper bound on the true count that overshoots only when all d
+  * cells collide with other keys.
+  *
+  * The properties that matter at 100 TB:
+  *  - `merge` is elementwise sum — commutative and associative, so the
+  *    sketch composes map-side (each task builds a local grid, the
+  *    shuffle carries d*w longs per task instead of the stream) and
+  *    across corpora/days (mergeable-sketch contract, same as the HLL
+  *    rollup).
+  *  - the buffer is O(d*w) — 32 KB at the defaults — regardless of
+  *    stream size or cardinality.
+  *  - estimates are DETERMINISTIC for a fixed input multiset: counters
+  *    are sums, hashes are fixed-seed MurmurHash3 — no RNG, no
+  *    partition-order dependence.
+  */
+class CountMinAggregator(d: Int, w: Int)
+    extends Aggregator[String, Array[Long], Array[Long]] {
+
+  override def zero: Array[Long] = new Array[Long](d * w)
+
+  override def reduce(buf: Array[Long], x: String): Array[Long] = {
+    var i = 0
+    while (i < d) {
+      buf(i * w + CountMinAggregator.cell(x, i, w)) += 1L
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(r: Array[Long]): Array[Long] = r
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+}
+
+object CountMinAggregator {
+  /** Column index of `x` in hash row `row` — fixed-seed MurmurHash3,
+    * floor-mod to stay non-negative.
+    */
+  def cell(x: String, row: Int, w: Int): Int =
+    math.floorMod(MurmurHash3.stringHash(x, row), w)
+
+  /** Point estimate: min over the d cells of `x`. Never undercounts. */
+  def estimate(sketch: Seq[Long], x: String, d: Int, w: Int): Long = {
+    var m = Long.MaxValue
+    var i = 0
+    while (i < d) {
+      m = math.min(m, sketch(i * w + cell(x, i, w)))
+      i += 1
+    }
+    m
+  }
+}

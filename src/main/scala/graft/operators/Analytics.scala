@@ -395,6 +395,36 @@ object Analytics {
       .orderBy(col("lang"), col("pick"))
   }
 
+  /** Weight-proportional sampling without replacement (Efraimidis-
+    * Spirakis A-ES), deterministic: each doc draws its "uniform" from
+    * the md5 of its content — u = (first 8 hex digits + 0.5) / 2^32 —
+    * and is ranked by the exponential-jump key -ln(u)/weight; the k
+    * smallest keys are the sample. P(doc in sample) is proportional to
+    * its token count (for k << N), which is exactly the
+    * token-budget-weighted corpus subsample a training run draws.
+    *
+    * Same reproducibility contract as hashSample/quotaSample: the draw
+    * is a pure function of content, so the sample is identical on any
+    * cluster, partitioning, or engine. The k-smallest select compiles
+    * to TakeOrderedAndProject — each partition keeps its local k, the
+    * driver merges k-sized heaps; nothing global is sorted.
+    */
+  def weightedSample(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    val u = (conv(substring(md5(col("text")), 1, 8), 16, 10)
+      .cast("double") + 0.5d) / lit(4294967296.0d)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        u.as("u"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("es_key", -log(col("u")) / col("n_tokens"))
+      .orderBy(col("es_key"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("es_key"), 9).as("es_key"))
+  }
+
   /** Correlated scalar subquery through the SQL front-end: Catalyst
     * decorrelates it into an outer-joined aggregate — proof the engine
     * runs subquery SQL as set-oriented plans, never a per-row loop.

@@ -281,6 +281,34 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Heavy-hitter accuracy audit for the count-min sketch: build one
+    * CMS over the full word stream (a single mergeable aggregate — see
+    * CountMinAggregator for the scale contract), then report, for the
+    * exact top-k words, the exact count next to the sketch estimate
+    * and its overcount. The exact side exists to MEASURE the sketch;
+    * in a production flow the sketch alone answers point queries over
+    * streams a full groupBy could not hold.
+    *
+    * The estimate UDF runs on k rows against the broadcast 1-row
+    * sketch — a cold path; the hot path (the stream aggregate) is the
+    * codegen'd UDAF with map-side partial grids.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String, k: Int = 20,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    val words = TextOps.explodedWords(Tables.documents(spark, dir))
+    val cms = udaf(new graft.functions.CountMinAggregator(d, w))
+    val sketch = words.agg(cms(col("word")).as("sk"))
+    val exact = words.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("word")).limit(k)
+    val est = udf((sk: Seq[Long], x: String) =>
+      graft.functions.CountMinAggregator.estimate(sk, x, d, w))
+    exact.crossJoin(broadcast(sketch))
+      .select(col("word"), col("n_exact"),
+        est(col("sk"), col("word")).as("n_est"))
+      .withColumn("overcount", col("n_est") - col("n_exact"))
+      .orderBy(col("n_exact").desc, col("word"))
+  }
+
   /** All-pairs document cosine similarity over TRUNCATED tf-idf
     * vectors: each doc is represented by its top-m tf-idf terms and
     * pairs scoring >= threshold on those signatures are emitted. This

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Pipeline, TextAnalysis, Vectors}
+import graft.operators.{Analytics, Pipeline, TextAnalysis, Vectors}
 import graft.sources.Tables
 
 /** Semantic properties of the round-5 training-pipeline additions:
@@ -124,6 +124,62 @@ class TrainingOpsSpec extends SparkTestBase {
       val (nBg, ce) = (r.getLong(1), r.getDouble(2))
       if (nBg == 0) assert(ce === 0.0)
       else assert(ce > 0.0 && ce <= cap, s"doc ${r.getLong(0)}: ce $ce")
+    }
+  }
+
+  test("cms: never undercounts, linear under merge, op output consistent") {
+    import graft.functions.CountMinAggregator
+    val (d, w) = (4, 1024)
+    val words = graft.functions.TextOps
+      .explodedWords(Tables.documents(spark, dir))
+      .collect().map(_.getString(0))
+    val agg = new CountMinAggregator(d, w)
+    val sketch = words.foldLeft(agg.zero)(agg.reduce)
+    val exact = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // hard CMS guarantee: the estimate never undercounts
+    exact.foreach { case (x, n) =>
+      assert(CountMinAggregator.estimate(sketch.toSeq, x, d, w) >= n,
+        s"undercount for $x")
+    }
+    // linearity: sketching two halves and merging == sketching the whole
+    val (h1, h2) = words.splitAt(words.length / 2)
+    val merged = agg.merge(h1.foldLeft(agg.zero)(agg.reduce),
+      h2.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.sameElements(sketch), "merge is not linear")
+    // the registered query agrees with the local recomputation
+    val out = TextAnalysis.cmsHeavyHitters(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) === exact(r.getString(0)), s"${r.getString(0)} exact")
+      assert(r.getLong(2) ===
+        CountMinAggregator.estimate(sketch.toSeq, r.getString(0), d, w))
+      assert(r.getLong(3) >= 0, "negative overcount")
+    }
+  }
+
+  test("weighted sample: keys recompute from content, membership is the k smallest") {
+    val out = Analytics.weightedSample(spark, dir).collect()
+    assert(out.length === 20)
+    // recompute every doc's A-ES key from first principles
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+    val keys = docs.flatMap { r =>
+      val toks = r.getString(1).split("[ \t\n]+").count(_.nonEmpty)
+      if (toks == 0) None
+      else {
+        val u = (java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(
+            r.getString(1)).substring(0, 8), 16) + 0.5) / 4294967296.0
+        Some((r.getLong(0), toks.toLong, -math.log(u) / toks))
+      }
+    }
+    val expect = keys.sortBy(t => (t._3, t._1)).take(20)
+    assert(out.map(_.getLong(0)).toSet === expect.map(_._1).toSet,
+      "sample membership differs from brute-force A-ES")
+    out.foreach { r =>
+      val k = expect.find(_._1 == r.getLong(0)).get
+      assert(r.getLong(1) === k._2)
+      assert(math.abs(r.getDouble(2) - k._3) < 1e-9)
     }
   }
 
