@@ -67,6 +67,16 @@ object ScaleSmoke {
     time("exact_dedup")(
       graft.operators.Dedup.exactClusters(docs, md5(col("text")))
         .write.format("noop").mode("overwrite").save())
+    time("dup_span_coverage")(
+      graft.operators.Dedup.dupSpanCoverage(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+    // under Nx replication every doc has N exact copies, so the
+    // signature posting lists grow Nx and candidate pairs N^2x — the
+    // exact-dedup-first pipeline ordering exists precisely because
+    // APSS on an undeduplicated corpus is quadratic in the dup factor
+    time("tfidf_cosine_pairs")(
+      graft.operators.TextAnalysis.tfidfCosinePairs(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
     // vector side: brute force pays O(|Q| x N) full dot products EVERY
     // query batch; PQ pays a one-time build, then each batch touches
     // N 8-byte codes + a constant-size exact rerank. Timed separately
