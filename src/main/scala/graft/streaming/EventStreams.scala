@@ -73,6 +73,37 @@ object EventStreams {
           .as("gap_sec"))
   }
 
+  /** Watermarked hourly count-min sketch over the event-type stream:
+    * each 1-hour window aggregates ONE mergeable d x w counter grid
+    * (see functions.CountMinAggregator) alongside exact counts for two
+    * probe types, and emits the sketch estimates next to the truth.
+    * The streaming state per window is the fixed-size grid — the
+    * sketch answers point frequency queries over key spaces whose
+    * exact per-key state would not fit (per-URL, per-user agents, ...),
+    * while composing with watermark-based window expiry exactly like
+    * any other mergeable aggregate (partial grids merge across
+    * micro-batches by elementwise sum, so the result is independent of
+    * batch boundaries — asserted against the batch run in the spec).
+    */
+  def hourlyTypeSketch(events: DataFrame, d: Int = 4, w: Int = 1024)
+      : DataFrame = {
+    val cms = udaf(new graft.functions.CountMinAggregator(d, w))
+    val est = udf((sk: Seq[Long], x: String) =>
+      graft.functions.CountMinAggregator.estimate(sk, x, d, w))
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(cms(col("event_type")).as("sk"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "error", 1)).as("n_error"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_start"),
+        est(col("sk"), lit("purchase")).as("n_purchase_est"),
+        col("n_purchase"),
+        est(col("sk"), lit("error")).as("n_error_est"),
+        col("n_error"))
+  }
+
   /** Streaming exact dedup with BOUNDED state:
     * dropDuplicatesWithinWatermark keeps a key in state only until the
     * watermark passes its event time, so state is O(keys per watermark

@@ -27,6 +27,32 @@ class StreamingSpec extends SparkTestBase {
     assert(got.sameElements(want))
   }
 
+  test("streaming hourly CMS sketch matches the batch sketch and never undercounts") {
+    val stream = EventStreams.hourlyTypeSketch(
+      EventStreams.readEvents(spark, sf("sf0.001")))
+    val q = stream.writeStream
+      .format("memory").queryName("cms_stream")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("cms_stream")
+      .orderBy("hour_start").collect()
+    assert(got.nonEmpty)
+    // the estimate never undercounts, per window
+    got.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), s"purchase undercount at ${r.getLong(0)}")
+      assert(r.getLong(3) >= r.getLong(4), s"error undercount at ${r.getLong(0)}")
+    }
+    // batch-boundary independence: the same aggregate over the batch
+    // reader produces identical rows (merge is elementwise sum)
+    val batchEvents = graft.sources.Tables.events(spark, sf("sf0.001"))
+    val want = EventStreams.hourlyTypeSketch(batchEvents)
+      .orderBy("hour_start").collect()
+    assert(got.sameElements(want),
+      "streaming sketch differs from the batch sketch")
+  }
+
   test("AvailableNow trigger drains the source, terminates, and resumes from checkpoint") {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
