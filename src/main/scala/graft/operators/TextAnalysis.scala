@@ -429,10 +429,10 @@ object TextAnalysis {
     val vocab = uni.agg(count(lit(1)).as("v"))
     // posexplode + lead bigram assembly (see Dedup.docNgrams — the
     // array-HOF path is interpreted); the bigram travels as a 64-bit
-    // hash key: it is only ever grouped/windowed on, never output, and
+    // hash key: it is only ever grouped/joined on, never output, and
     // the prefix word rides along as its own column
     val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bg = docs
+    val perDocBg = docs
       .select(col("doc_id"),
         posexplode(split(col("text"), TextOps.TokenSplitRe))
           .as(Seq("pos", "tok")))
@@ -445,7 +445,16 @@ object TextAnalysis {
         xxhash64(concat_ws(" ", col("wa"), col("wb"))).as("bg"))
       .groupBy(col("doc_id"), col("bg"), col("w1"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("c2", sum(col("tf")).over(Window.partitionBy(col("bg"))))
+      .localCheckpoint(eager = false)
+    // corpus bigram count as an AGGREGATE + equi-join, not a
+    // sum-over-partitionBy(bg) window: a mega-hot bigram ("of the")
+    // would funnel every doc containing it through ONE window task —
+    // windows cannot be skew-split — while the aggregate map-side
+    // combines to one row per bigram and the join back is an
+    // AQE-splittable shuffle join. The checkpoint shares the per-doc
+    // table between the two consumers.
+    val c2 = perDocBg.groupBy(col("bg")).agg(sum(col("tf")).as("c2"))
+    val bg = perDocBg.join(c2, Seq("bg"))
     val per = bg
       .join(uni.withColumnRenamed("word", "w1"), Seq("w1"))
       .crossJoin(broadcast(vocab))
