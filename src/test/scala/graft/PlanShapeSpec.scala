@@ -177,6 +177,49 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"eval-set n-grams should broadcast to the training scan:\n$plan")
   }
 
+  test("weighted_sample: top-k by A-ES key plans TakeOrdered with zero shuffles") {
+    val plan = planOf("weighted_sample")
+    assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString)
+    val shuffles = collect(plan) { case s: ShuffleExchangeLike => s }
+    assert(shuffles.isEmpty,
+      s"per-row keys + TakeOrdered must not shuffle:\n$plan")
+  }
+
+  test("bpe_pairs: the pair ranking plans TakeOrderedAndProject") {
+    assert(planOf("bpe_pairs").toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("dup_span_coverage: every documents scan is pruned (no lang/source)") {
+    // two scans: the gram pipeline reads (doc_id, text); the zero-fill
+    // left-join base reads doc_id alone — neither may read the rest
+    val scans = collectLeaves(planOf("dup_span_coverage"))
+      .map(_.toString).filter(_.contains("documents"))
+    assert(scans.nonEmpty)
+    assert(scans.exists(s => s.contains("doc_id") && s.contains("text")))
+    scans.foreach(s =>
+      assert(!s.contains("lang") && !s.contains("source"),
+        s"scan reads pruned columns:\n$s"))
+  }
+
+  test("rank_corr: lineitem scan is pruned to the two correlated columns") {
+    val scan = collectLeaves(planOf("rank_corr"))
+      .map(_.toString).find(_.contains("lineitem")).get
+    assert(scan.contains("l_quantity") && scan.contains("l_extendedprice"),
+      scan)
+    assert(!scan.contains("l_orderkey") && !scan.contains("l_shipdate"),
+      s"scan reads pruned columns:\n$scan")
+  }
+
+  test("cms_heavy_hitters: the sketch aggregate partial-combines map-side") {
+    // the UDAF must show up as a partial/final ObjectHashAggregate pair —
+    // one grid per task merged by elementwise sum, not rows to one reducer
+    val aggs = collect(planOf("cms_heavy_hitters")) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(aggs.size >= 2,
+      "expected partial+final ObjectHashAggregate for the CMS UDAF")
+  }
+
   test("join strategy hints are honored (shuffle_hash / merge / broadcast)") {
     import org.apache.spark.sql.functions.col
     val o = graft.sources.Tables.orders(spark, sf("sf0.001"))
