@@ -74,6 +74,7 @@ object SparkEntry {
     "cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupExact(s, d)),
     "cosine_near_dup_lsh" -> ((s, d) => Similarity.cosineNearDupLsh(s, d)),
     "knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(s, d)),
     "split_assign" -> ((s, d) => Pipeline.splitAssign(s, d)),
     "pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
@@ -1396,5 +1397,30 @@ object SparkEntry {
         |FROM t WHERE n_tokens > 0
         |ORDER BY -ln(u) / n_tokens, doc_id
         |LIMIT 20""".stripMargin,
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS q_label, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, q_label, vec_id, label,
+        |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM q JOIN c ON vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos, (label = q_label) AS same,
+        |    row_number() OVER (PARTITION BY query_id, (label = q_label)
+        |                       ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored),
+        |pos AS (SELECT query_id, vec_id AS pos_id, cos AS pos_cos
+        |        FROM ranked WHERE same AND rn = 1),
+        |neg AS (SELECT query_id, vec_id AS neg_id, cos AS neg_cos
+        |        FROM ranked WHERE NOT same AND rn = 1)
+        |SELECT q.query_id, CAST(q.q_label AS BIGINT) AS q_label,
+        |  pos_id, round(pos_cos, 6) AS pos_cos,
+        |  neg_id, round(neg_cos, 6) AS neg_cos,
+        |  round(pos_cos - neg_cos, 6) AS margin
+        |FROM q
+        |LEFT JOIN pos ON q.query_id = pos.query_id
+        |LEFT JOIN neg ON q.query_id = neg.query_id
+        |ORDER BY q.query_id""".stripMargin,
   )
 }

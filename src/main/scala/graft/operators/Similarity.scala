@@ -215,6 +215,46 @@ object Similarity {
     * (label, language, shard); an unblocked corpus-wide kNN graph goes
     * through the ANN paths (LSH/IVF/PQ) instead.
     */
+  /** Contrastive-pair mining: for each query vector, the most similar
+    * SAME-label vector (the positive) and the most similar OTHER-label
+    * vector (the hard negative), plus the contrastive margin — the
+    * batch-construction op a metric-learning / embedding-finetune
+    * pipeline runs over an embedded corpus.
+    *
+    * One brute-force pass against the broadcast query set (the
+    * cosine_topk shape) and ONE aggregate: both argmaxes are
+    * conditional max_by's over the same scored stream (rows of the
+    * other class carry a NULL ordering key and are ignored by max_by),
+    * so corpus scan + scoring happen exactly once. Ties break on the
+    * lower vec_id via the (cos, -vec_id) ordering struct. A query
+    * whose class has no second member yields NULL positive columns
+    * rather than dropping the row.
+    */
+  def hardNegatives(spark: SparkSession, dir: String,
+      nQueries: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("qv"))
+      .filter(col("query_id") < nQueries)
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+    def argmax(cond: Column) = max_by(
+      struct(col("vec_id"), col("cos")),
+      when(cond, struct(col("cos"), -col("vec_id"))))
+    scored.groupBy(col("query_id"), col("q_label"))
+      .agg(argmax(col("label") === col("q_label")).as("pos"),
+        argmax(col("label") =!= col("q_label")).as("neg"))
+      .select(col("query_id"), col("q_label").cast("long").as("q_label"),
+        col("pos.vec_id").as("pos_id"),
+        round(col("pos.cos"), 6).as("pos_cos"),
+        col("neg.vec_id").as("neg_id"),
+        round(col("neg.cos"), 6).as("neg_cos"),
+        round(col("pos.cos") - col("neg.cos"), 6).as("margin"))
+      .orderBy(col("query_id"))
+  }
+
   def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
