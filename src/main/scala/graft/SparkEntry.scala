@@ -1327,20 +1327,19 @@ object SparkEntry {
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "rank_corr" ->
-      """WITH r AS (
+      """WITH nr AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM lineitem),
+        |r AS (
         |  SELECT l_quantity AS x, l_extendedprice AS y,
         |    CAST(2 * RANK() OVER (ORDER BY l_quantity)
-        |         + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS BIGINT) AS rx2,
+        |         + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS BIGINT) - nr - 1 AS cx,
         |    CAST(2 * RANK() OVER (ORDER BY l_extendedprice)
-        |         + COUNT(*) OVER (PARTITION BY l_extendedprice) - 1 AS BIGINT) AS ry2
-        |  FROM lineitem),
+        |         + COUNT(*) OVER (PARTITION BY l_extendedprice) - 1 AS BIGINT) - nr - 1 AS cy
+        |  FROM lineitem CROSS JOIN nr),
         |s AS (SELECT
         |  CAST(count(*) AS BIGINT) AS n,
-        |  sum(CAST(rx2 AS DECIMAL(38,0))) AS sx,
-        |  sum(CAST(ry2 AS DECIMAL(38,0))) AS sy,
-        |  sum(CAST(rx2 AS DECIMAL(38,0)) * CAST(rx2 AS DECIMAL(38,0))) AS sxx,
-        |  sum(CAST(ry2 AS DECIMAL(38,0)) * CAST(ry2 AS DECIMAL(38,0))) AS syy,
-        |  sum(CAST(rx2 AS DECIMAL(38,0)) * CAST(ry2 AS DECIMAL(38,0))) AS sxy,
+        |  sum(CAST(cx AS DECIMAL(38,0)) * CAST(cx AS DECIMAL(38,0))) AS sxx,
+        |  sum(CAST(cy AS DECIMAL(38,0)) * CAST(cy AS DECIMAL(38,0))) AS syy,
+        |  sum(CAST(cx AS DECIMAL(38,0)) * CAST(cy AS DECIMAL(38,0))) AS sxy,
         |  CAST(sum(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS px,
         |  CAST(sum(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS py,
         |  CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS pxx,
@@ -1348,9 +1347,8 @@ object SparkEntry {
         |  CAST(sum(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS pxy
         |  FROM r)
         |SELECT n,
-        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_qty_price,
+        |  round(CAST(sxy AS DOUBLE) /
+        |    (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))), 6) AS spearman_qty_price,
         |  round((n * pxy - px * py) /
         |    (sqrt(n * pxx - px * px) * sqrt(n * pyy - py * py)), 6) AS pearson_qty_price
         |FROM s""".stripMargin,

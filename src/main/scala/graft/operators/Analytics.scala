@@ -117,28 +117,36 @@ object Analytics {
     * extended price, with the Pearson coefficient alongside — the
     * monotone-vs-linear association pair an analyst reads together.
     * Spearman = Pearson over average ranks; ranks are doubled so all
-    * five moments accumulate as exact DECIMAL integers (see the
-    * statistics policy above — Spearman is scale-invariant, so the
-    * doubling cancels). The rank join keys on the value itself;
-    * distinct-value tables are far smaller than the fact table and
-    * AQE broadcasts them when they fit.
+    * moments accumulate as exact DECIMAL integers (see the statistics
+    * policy above — Spearman is scale-invariant, so the doubling
+    * cancels), and CENTERED before squaring: the tie-averaged rank sum
+    * is exactly n(n+1)/2, so cx = 2*avgrank - (n+1) is an integer with
+    * an exactly-zero sum, the cross moments ARE the covariances (no
+    * n*Sxy - Sx*Sy cancellation), and their magnitude stays under n^3
+    * — inside DECIMAL(38,0) to ~4.6e12 rows, where the uncentered
+    * n*Sxy form overflows at ~2e9. The rank join keys on the value
+    * itself; distinct-value tables are far smaller than the fact table
+    * and AQE broadcasts them when they fit.
     */
   def rankCorr(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val rx = avgRank2(li, col("l_quantity"), "rx2")
     val ry = avgRank2(li, col("l_extendedprice"), "ry2")
+    val nRow = li.agg(count(lit(1)).as("nr"))
     val d38 = (c: Column) => c.cast("decimal(38,0)")
     val joined = li
       .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
       .join(rx, col("x") === col("rx2_v"))
       .join(ry, col("y") === col("ry2_v"))
+      .crossJoin(broadcast(nRow))
+      .select(col("x"), col("y"),
+        (col("rx2") - col("nr") - 1).as("cx"),
+        (col("ry2") - col("nr") - 1).as("cy"))
     val s = joined.agg(
       count(lit(1)).as("n"),
-      sum(d38(col("rx2"))).as("sx"),
-      sum(d38(col("ry2"))).as("sy"),
-      sum(d38(col("rx2")) * d38(col("rx2"))).as("sxx"),
-      sum(d38(col("ry2")) * d38(col("ry2"))).as("syy"),
-      sum(d38(col("rx2")) * d38(col("ry2"))).as("sxy"),
+      sum(d38(col("cx")) * d38(col("cx"))).as("sxx"),
+      sum(d38(col("cy")) * d38(col("cy"))).as("syy"),
+      sum(d38(col("cx")) * d38(col("cy"))).as("sxy"),
       decSum(col("x"), 2).as("px"),
       decSum(col("y"), 2).as("py"),
       decSum(col("x") * col("x"), 4).as("pxx"),
@@ -146,9 +154,8 @@ object Analytics {
       decSum(col("x") * col("y"), 4).as("pxy"))
     s.select(
       col("n"),
-      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-          sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+      round(col("sxy").cast("double") /
+        (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double"))),
         6).as("spearman_qty_price"),
       round((col("n") * col("pxy") - col("px") * col("py")) /
         (sqrt(col("n") * col("pxx") - col("px") * col("px")) *

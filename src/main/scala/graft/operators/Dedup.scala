@@ -402,13 +402,6 @@ object Dedup {
       .select(col("doc_id"), conv(col("simhash"), 10, 16).as("simhash_hex"))
       .orderBy(col("doc_id"))
 
-  /** Near-dup pairs by SimHash: block on 16-bit chunks, verify with
-    * bit_count(xor). By pigeonhole, a pair within hamming distance 3
-    * must agree on at least one of the 4 chunks, so the default
-    * maxHamming=3 has NO false negatives; values above 3 are
-    * best-effort (the blocking can miss pairs whose differing bits
-    * spread across all chunks).
-    */
   /** Exact duplicated-span coverage — the substring-level dedup signal
     * (the "how much of this doc appears verbatim elsewhere" metric a
     * training-data pipeline uses to drop boilerplate-heavy pages,
@@ -477,6 +470,13 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup pairs by SimHash: block on 16-bit chunks, verify with
+    * bit_count(xor). By pigeonhole, a pair within hamming distance 3
+    * must agree on at least one of the 4 chunks, so the default
+    * maxHamming=3 has NO false negatives; values above 3 are
+    * best-effort (the blocking can miss pairs whose differing bits
+    * spread across all chunks).
+    */
   def simhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
     // (doc_id, simhash) is 16 bytes/doc; materializing it means the

@@ -54,13 +54,21 @@ object Ivf {
     * formulation shuffled corpus x dim narrow rows and needed a second
     * aggregate to re-assemble arrays). Means stay decimal-sum /
     * count — order-independent, bit-identical to the per-dim layout.
+    *
+    * `dim` <= 0 (the default) derives the dimensionality from the
+    * first vector — one 1-row lookup at build time. A WRONG explicit
+    * dim would silently truncate (element_at past the end is NULL and
+    * VecDot skips mismatched tails), so auto-derive unless the caller
+    * knows better.
     */
   def buildCentroids(emb: DataFrame, k: Int, iters: Int,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim
+      else emb.select(size(col("embedding")).as("d")).head().getInt(0)
     var centroids = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"),
         col("embedding").as("cvec"))
-    val sums = (0 until dim).map(i =>
+    val sums = (0 until d).map(i =>
       sum(element_at(col("embedding"), i + 1).cast("decimal(28,12)"))
         .as(s"s$i"))
     (1 to iters).foreach { _ =>
@@ -75,7 +83,7 @@ object Ivf {
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"), sums: _*)
         .select(col("cell").as("cid"),
-          array((0 until dim).map(i =>
+          array((0 until d).map(i =>
             (col(s"s$i") / col("n")).cast("float")): _*).as("cvec"))
     }
     centroids

@@ -243,10 +243,15 @@ object Similarity {
     def argmax(cond: Column) = max_by(
       struct(col("vec_id"), col("cos")),
       when(cond, struct(col("cos"), -col("vec_id"))))
-    scored.groupBy(col("query_id"), col("q_label"))
+    val agg = scored.groupBy(col("query_id"))
       .agg(argmax(col("label") === col("q_label")).as("pos"),
         argmax(col("label") =!= col("q_label")).as("neg"))
-      .select(col("query_id"), col("q_label").cast("long").as("q_label"),
+    // left join FROM the query set: a query with zero candidates (a
+    // 1-vector corpus) still emits its row with NULL pos/neg, matching
+    // the oracle's LEFT JOIN shape
+    queries.select(col("query_id"), col("q_label").cast("long").as("q_label"))
+      .join(agg, Seq("query_id"), "left")
+      .select(col("query_id"), col("q_label"),
         col("pos.vec_id").as("pos_id"),
         round(col("pos.cos"), 6).as("pos_cos"),
         col("neg.vec_id").as("neg_id"),

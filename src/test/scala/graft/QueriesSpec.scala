@@ -38,7 +38,8 @@ class QueriesSpec extends SparkTestBase {
     // comparison per streamed row — the intended plan
     "doc_entropy", "q22_dormant_rich",
     "bm25_topk", "pmi_pairs", "data_mix", "doc_perplexity",
-    "tfidf_cosine_pairs", "cms_heavy_hitters", "hard_negatives")
+    "tfidf_cosine_pairs", "cms_heavy_hitters", "hard_negatives",
+    "rank_corr")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs and returns rows on sf0.001") {
