@@ -148,6 +148,7 @@ object SparkEntry {
     "pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
     "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
     "dup_span_coverage" -> ((s, d) => Dedup.dupSpanCoverage(s, d)),
+    "top_dup_spans" -> ((s, d) => Dedup.topDupSpans(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "doc_perplexity" -> ((s, d) => TextAnalysis.docPerplexity(s, d)),
     "rank_corr" -> ((s, d) => Analytics.rankCorr(s, d)),
@@ -1420,5 +1421,19 @@ object SparkEntry {
         |LEFT JOIN pos ON q.query_id = pos.query_id
         |LEFT JOIN neg ON q.query_id = neg.query_id
         |ORDER BY q.query_id""".stripMargin,
+    "top_dup_spans" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS span
+        |  FROM words, unnest(range(1, len(ws) - 6)) AS t(i)
+        |  WHERE len(ws) >= 8)
+        |SELECT span, CAST(count(*) AS BIGINT) AS n_occ,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS first_doc
+        |FROM g GROUP BY span
+        |HAVING count(*) > 1
+        |ORDER BY n_occ DESC, span LIMIT 25""".stripMargin,
   )
 }

@@ -470,6 +470,45 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The most-duplicated k-word spans — the "what boilerplate
+    * dominates this corpus" report that pairs with dupSpanCoverage:
+    * top spans by total occurrence count (ties on the span text), with
+    * the number of distinct docs containing each and the lowest such
+    * doc id as a locator.
+    *
+    * Same lead-window gram assembly as dupSpanCoverage, but this one
+    * must SHOW the span, so the gram string rides to the aggregate.
+    * Scale shape: one hash aggregate on the gram key (map-side
+    * combined; the string is the group key, which is exactly the
+    * shuffle the report requires), then a TakeOrdered top-k — no
+    * second corpus pass, nothing driver-bound beyond the k rows.
+    */
+  def topDupSpans(spark: SparkSession, dir: String,
+      k: Int = 8, topK: Int = 25): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), TextOps.TokenSplitRe))
+          .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        TextOps.normalize(col("tok")).as("w0"))
+      .filter(length(col("w0")) > 0)
+    val leads = (1 until k).map(i => lead(col("w0"), i).over(w).as(s"w$i"))
+    words
+      .select(col("doc_id") +: col("w0") +: leads: _*)
+      .filter(col(s"w${k - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until k).map(i => col(s"w$i")): _*).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occ") > 1)
+      .orderBy(col("n_occ").desc, col("span"))
+      .limit(topK)
+  }
+
   /** Near-dup pairs by SimHash: block on 16-bit chunks, verify with
     * bit_count(xor). By pigeonhole, a pair within hamming distance 3
     * must agree on at least one of the 4 chunks, so the default
