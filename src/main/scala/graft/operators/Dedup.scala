@@ -421,14 +421,16 @@ object Dedup {
     * groups the literal gram strings; hashed grouping matches it
     * unless xxhash64 collides (~1e-9 at 1e5 grams).
     */
-  def dupSpanCoverage(spark: SparkSession, dir: String,
-      k: Int = 8): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    // posexplode + lead-window gram assembly, NOT explode(wordNgrams):
-    // see docNgrams — the array HOF path is interpreted and ~10x
-    // slower on this hot path. Same gram strings, hashed to 64-bit
-    // keys, with multiplicity kept (no distinct — within-doc repeats
-    // are part of the signal).
+  /** (doc_id, span) stream of every k-word window of the normalized
+    * word stream, WITH multiplicity (no distinct — within-doc repeats
+    * are part of the dup signal). posexplode + lead-window assembly,
+    * NOT explode(wordNgrams): see docNgrams — the array-HOF path is
+    * interpreted and ~10x slower on this hot path. Shared by
+    * dupSpanCoverage (keys on xxhash64(span)) and topDupSpans (reports
+    * the string) so the tokenization/assembly plan cannot diverge
+    * between the two oracle-checked queries.
+    */
+  private def docSpans(docs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val words = docs
       .select(col("doc_id"),
@@ -438,12 +440,18 @@ object Dedup {
         TextOps.normalize(col("tok")).as("w0"))
       .filter(length(col("w0")) > 0)
     val leads = (1 until k).map(i => lead(col("w0"), i).over(w).as(s"w$i"))
-    val perDocGram = words
+    words
       .select(col("doc_id") +: col("w0") +: leads: _*)
       .filter(col(s"w${k - 1}").isNotNull)
       .select(col("doc_id"),
-        xxhash64(concat_ws(" ", (0 until k).map(i => col(s"w$i")): _*))
-          .as("gh"))
+        concat_ws(" ", (0 until k).map(i => col(s"w$i")): _*).as("span"))
+  }
+
+  def dupSpanCoverage(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perDocGram = docSpans(docs, k)
+      .select(col("doc_id"), xxhash64(col("span")).as("gh"))
       .groupBy(col("doc_id"), col("gh"))
       .agg(count(lit(1)).as("tf"))
     val occ = perDocGram.groupBy(col("gh"))
@@ -485,21 +493,7 @@ object Dedup {
     */
   def topDupSpans(spark: SparkSession, dir: String,
       k: Int = 8, topK: Int = 25): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val words = docs
-      .select(col("doc_id"),
-        posexplode(split(col("text"), TextOps.TokenSplitRe))
-          .as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos"),
-        TextOps.normalize(col("tok")).as("w0"))
-      .filter(length(col("w0")) > 0)
-    val leads = (1 until k).map(i => lead(col("w0"), i).over(w).as(s"w$i"))
-    words
-      .select(col("doc_id") +: col("w0") +: leads: _*)
-      .filter(col(s"w${k - 1}").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", (0 until k).map(i => col(s"w$i")): _*).as("span"))
+    docSpans(Tables.documents(spark, dir), k)
       .groupBy(col("span"))
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"),

@@ -64,7 +64,13 @@ object Ivf {
   def buildCentroids(emb: DataFrame, k: Int, iters: Int,
       dim: Int = 0): DataFrame = {
     val d = if (dim > 0) dim
-      else emb.select(size(col("embedding")).as("d")).head().getInt(0)
+      else {
+        // skip NULL/empty vectors; an empty table builds an empty
+        // centroid table whatever the width, so any positive d works
+        val probe = emb.select(size(col("embedding")).as("d"))
+          .filter(col("d") > 0).limit(1).collect()
+        if (probe.isEmpty) 1 else probe.head.getInt(0)
+      }
     var centroids = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"),
         col("embedding").as("cvec"))

@@ -232,14 +232,21 @@ object Similarity {
     */
   def hardNegatives(spark: SparkSession, dir: String,
       nQueries: Int = 10): DataFrame = {
+    // norms precomputed per ROW (the knnGraph/cosineNearDupExact
+    // shape): cosine() inline would re-derive each corpus self-dot
+    // once per query and each query self-dot once per corpus row —
+    // 3x the multiply-adds in the O(N*Q) loop for bit-identical cos
     val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
     val queries = emb
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
-        col("embedding").as("qv"))
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
       .filter(col("query_id") < nQueries)
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("embedding")))
+      .withColumn("cos",
+        dot(col("qv"), col("embedding")) / (col("qnrm") * col("nrm")))
     def argmax(cond: Column) = max_by(
       struct(col("vec_id"), col("cos")),
       when(cond, struct(col("cos"), -col("vec_id"))))
