@@ -149,6 +149,7 @@ object SparkEntry {
     "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
     "dup_span_coverage" -> ((s, d) => Dedup.dupSpanCoverage(s, d)),
     "top_dup_spans" -> ((s, d) => Dedup.topDupSpans(s, d)),
+    "pagerank_neardup" -> ((s, d) => Dedup.pagerankNearDup(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "doc_perplexity" -> ((s, d) => TextAnalysis.docPerplexity(s, d)),
     "rank_corr" -> ((s, d) => Analytics.rankCorr(s, d)),
@@ -1435,5 +1436,62 @@ object SparkEntry {
         |FROM g GROUP BY span
         |HAVING count(*) > 1
         |ORDER BY n_occ DESC, span LIMIT 25""".stripMargin,
+    "pagerank_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks WHERE length(word) > 0 GROUP BY doc_id, word),
+        |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |vec AS (
+        |  SELECT doc_id, word, w FROM (
+        |    SELECT tf.doc_id, tf.word,
+        |      tf * ln(CAST(n AS DOUBLE) / df) AS w,
+        |      row_number() OVER (PARTITION BY tf.doc_id
+        |        ORDER BY tf * ln(CAST(n AS DOUBLE) / df) DESC, tf.word) AS rn
+        |    FROM tf JOIN df USING (word) CROSS JOIN nd
+        |    WHERE df * 8 <= n)
+        |  WHERE rn <= 8),
+        |norms AS (
+        |  SELECT doc_id,
+        |    sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        |  FROM vec GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |         sum(CAST(round(a.w * b.w, 12) AS DECIMAL(38,12))) AS dot
+        |  FROM vec a JOIN vec b ON a.word = b.word AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_id_1, doc_id_2 FROM dots
+        |  JOIN norms n1 ON doc_id_1 = n1.doc_id
+        |  JOIN norms n2 ON doc_id_2 = n2.doc_id
+        |  WHERE CAST(dot AS DOUBLE) / (n1.nrm * n2.nrm) >= 0.7),
+        |edges AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+        |          UNION ALL
+        |          SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        |p0 AS (SELECT src AS node, 1.0 / n AS pr FROM deg CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node, sum(CAST(round(p.pr / d.deg, 12) AS DECIMAL(38,12))) AS s
+        |       FROM edges e JOIN p0 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |p1 AS (SELECT deg.src AS node,
+        |         round((1.0 - 0.85) / n + 0.85 * CAST(COALESCE(s, 0) AS DOUBLE), 12) AS pr
+        |       FROM deg LEFT JOIN c1 ON deg.src = c1.node CROSS JOIN nn),
+        |c2 AS (SELECT e.dst AS node, sum(CAST(round(p.pr / d.deg, 12) AS DECIMAL(38,12))) AS s
+        |       FROM edges e JOIN p1 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |p2 AS (SELECT deg.src AS node,
+        |         round((1.0 - 0.85) / n + 0.85 * CAST(COALESCE(s, 0) AS DOUBLE), 12) AS pr
+        |       FROM deg LEFT JOIN c2 ON deg.src = c2.node CROSS JOIN nn),
+        |c3 AS (SELECT e.dst AS node, sum(CAST(round(p.pr / d.deg, 12) AS DECIMAL(38,12))) AS s
+        |       FROM edges e JOIN p2 p ON e.src = p.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |p3 AS (SELECT deg.src AS node,
+        |         round((1.0 - 0.85) / n + 0.85 * CAST(COALESCE(s, 0) AS DOUBLE), 12) AS pr
+        |       FROM deg LEFT JOIN c3 ON deg.src = c3.node CROSS JOIN nn)
+        |SELECT node AS doc_id, round(pr, 9) AS pagerank
+        |FROM p3 ORDER BY pr DESC, node LIMIT 25""".stripMargin,
   )
 }

@@ -503,6 +503,64 @@ object Dedup {
       .limit(topK)
   }
 
+  /** PageRank over the near-dup similarity graph (symmetrized tf-idf
+    * APSS pairs): which documents sit at the CENTER of duplication
+    * clusters — the doc a dedup pipeline should keep as the canonical
+    * representative, and the boilerplate hub a curation audit looks at
+    * first. Fixed `iters` power iterations with damping 0.85 over the
+    * graph's node set.
+    *
+    * Determinism: every per-edge contribution p(u)/deg(u) is rounded
+    * to a 12-dp DECIMAL before the per-target sum (order-independent
+    * under any partitioning), and each iteration's rank is re-rounded
+    * to 12 dp — so the fixed-iteration result is bit-identical across
+    * engines and the DuckDB oracle replays it with chained CTEs.
+    *
+    * Scale shape: one join + one aggregate per iteration over the edge
+    * list (the connectedComponents loop shape), edge table and degrees
+    * checkpointed once, rank table checkpointed per round to cut the
+    * doubling lineage. The driver never sees the data — only the loop
+    * counter. At web scale you would add dangling-mass handling and a
+    * convergence test; the fixed-k shape per iteration is identical.
+    */
+  def pagerankNearDup(spark: SparkSession, dir: String,
+      iters: Int = 3, damping: Double = 0.85, topK: Int = 25): DataFrame = {
+    val pairs = TextAnalysis.tfidfCosinePairs(spark, dir)
+      .select(col("doc_id_1"), col("doc_id_2"))
+    val edges = pairs
+      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+      .unionAll(pairs.select(col("doc_id_2").as("src"),
+        col("doc_id_1").as("dst")))
+      .localCheckpoint()
+    // symmetric graph: every node appears as a src, so deg is the node
+    // table and no node dangles (deg >= 1 by construction)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nn = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.crossJoin(broadcast(nn))
+      .select(col("src").as("node"), (lit(1.0) / col("n")).as("pr"))
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"),
+          round(col("pr") / col("deg"), 12).cast("decimal(38,12)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      pr = deg.select(col("src").as("node"))
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("node"),
+          round(lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12)
+            .as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("node").as("doc_id"), col("pr"))
+      .orderBy(col("pr").desc, col("doc_id"))
+      .limit(topK)
+      .select(col("doc_id"), round(col("pr"), 9).as("pagerank"))
+  }
+
   /** Near-dup pairs by SimHash: block on 16-bit chunks, verify with
     * bit_count(xor). By pigeonhole, a pair within hamming distance 3
     * must agree on at least one of the 4 chunks, so the default

@@ -39,7 +39,7 @@ class QueriesSpec extends SparkTestBase {
     "doc_entropy", "q22_dormant_rich",
     "bm25_topk", "pmi_pairs", "data_mix", "doc_perplexity",
     "tfidf_cosine_pairs", "cms_heavy_hitters", "hard_negatives",
-    "rank_corr")
+    "rank_corr", "pagerank_neardup")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs and returns rows on sf0.001") {
