@@ -92,6 +92,7 @@ object SparkEntry {
     "sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
     "json_prop_rollup" -> ((s, d) => EventOps.jsonPropRollup(s, d)),
     "type_funnel" -> ((s, d) => EventOps.typeFunnel(s, d)),
+    "cohort_retention" -> ((s, d) => EventOps.cohortRetention(s, d)),
     "type_transitions" -> ((s, d) => EventOps.typeTransitions(s, d)),
     "extra_orders_multiset" -> ((s, d) => Relational.extraOrdersMultiset(s, d)),
     // -- analytic extensions ---------------------------------------------
@@ -1493,5 +1494,23 @@ object SparkEntry {
         |       FROM deg LEFT JOIN c3 ON deg.src = c3.node CROSS JOIN nn)
         |SELECT node AS doc_id, round(pr, 9) AS pagerank
         |FROM p3 ORDER BY pr DESC, node LIMIT 25""".stripMargin,
+    "cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS eday
+        |  FROM events),
+        |f AS (SELECT user_id, min(eday) AS fday FROM ev GROUP BY user_id),
+        |cells AS (
+        |  SELECT CAST(floor(fday / 7) AS BIGINT) AS cohort_week,
+        |         CAST(floor((eday - fday) / 7) AS BIGINT) AS week_offset,
+        |         CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        |  FROM ev JOIN f ON ev.user_id = f.user_id
+        |  GROUP BY 1, 2),
+        |base AS (SELECT cohort_week, n_users AS cohort_size
+        |         FROM cells WHERE week_offset = 0)
+        |SELECT c.cohort_week, week_offset, n_users, cohort_size,
+        |  round(CAST(n_users AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM cells c JOIN base b ON c.cohort_week = b.cohort_week
+        |ORDER BY c.cohort_week, week_offset""".stripMargin,
   )
 }

@@ -111,4 +111,46 @@ object EventOps {
         round(col("r.n").cast("double") / col("total").cast("double"), 6)
           .as("share"))
       .orderBy(col("event_type"))
+
+  /** Weekly cohort retention — the activation/retention matrix every
+    * product-analytics stack computes: users are cohorted by the week
+    * of their FIRST event, and each (cohort, week-offset) cell counts
+    * distinct users active that many weeks later, with the share of
+    * the cohort still active.
+    *
+    * Week bucketing is pure integer epoch-day arithmetic
+    * (floor(days / 7)) — deliberately NOT calendar/ISO weeks, whose
+    * start-of-week and year-boundary semantics differ across engines.
+    * (IEEE note: a long/7 double division is exact whenever the true
+    * quotient is an integer, so the floor can never misbucket a
+    * boundary day.)
+    *
+    * Scale shape: first-seen is one per-user aggregate; offsets come
+    * from a narrow equi-join back on user_id (AQE-broadcast while the
+    * user dimension fits); the cell table is a count-distinct per
+    * (cohort, offset) — cardinality cohorts x offsets, tiny — and the
+    * cohort-size denominator is a broadcast self-join of that tiny
+    * table's offset-0 slice, never a second pass over events.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("eday"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("eday")).as("fday"))
+    val cells = ev.join(first, "user_id")
+      .select(col("user_id"),
+        floor(col("fday") / 7).cast("long").as("cohort_week"),
+        floor((col("eday") - col("fday")) / 7).cast("long").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val base = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    cells.join(broadcast(base), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("cohort_size"),
+        round(col("n_users").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
 }
