@@ -93,6 +93,7 @@ object SparkEntry {
     "json_prop_rollup" -> ((s, d) => EventOps.jsonPropRollup(s, d)),
     "type_funnel" -> ((s, d) => EventOps.typeFunnel(s, d)),
     "cohort_retention" -> ((s, d) => EventOps.cohortRetention(s, d)),
+    "rolling_users_7d" -> ((s, d) => EventOps.rollingUsers7d(s, d)),
     "type_transitions" -> ((s, d) => EventOps.typeTransitions(s, d)),
     "extra_orders_multiset" -> ((s, d) => Relational.extraOrdersMultiset(s, d)),
     // -- analytic extensions ---------------------------------------------

@@ -112,6 +112,43 @@ object EventOps {
           .as("share"))
       .orderBy(col("event_type"))
 
+  /** Rolling 7-day distinct users per day — the DAU/WAU-style reach
+    * metric, computed the only way that survives scale: exact distinct
+    * over a sliding window re-scans the window per day (7x the events,
+    * and countDistinct cannot ride a window frame), so instead each
+    * day aggregates ONE mergeable HLL sketch of its users (map-side
+    * combined over the event scan) and the rolling union touches 7
+    * fixed-size sketches per output day. The estimate is deterministic
+    * for a fixed input multiset (sketch update/union are
+    * order-independent — same contract as hll_rollup).
+    *
+    * The day-window pairing is a non-equi join over the DAY table
+    * (cardinality = days, not events) — broadcast nested loop over a
+    * tiny build side by construction, never over the event stream.
+    * Days with no preceding 6 days report their shorter window
+    * (n_days says how many merged).
+    */
+  def rollingUsers7d(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("user_id"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .localCheckpoint(eager = false)
+    val windows = daily.select(col("day").as("wday"))
+    daily
+      .join(broadcast(windows),
+        col("day").between(col("wday") - 6, col("wday")))
+      .groupBy(col("wday"))
+      .agg(hll_union_agg(col("sk")).as("wsk"), count(lit(1)).as("n_days"))
+      .select(col("wday").as("day"),
+        hll_sketch_estimate(col("wsk")).as("approx_users_7d"),
+        col("n_days"))
+      .orderBy(col("day"))
+  }
+
   /** Weekly cohort retention — the activation/retention matrix every
     * product-analytics stack computes: users are cohorted by the week
     * of their FIRST event, and each (cohort, week-offset) cell counts

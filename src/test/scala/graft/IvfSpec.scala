@@ -48,6 +48,28 @@ class IvfSpec extends SparkTestBase {
     }
   }
 
+  test("rolling 7d users: HLL day-sketch union lands within 5% of exact") {
+    val approx = graft.operators.EventOps.rollingUsers7d(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .select(
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("user_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val days = ev.map(_._1).distinct
+    assert(approx.keySet === days.toSet)
+    days.foreach { d =>
+      val exact = ev.filter { case (dd, _) => dd >= d - 6 && dd <= d }
+        .map(_._2).distinct.length.toLong
+      val (est, nDays) = approx(d)
+      assert(nDays === days.count(dd => dd >= d - 6 && dd <= d))
+      assert(math.abs(est - exact).toDouble / exact < 0.05,
+        s"day $d: est $est vs exact $exact")
+    }
+  }
+
   test("approximate aggregates land within 5% of exact") {
     val approx = graft.operators.Relational.approxStats(spark, sf("sf0.001"))
       .collect().map(r => r.getString(0) -> r).toMap
