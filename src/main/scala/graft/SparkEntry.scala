@@ -1479,21 +1479,21 @@ object SparkEntry {
         |       FROM edges e JOIN p0 p ON e.src = p.node JOIN deg d ON e.src = d.src
         |       GROUP BY e.dst),
         |p1 AS (SELECT deg.src AS node,
-        |         round((1.0 - 0.85) / n + 0.85 * CAST(COALESCE(s, 0) AS DOUBLE), 12) AS pr
+        |         round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n + 0.85 * CAST(COALESCE(s, 0) AS DOUBLE), 12) AS pr
         |       FROM deg LEFT JOIN c1 ON deg.src = c1.node CROSS JOIN nn),
         |c2 AS (SELECT e.dst AS node, sum(CAST(round(p.pr / d.deg, 12) AS DECIMAL(38,12))) AS s
         |       FROM edges e JOIN p1 p ON e.src = p.node JOIN deg d ON e.src = d.src
         |       GROUP BY e.dst),
         |p2 AS (SELECT deg.src AS node,
-        |         round((1.0 - 0.85) / n + 0.85 * CAST(COALESCE(s, 0) AS DOUBLE), 12) AS pr
+        |         round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n + 0.85 * CAST(COALESCE(s, 0) AS DOUBLE), 12) AS pr
         |       FROM deg LEFT JOIN c2 ON deg.src = c2.node CROSS JOIN nn),
         |c3 AS (SELECT e.dst AS node, sum(CAST(round(p.pr / d.deg, 12) AS DECIMAL(38,12))) AS s
         |       FROM edges e JOIN p2 p ON e.src = p.node JOIN deg d ON e.src = d.src
         |       GROUP BY e.dst),
         |p3 AS (SELECT deg.src AS node,
-        |         round((1.0 - 0.85) / n + 0.85 * CAST(COALESCE(s, 0) AS DOUBLE), 12) AS pr
+        |         round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n + 0.85 * CAST(COALESCE(s, 0) AS DOUBLE), 12) AS pr
         |       FROM deg LEFT JOIN c3 ON deg.src = c3.node CROSS JOIN nn)
-        |SELECT node AS doc_id, round(pr, 9) AS pagerank
+        |SELECT node AS doc_id, pr AS pagerank
         |FROM p3 ORDER BY pr DESC, node LIMIT 25""".stripMargin,
     "cohort_retention" ->
       """WITH ev AS (

@@ -525,7 +525,7 @@ object Dedup {
     */
   def pagerankNearDup(spark: SparkSession, dir: String,
       iters: Int = 3, damping: Double = 0.85, topK: Int = 25): DataFrame = {
-    val pairs = TextAnalysis.tfidfCosinePairs(spark, dir)
+    val pairs = TextAnalysis.tfidfCosineCore(spark, dir)
       .select(col("doc_id_1"), col("doc_id_2"))
     val edges = pairs
       .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
@@ -555,10 +555,13 @@ object Dedup {
             .as("pr"))
         .localCheckpoint()
     }
-    pr.select(col("node").as("doc_id"), col("pr"))
-      .orderBy(col("pr").desc, col("doc_id"))
+    // the per-iteration 12-dp round IS the output precision: a second
+    // round(pr, 9) would park ~1/1000 of the ranks on an exact decimal
+    // midpoint, where Spark's HALF_UP and DuckDB's double rounding
+    // demonstrably disagree by 1 ulp — gratuitous oracle flake risk
+    pr.select(col("node").as("doc_id"), col("pr").as("pagerank"))
+      .orderBy(col("pagerank").desc, col("doc_id"))
       .limit(topK)
-      .select(col("doc_id"), round(col("pr"), 9).as("pagerank"))
   }
 
   /** Near-dup pairs by SimHash: block on 16-bit chunks, verify with

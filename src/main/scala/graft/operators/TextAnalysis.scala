@@ -328,6 +328,18 @@ object TextAnalysis {
     * feeds the norm aggregate and both self-join sides.
     */
   def tfidfCosinePairs(spark: SparkSession, dir: String,
+      m: Int = 8, threshold: Double = 0.7, dfCapDenom: Int = 8): DataFrame =
+    tfidfCosineCore(spark, dir, m, threshold, dfCapDenom)
+      .select(col("doc_id_1"), col("doc_id_2"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+
+  /** The unsorted, unrounded pair set behind tfidfCosinePairs — for
+    * consumers that treat it as an edge LIST (pagerankNearDup), which
+    * would otherwise inherit the query surface's full range-sort
+    * exchange just to discard the order.
+    */
+  private[operators] def tfidfCosineCore(spark: SparkSession, dir: String,
       m: Int = 8, threshold: Double = 0.7, dfCapDenom: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tf = TextOps.explodedWords(docs, col("doc_id"))
@@ -368,9 +380,7 @@ object TextAnalysis {
         col("norm").as("n2")), "doc_id_2")
       .withColumn("cosine", col("dot").cast("double") / (col("n1") * col("n2")))
       .filter(col("cosine") >= threshold)
-      .select(col("doc_id_1"), col("doc_id_2"),
-        round(col("cosine"), 6).as("cosine"))
-      .orderBy(col("doc_id_1"), col("doc_id_2"))
+      .select(col("doc_id_1"), col("doc_id_2"), col("cosine"))
   }
 
   /** First iteration of BPE tokenizer training: count adjacent

@@ -10,13 +10,24 @@ import graft.operators.{Analytics, Dedup, Ivf, Similarity}
   * empty input) against tiny purpose-built corpora — shapes the
   * sf-generated testdata never produces.
   */
-class EdgeCasesSpec extends SparkTestBase {
+class EdgeCasesSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  private val tempDirs = scala.collection.mutable.ArrayBuffer[String]()
+
+  override def afterAll(): Unit = {
+    tempDirs.foreach { d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    }
+    super.afterAll()
+  }
 
   /** Write a tiny corpus into a temp dir shaped like a testdata sfDir. */
   private def corpus(docs: Seq[(Long, String, String)] = Seq.empty,
       vecs: Seq[(Long, Seq[Float], Int)] = Seq.empty): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    tempDirs += dir
     docs.toDF("doc_id", "text", "lang")
       .withColumn("source", lit("s0"))
       .withColumn("n_chars", length(col("text")).cast("long"))
