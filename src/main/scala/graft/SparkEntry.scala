@@ -94,6 +94,7 @@ object SparkEntry {
     "type_funnel" -> ((s, d) => EventOps.typeFunnel(s, d)),
     "cohort_retention" -> ((s, d) => EventOps.cohortRetention(s, d)),
     "rolling_users_7d" -> ((s, d) => EventOps.rollingUsers7d(s, d)),
+    "zorder_key" -> ((s, d) => Analytics.zorderKey(s, d)),
     "type_transitions" -> ((s, d) => EventOps.typeTransitions(s, d)),
     "extra_orders_multiset" -> ((s, d) => Relational.extraOrdersMultiset(s, d)),
     // -- analytic extensions ---------------------------------------------
@@ -1513,5 +1514,26 @@ object SparkEntry {
         |  round(CAST(n_users AS DOUBLE) / cohort_size, 6) AS retention
         |FROM cells c JOIN base b ON c.cohort_week = b.cohort_week
         |ORDER BY c.cohort_week, week_offset""".stripMargin,
+    "zorder_key" ->
+      """WITH b AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+        |         CAST(l_partkey AS BIGINT) AS partkey,
+        |         CAST(l_orderkey AS BIGINT) % 65536 AS x,
+        |         CAST(l_partkey AS BIGINT) % 65536 AS y
+        |  FROM lineitem),
+        |s1 AS (SELECT orderkey, partkey,
+        |         ((x | (x << 8)) & 16711935) AS xs,
+        |         ((y | (y << 8)) & 16711935) AS ys FROM b),
+        |s2 AS (SELECT orderkey, partkey,
+        |         ((xs | (xs << 4)) & 252645135) AS xs,
+        |         ((ys | (ys << 4)) & 252645135) AS ys FROM s1),
+        |s3 AS (SELECT orderkey, partkey,
+        |         ((xs | (xs << 2)) & 858993459) AS xs,
+        |         ((ys | (ys << 2)) & 858993459) AS ys FROM s2),
+        |s4 AS (SELECT orderkey, partkey,
+        |         ((xs | (xs << 1)) & 1431655765) AS xs,
+        |         ((ys | (ys << 1)) & 1431655765) AS ys FROM s3)
+        |SELECT orderkey, partkey, (xs | (ys << 1)) AS z
+        |FROM s4 ORDER BY z, orderkey, partkey LIMIT 100""".stripMargin,
   )
 }

@@ -432,6 +432,45 @@ object Analytics {
         round(col("es_key"), 9).as("es_key"))
   }
 
+  /** Interleave the low 16 bits of `c` into the even bit positions of
+    * a 32-bit value (the magic-number bit-spread, 4 shift/mask steps).
+    */
+  private def spreadBits16(c: Column): Column =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L),
+      (1, 0x55555555L))
+      .foldLeft(c) { case (acc, (s, mask)) =>
+        acc.bitwiseOR(shiftleft(acc, s)).bitwiseAND(lit(mask))
+      }
+
+  /** Z-order (Morton) layout keys over (orderkey, partkey) — the
+    * multi-dimensional clustering primitive behind OPTIMIZE ZORDER:
+    * interleaving the two keys' bits gives ONE sort order under which
+    * a range predicate on EITHER column maps to a small number of
+    * contiguous z-ranges, so min/max file statistics skip data for
+    * both access paths at once (a plain sort on orderkey gives perfect
+    * skipping on orderkey and none on partkey). Emits the first k rows
+    * of the z-ordered layout; the at-scale write is
+    * repartitionByRange(z) + sortWithinPartitions(z) into parquet,
+    * where this exact key drives the file-level clustering.
+    *
+    * Pure per-row bit arithmetic (4 shift/mask steps per column —
+    * whole-stage codegen) and a TakeOrdered — no shuffle before the
+    * top-k. Deterministic: integer-only ops, ties broken on the key
+    * pair.
+    */
+  def zorderKey(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").cast("long").as("orderkey"),
+        col("l_partkey").cast("long").as("partkey"))
+    li.select(col("orderkey"), col("partkey"),
+        spreadBits16(pmod(col("orderkey"), lit(65536L)))
+          .bitwiseOR(shiftleft(
+            spreadBits16(pmod(col("partkey"), lit(65536L))), 1))
+          .as("z"))
+      .orderBy(col("z"), col("orderkey"), col("partkey"))
+      .limit(k)
+  }
+
   /** Correlated scalar subquery through the SQL front-end: Catalyst
     * decorrelates it into an outer-joined aggregate — proof the engine
     * runs subquery SQL as set-oriented plans, never a per-row loop.
