@@ -1515,12 +1515,23 @@ object SparkEntry {
         |FROM cells c JOIN base b ON c.cohort_week = b.cohort_week
         |ORDER BY c.cohort_week, week_offset""".stripMargin,
     "zorder_key" ->
-      """WITH b AS (
+      """WITH li AS (
         |  SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
-        |         CAST(l_partkey AS BIGINT) AS partkey,
-        |         CAST(l_orderkey AS BIGINT) % 65536 AS x,
-        |         CAST(l_partkey AS BIGINT) % 65536 AS y
+        |         CAST(l_partkey AS BIGINT) AS partkey
         |  FROM lineitem),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM li),
+        |r AS (
+        |  SELECT orderkey, partkey,
+        |    CAST(2 * RANK() OVER (ORDER BY orderkey)
+        |         + COUNT(*) OVER (PARTITION BY orderkey) - 1 AS BIGINT) AS rx2,
+        |    CAST(2 * RANK() OVER (ORDER BY partkey)
+        |         + COUNT(*) OVER (PARTITION BY partkey) - 1 AS BIGINT) AS ry2
+        |  FROM li),
+        |b AS (
+        |  SELECT orderkey, partkey,
+        |    CAST(floor((rx2 - 1) * 256 / (nr * 2)) AS BIGINT) AS x,
+        |    CAST(floor((ry2 - 1) * 256 / (nr * 2)) AS BIGINT) AS y
+        |  FROM r CROSS JOIN nr),
         |s1 AS (SELECT orderkey, partkey,
         |         ((x | (x << 8)) & 16711935) AS xs,
         |         ((y | (y << 8)) & 16711935) AS ys FROM b),
