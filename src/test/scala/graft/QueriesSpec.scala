@@ -39,7 +39,7 @@ class QueriesSpec extends SparkTestBase {
     "doc_entropy", "q22_dormant_rich",
     "bm25_topk", "pmi_pairs", "data_mix", "doc_perplexity",
     "tfidf_cosine_pairs", "cms_heavy_hitters", "hard_negatives",
-    "rank_corr", "pagerank_neardup",
+    "rank_corr", "pagerank_neardup", "zorder_key",
     // day-table non-equi window pairing: the build side is the tiny
     // per-day sketch table (cardinality = days), the intended plan
     "rolling_users_7d")
