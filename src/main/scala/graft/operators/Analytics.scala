@@ -442,24 +442,6 @@ object Analytics {
         acc.bitwiseOR(shiftleft(acc, s)).bitwiseAND(lit(mask))
       }
 
-  /** Z-order (Morton) layout keys over (orderkey, partkey) — the
-    * multi-dimensional clustering primitive behind OPTIMIZE ZORDER:
-    * interleaving the two keys' bits gives ONE sort order under which
-    * a range predicate on EITHER column maps to a small number of
-    * contiguous z-ranges, so min/max file statistics skip data for
-    * both access paths at once (a plain sort on orderkey gives perfect
-    * skipping on orderkey and none on partkey). Emits the first k rows
-    * of the z-ordered layout; the at-scale write is
-    * repartitionByRange(z) + sortWithinPartitions(z) into parquet,
-    * where this exact key drives the file-level clustering (asserted
-    * on real parquet files in EdgeCasesSpec).
-    *
-    * The key is rank-normalized (see zorderRanked) — the bucketing
-    * joins are the rank_corr machinery; the interleave itself is 4
-    * shift/mask steps per column inside whole-stage codegen, and the
-    * top-k is a TakeOrdered. Deterministic: integer-only ops, ties
-    * broken on the key pair.
-    */
   /** The raw Morton interleave of two small non-negative longs. */
   def zorderValue(x: Column, y: Column): Column =
     spreadBits16(pmod(x, lit(65536L)))
@@ -484,9 +466,13 @@ object Analytics {
     val nRow = rows.agg(count(lit(1)).as("znr"))
     def bucket(r2: Column) =
       floor((r2 - 1) * 256 / (col("znr") * 2)).cast("long")
+    // null-SAFE joins: a NULL key column forms its own rank group in
+    // avgRank2 (groupBy keeps null keys) and must keep its row here —
+    // an equi-join would silently DROP null-keyed rows from a layout
+    // write built on this helper (data loss, not a keying artifact)
     rows
-      .join(rx, x === col("zrx2_v"))
-      .join(ry, y === col("zry2_v"))
+      .join(rx, x <=> col("zrx2_v"))
+      .join(ry, y <=> col("zry2_v"))
       .crossJoin(broadcast(nRow))
       .withColumn("z",
         spreadBits16(bucket(col("zrx2")))
@@ -494,6 +480,24 @@ object Analytics {
       .drop("zrx2_v", "zrx2", "zry2_v", "zry2", "znr")
   }
 
+  /** Z-order (Morton) layout keys over (orderkey, partkey) — the
+    * multi-dimensional clustering primitive behind OPTIMIZE ZORDER:
+    * interleaving the two keys' bits gives ONE sort order under which
+    * a range predicate on EITHER column maps to a small number of
+    * contiguous z-ranges, so min/max file statistics skip data for
+    * both access paths at once (a plain sort on orderkey gives perfect
+    * skipping on orderkey and none on partkey). Emits the first k rows
+    * of the z-ordered layout; the at-scale write is
+    * repartitionByRange(z) + sortWithinPartitions(z) into parquet,
+    * where this exact key drives the file-level clustering (asserted
+    * on real parquet files in EdgeCasesSpec).
+    *
+    * The key is rank-normalized (see zorderRanked) — the bucketing
+    * joins are the rank_corr machinery; the interleave itself is 4
+    * shift/mask steps per column inside whole-stage codegen, and the
+    * top-k is a TakeOrdered. Deterministic: integer-only ops, ties
+    * broken on the key pair.
+    */
   def zorderKey(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").cast("long").as("orderkey"),

@@ -96,30 +96,43 @@ class EdgeCasesSpec extends SparkTestBase
     val base = graft.sources.Tables.lineitem(spark, sf("sf0.001"))
       .select(col("l_orderkey").cast("long").as("orderkey"),
         col("l_partkey").cast("long").as("partkey"))
-    val li = Analytics.zorderRanked(base, col("orderkey"), col("partkey"))
-    li.repartitionByRange(8, col("z")).sortWithinPartitions(col("z"))
-      .write.mode("overwrite").parquet(s"$dir/zsorted")
-    val perFile = spark.read.parquet(s"$dir/zsorted")
-      .groupBy(input_file_name().as("f"))
-      .agg((max(col("orderkey")) - min(col("orderkey"))).as("ospan"),
-        (max(col("partkey")) - min(col("partkey"))).as("pspan"))
-      .collect()
-    assert(perFile.length >= 4, "expected several files")
-    val Seq(oGlob, pGlob) = li
+    def layoutSpans(keyed: org.apache.spark.sql.DataFrame, sub: String)
+        : (Double, Double) = {
+      keyed.repartitionByRange(8, col("z")).sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(s"$dir/$sub")
+      val perFile = spark.read.parquet(s"$dir/$sub")
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col("orderkey")) - min(col("orderkey"))).as("ospan"),
+          (max(col("partkey")) - min(col("partkey"))).as("pspan"))
+        .collect()
+      assert(perFile.length >= 4, "expected several files")
+      (perFile.map(_.getLong(1)).sum.toDouble / perFile.length,
+        perFile.map(_.getLong(2)).sum.toDouble / perFile.length)
+    }
+    val Seq(oGlob, pGlob) = base
       .agg(max(col("orderkey")) - min(col("orderkey")),
         max(col("partkey")) - min(col("partkey")))
       .collect().head.toSeq.map(_.asInstanceOf[Long])
-    val avgO = perFile.map(_.getLong(1)).sum.toDouble / perFile.length
-    val avgP = perFile.map(_.getLong(2)).sum.toDouble / perFile.length
+    val (avgO, avgP) = layoutSpans(
+      Analytics.zorderRanked(base, col("orderkey"), col("partkey")), "ranked")
     // z-curve math for 8 files = 3 key bits: one dim keeps 1 high bit
     // (span ~1/2 global), the other 2 (~1/4) — so neither dim is left
-    // UNclustered (raw interleave measured ~0.97 global on partkey),
-    // and the 2D bounding-box AREA — the quantity min/max skipping
-    // prunes by for a two-column predicate — shrinks to ~1/8
+    // UNclustered, and the 2D bounding-box AREA — the quantity min/max
+    // skipping prunes by for a two-column predicate — shrinks to ~1/8
     assert(avgO < oGlob * 0.75, s"orderkey span $avgO vs global $oGlob")
     assert(avgP < pGlob * 0.75, s"partkey span $avgP vs global $pGlob")
     val area = (avgO / oGlob) * (avgP / pGlob)
     assert(area < 0.25, s"per-file bounding-box area $area of global")
+    // and the reason the key is RANK-normalized: interleaving raw
+    // values lets the wider column's high bits drown the narrow one —
+    // the narrow dimension stays essentially unclustered (measured
+    // ~0.97 of global span), so its area barely shrinks
+    val (_, rawP) = layoutSpans(
+      base.withColumn("z",
+        Analytics.zorderValue(col("orderkey"), col("partkey"))), "raw")
+    assert(rawP > pGlob * 0.8,
+      s"raw interleave unexpectedly clustered partkey: $rawP vs $pGlob")
+    assert(avgP < rawP, "ranked layout must beat raw on the narrow dim")
   }
 
   test("top dup spans: corpus with no repeated spans returns empty, not error") {
