@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 123 queries x (warmup + measured) x ~5-15 generated classes each:
+  // the JDK-17 default 240m JIT code cache fills mid-suite, after which
+  // HotSpot stops compiling and everything later runs interpreted —
+  // the r5 bench showed 2x slowdowns on queries whose code hadn't
+  // changed. One long-lived JVM running hundreds of codegen'd plans is
+  // exactly the executor profile this library targets.
+  "-XX:ReservedCodeCacheSize=512m",
 )

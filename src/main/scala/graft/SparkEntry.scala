@@ -754,10 +754,9 @@ object SparkEntry {
         |  CAST(length(p_name) AS BIGINT) AS name_len
         |FROM part ORDER BY p_partkey""".stripMargin,
     "levenshtein_pairs" ->
-      """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part WHERE p_partkey <= 1000)
-        |SELECT a.p_partkey AS partkey_1, b.p_partkey AS partkey_2, a.p_brand,
+      """SELECT a.p_partkey AS partkey_1, b.p_partkey AS partkey_2, a.p_brand,
         |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
-        |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |ORDER BY partkey_1, partkey_2""".stripMargin,
     "array_agg_orders" ->

@@ -29,6 +29,9 @@ class CountMinAggregator(d: Int, w: Int)
   override def zero: Array[Long] = new Array[Long](d * w)
 
   override def reduce(buf: Array[Long], x: String): Array[Long] = {
+    // standard aggregate semantics: nulls don't count (and don't NPE —
+    // the UDAF is registered generically, not only on non-null streams)
+    if (x == null) return buf
     var i = 0
     while (i < d) {
       buf(i * w + CountMinAggregator.cell(x, i, w)) += 1L

@@ -90,6 +90,11 @@ object Analytics {
     * (a window over #partitions rows — the only serial step), finish
     * within partitions. No global single-reducer sort anywhere, which
     * is what a naive rank() window would do.
+    *
+    * Input contract: callers must drop null values first. A null key
+    * ranks as its own group here, but the `===` join back in the
+    * caller would drop it silently — see rankCorr's pairwise-complete
+    * filter.
     */
   private def avgRank2(rows: DataFrame, value: Column, out: String)
       : DataFrame = {
@@ -129,7 +134,17 @@ object Analytics {
     * and AQE broadcasts them when they fit.
     */
   def rankCorr(spark: SparkSession, dir: String): DataFrame = {
+    // Pairwise-complete observations: a null in either coordinate drops
+    // the ROW before ranking (the standard Spearman treatment). This is
+    // load-bearing, not just hygiene — avgRank2 would rank a NULL key
+    // as its own group, but the `===` join back would silently drop
+    // those rows AFTER nRow counted them, breaking the sum(cx) = 0
+    // centering invariant the exact-moment derivation relies on.
+    // lineitem's columns are non-null, so this is a no-op here; it
+    // makes the generic-input contract hold instead of assumed.
     val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity").isNotNull &&
+        col("l_extendedprice").isNotNull)
     val rx = avgRank2(li, col("l_quantity"), "rx2")
     val ry = avgRank2(li, col("l_extendedprice"), "ry2")
     val nRow = li.agg(count(lit(1)).as("nr"))
@@ -241,24 +256,48 @@ object Analytics {
         length(col("p_name")).cast("long").as("name_len"))
       .orderBy(col("p_partkey"))
 
-  /** Edit-distance similarity join: near-identical part names within a
-    * brand. Blocking on p_brand keeps the pair space linear-ish (the
-    * same inverted-index principle as the n-gram join: never compare
-    * across blocks that cannot match). The partkey cap bounds output
-    * across scale factors.
+  /** Edit-distance similarity join over the FULL part table:
+    * near-identical part names within a brand. Two-level exact
+    * blocking keeps the pair space sub-quadratic:
+    *
+    *  1. brand equality (the inverted-index principle: never compare
+    *     across blocks that cannot match), and
+    *  2. a LENGTH BAND folded into the equi-key — edit distance >=
+    *     |len(a) - len(b)|, so a pair at distance <= d must sit within
+    *     d of each other in length. With bucket width 2d+1, the
+    *     interval [len-d, len+d] spans at most two consecutive
+    *     buckets, and its two ENDPOINT buckets are exactly those — so
+    *     one side emits <= 2 probe buckets (array_distinct'd: a pair
+    *     can never match twice) and the other keeps its single home
+    *     bucket. Within-block pairs then face the cheap |len1-len2|
+    *     residual before the O(len^2) levenshtein, which itself gets
+    *     the threshold argument (early-abort DP, returns -1 past d).
+    *
+    * Scale: pairs grow with sum over (brand, length-bucket) block
+    * sizes squared — both keys are data-spreading, no input cap
+    * needed (the round-5 version hard-capped p_partkey <= 1000 and
+    * still generated all within-brand pairs).
     */
-  def levenshteinPairs(spark: SparkSession, dir: String): DataFrame = {
+  def levenshteinPairs(spark: SparkSession, dir: String,
+      maxDist: Int = 3): DataFrame = {
+    val bw = 2 * maxDist + 1
     val p = Tables.part(spark, dir)
-      .filter(col("p_partkey") <= 1000)
-      .select(col("p_partkey"), col("p_brand"), col("p_name"))
-    p.select(col("p_partkey").as("partkey_1"), col("p_brand"),
-        col("p_name").as("name_1"))
-      .join(p.select(col("p_partkey").as("partkey_2"), col("p_brand"),
-        col("p_name").as("name_2")), Seq("p_brand"))
-      .filter(col("partkey_1") < col("partkey_2"))
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        length(col("p_name")).as("len"))
+    val a = p.select(col("p_partkey").as("partkey_1"), col("p_brand"),
+      col("p_name").as("name_1"), col("len").as("len_1"),
+      explode(array_distinct(array(
+        floor((col("len") - maxDist) / bw),
+        floor((col("len") + maxDist) / bw)))).as("lb"))
+    val b = p.select(col("p_partkey").as("partkey_2"), col("p_brand"),
+      col("p_name").as("name_2"), col("len").as("len_2"),
+      floor(col("len") / bw).as("lb"))
+    a.join(b, Seq("p_brand", "lb"))
+      .filter(col("partkey_1") < col("partkey_2") &&
+        abs(col("len_1") - col("len_2")) <= maxDist)
       .withColumn("edit_dist",
-        levenshtein(col("name_1"), col("name_2")).cast("long"))
-      .filter(col("edit_dist") <= 3)
+        levenshtein(col("name_1"), col("name_2"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0)
       .select(col("partkey_1"), col("partkey_2"), col("p_brand"),
         col("edit_dist"))
       .orderBy(col("partkey_1"), col("partkey_2"))

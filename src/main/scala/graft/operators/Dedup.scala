@@ -419,7 +419,12 @@ object Dedup {
     * aggs -> one equi-join -> per-doc agg. Nothing is driver-bound and
     * no corpus text moves after the explode projection. The oracle
     * groups the literal gram strings; hashed grouping matches it
-    * unless xxhash64 collides (~1e-9 at 1e5 grams).
+    * unless xxhash64 collides (~1e-9 at 1e5 grams). Collision odds
+    * grow QUADRATICALLY with distinct grams (birthday bound m^2/2^65):
+    * past ~10^9 distinct grams collisions become expected and bias
+    * n_dup_grams/dup_frac upward — a true 100 TB corpus (>>2^32
+    * grams) should key on a 128-bit hash pair (e.g. xxhash64 under
+    * two seeds, same plan shape, 2x key width) instead.
     */
   /** (doc_id, span) stream of every k-word window of the normalized
     * word stream, WITH multiplicity (no distinct — within-doc repeats

@@ -121,33 +121,24 @@ object Similarity {
       when(dot(v, planeLit) >= 0, shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
-  /** ANN top-k via hyperplane LSH with Hamming-ball multi-probe: the
-    * corpus is bucketed once (single key per vector — the 100 TB
-    * layout); each QUERY probes its own bucket plus every ≤maxFlips
-    * bit-flip neighbor, so the probe fanout lives on the small
-    * broadcast side. Defaults (6 planes, 2-bit probes) were chosen by
-    * measured recall/cost on the testdata: ~0.5 recall@5 probing ~34%
-    * of the corpus — these near-isotropic synthetic embeddings are
-    * close to LSH's worst case (neighbors barely closer than average;
-    * the IVF variant measures 0.88 recall on the same data and is the
-    * preferred path). Approximate by design; the spec measures recall
-    * against `cosineTopK`.
+  /** ANN top-k entry point — routes to the IVF index with a deeper
+    * probe profile (8 of 16 cells) than `ivf_topk`'s cost-tuned 4.
+    *
+    * This was a hyperplane-LSH multi-probe search through round 5; it
+    * measured recall@5 ≈ 0.54 while probing ~34% of the corpus on the
+    * synthetic embeddings (near-isotropic — LSH's worst case: sign-bit
+    * agreement barely separates neighbors from the bulk), versus 0.88
+    * at 25% probed for IVF cells on the same data. An ANN op that
+    * returns the true neighbor half the time is a trap for users, so
+    * the published entry point now goes through the measured-best
+    * index; the hyperplane machinery (`lshBucket`/`probeBuckets`)
+    * remains the blocking layer of `cosineNearDupLsh`, where the
+    * Hamming-ball self-join shape is the right one. The spec floor on
+    * this path is recall@5 >= 0.8.
     */
   def annTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
-      k: Int = 5, nPlanes: Int = 6, maxFlips: Int = 2): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("bucket", lshBucket(col("embedding"), nPlanes))
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(array(probeBuckets(col("bucket"), nPlanes, maxFlips): _*))
-          .as("bucket"))
-    topKPerQuery(
-      emb.as("corpus")
-        .join(broadcast(queries), Seq("bucket"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cos", cosine(col("qv"), col("embedding"))),
-      k)
-  }
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 8): DataFrame =
+    Ivf.ivfTopK(spark, dir, nQueries, k, nCells, nProbe)
 
   /** Scale-path near-dup join: LSH-bucketed self-join. One side probes
     * its own bucket plus every 1-bit-flip neighbor (multi-probe); the
@@ -204,17 +195,6 @@ object Similarity {
       .orderBy(col("vec_id_1"), col("vec_id_2"))
   }
 
-  /** Per-label kNN graph: every vector's k nearest same-label
-    * neighbors by cosine — the all-rows top-k similarity join (kNN
-    * graphs feed clustering, label propagation, and within-class
-    * near-dup audits), blocked on the label column so the quadratic
-    * term is per-block, not corpus-wide. An EQUI-join on the block key
-    * (shuffle join, parallel across labels), one VecDot per candidate
-    * pair, then the standard (cos desc, vec_id) deterministic ranking.
-    * At 100 TB the blocking column is whatever partitions the corpus
-    * (label, language, shard); an unblocked corpus-wide kNN graph goes
-    * through the ANN paths (LSH/IVF/PQ) instead.
-    */
   /** Contrastive-pair mining: for each query vector, the most similar
     * SAME-label vector (the positive) and the most similar OTHER-label
     * vector (the hard negative), plus the contrastive margin — the
@@ -267,13 +247,62 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
-  def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  /** Per-label kNN graph: every vector's k nearest same-label
+    * neighbors by cosine — the all-rows top-k similarity join (kNN
+    * graphs feed clustering, label propagation, and within-class
+    * near-dup audits). EXACT output, bucketed plan: candidates come
+    * from IVF cells, never from a label-wide all-pairs join, and
+    * exactness is restored by a branch-and-bound cell pruning that is
+    * provable on ANY input — not a tuned-probe-depth bet.
+    *
+    * The triangle inequality for angles gives, for query q, cell
+    * centroid c, and any member x of the cell,
+    * θ(q,x) >= θ(q,c) − α_c where α_c = max member angle to c; cos is
+    * decreasing on [0,π], so cos(q,x) <= cos(max(0, θ(q,c) − α_c)).
+    * Two passes:
+    *  1. score q against its OWN (label, cell) mates; the k-th best
+    *     cosine τ_q lower-bounds the final k-th best;
+    *  2. for every remote (label, cell), score its members only if the
+    *     bound clears τ_q — a pruned cell provably contains no top-k
+    *     neighbor (member cos <= bound < τ_q <= final k-th value, and
+    *     strictly-worse rows can't enter the (cos desc, id) ranking).
+    * A query with fewer than k own-cell mates has no τ and prunes
+    * nothing — still exact.
+    *
+    * Cost is data-adaptive: on clustered corpora (real embedding
+    * spaces) most remote cells fail the bound and the quadratic term
+    * collapses to near cell-local; on the adversarial isotropic case
+    * it degrades toward the all-pairs cost while STAYING exact —
+    * the behavior of every exact branch-and-bound search. All joins
+    * key on (label, cell); the only nested loop is the N x nCells
+    * scoring against the broadcast 16-row centroid table (the
+    * `ivf_topk` probe shape). At 100 TB: build the IVF index once
+    * (`Ivf.buildCentroids` is the standard two-exchange Lloyd pass),
+    * and the bound filter is what keeps the candidate join from
+    * touching every cell pair.
+    *
+    * iters defaults to 1 (vs ivf_topk's 2): exactness here does not
+    * depend on centroid quality — any centroids give correct output,
+    * better ones only prune more — so one Lloyd pass to shape the
+    * cells is the right cost/benefit for an index rebuilt per call.
+    */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3,
+      nCells: Int = 16, iters: Int = 1): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
-    val scored = emb.as("a")
-      .join(emb.as("b"),
+    // k-row index artifact + the cell-annotated corpus; both are read
+    // by several branches below (own-cell join sides, remote join,
+    // per-cell stats), and Spark re-executes subtrees per branch —
+    // the cuts materialize each exactly once.
+    val centroids = Ivf.buildCentroids(emb, nCells, iters).localCheckpoint()
+    val indexed = emb.join(Ivf.assign(emb, centroids), "vec_id")
+      .localCheckpoint()
+    // pass 1: candidates sharing the query's (label, cell)
+    val own = indexed.as("a")
+      .join(indexed.as("b"),
         col("a.label") === col("b.label") &&
+          col("a.cell") === col("b.cell") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
         col("b.vec_id").as("neighbor_id"),
@@ -281,7 +310,49 @@ object Similarity {
           (col("a.nrm") * col("b.nrm"))).as("cos"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    scored
+    // τ_q = k-th best own-cell cosine: a LOWER bound on the final k-th
+    // best (the final ranking is over a superset of these candidates).
+    // Queries with < k own-cell mates emit no row -> null τ -> no
+    // pruning for them.
+    val tau = own.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k)
+      .select(col("vec_id").as("query_id"), col("cos").as("tau"))
+    def clamp1(c: Column): Column = greatest(lit(-1.0), least(lit(1.0), c))
+    // per-(label, cell) bounding cap: max member angle to the centroid
+    val stats = indexed
+      .join(broadcast(centroids), col("cell") === col("cid"))
+      .groupBy(col("label"), col("cell"))
+      .agg(max(acos(clamp1(cosine(col("embedding"), col("cvec")))))
+        .as("alpha"))
+    // pass 2: remote (label, cell)s surviving the bound. The 1e-9
+    // margin absorbs double rounding in acos/cos so pruning never
+    // fires on a float-level tie — exactness is preserved under fp.
+    val qside = indexed
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("qv"), col("nrm").as("qnrm"),
+        col("cell").as("q_cell"))
+      .join(tau, Seq("query_id"), "left")
+    val probes = qside
+      .crossJoin(broadcast(centroids))
+      .filter(col("cid") =!= col("q_cell"))
+      .join(broadcast(stats),
+        col("label") === col("q_label") && col("cell") === col("cid"))
+      .withColumn("bound",
+        cos(greatest(lit(0.0),
+          acos(clamp1(cosine(col("qv"), col("cvec")))) - col("alpha"))))
+      .filter(col("tau").isNull || col("bound") >= col("tau") - lit(1e-9))
+      .select(col("query_id"), col("q_label"), col("qv"), col("qnrm"),
+        col("cell"))
+    val remote = probes.as("q")
+      .join(indexed.as("m"),
+        col("m.label") === col("q.q_label") &&
+          col("m.cell") === col("q.cell") &&
+          col("m.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id").as("vec_id"), col("q.q_label").as("label"),
+        col("m.vec_id").as("neighbor_id"),
+        (dot(col("q.qv"), col("m.embedding")) /
+          (col("q.qnrm") * col("m.nrm"))).as("cos"))
+    own.unionAll(remote)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("label"), col("rank"),

@@ -130,8 +130,10 @@ class EdgeCasesSpec extends SparkTestBase
     val (_, rawP) = layoutSpans(
       base.withColumn("z",
         Analytics.zorderValue(col("orderkey"), col("partkey"))), "raw")
-    assert(rawP > pGlob * 0.8,
-      s"raw interleave unexpectedly clustered partkey: $rawP vs $pGlob")
+    // only the RELATIVE claim is a property of the operator; asserting
+    // the raw interleave stays near-unclustered (measured ~0.97 of
+    // global span on the current sf0.001 key distribution) would pin
+    // the test to the testdata's orderkey/partkey range ratio
     assert(avgP < rawP, "ranked layout must beat raw on the narrow dim")
   }
 

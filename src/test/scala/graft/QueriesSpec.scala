@@ -33,6 +33,9 @@ class QueriesSpec extends SparkTestBase {
   private val NljAllowed = Set(
     "cosine_near_dup", "cosine_topk", "ann_topk", "ivf_topk",
     "tfidf_top_term",
+    // N x nCells scoring against the broadcast 16-row centroid table
+    // (the ivf_topk probe shape) — constant fanout, intended
+    "knn_graph",
     // 1-row broadcast scalar joins (corpus total / global average):
     // the build side is a single row, so the "nested loop" is one
     // comparison per streamed row — the intended plan

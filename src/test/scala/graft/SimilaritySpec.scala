@@ -39,15 +39,78 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
-  test("ANN recall vs brute force is nontrivial and ANN is a subset-ranking") {
+  test("ANN recall vs brute force clears the 0.8 floor") {
     val exact = Similarity.cosineTopK(spark, sf("sf0.001"))
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val ann = Similarity.annTopK(spark, sf("sf0.001"))
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(ann.nonEmpty)
     val recall = (exact intersect ann).size.toDouble / exact.size
-    info(f"multi-probe (6 planes, <=2 flips) ANN recall@5 = $recall%.2f")
-    assert(recall > 0.1, s"ANN recall suspiciously low: $recall")
+    info(f"IVF-routed (8/16 cells) ANN recall@5 = $recall%.2f")
+    // the published ANN entry point must not return half-wrong
+    // neighbors: the round-5 hyperplane-LSH path measured 0.54 here
+    // and was demoted for it
+    assert(recall >= 0.8, s"ANN recall below floor: $recall")
+  }
+
+  test("knnGraph IVF-pruned result is exactly the brute-force within-label graph") {
+    // the pre-round-6 formulation: label-wide all-pairs + top-k —
+    // kept inline as the oracle the bucketed plan must reproduce
+    def brute(dir: String, k: Int = 3) = {
+      val emb = spark.read.parquet(dir + "/embeddings.parquet")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          Similarity.l2norm(col("embedding")).as("nrm"))
+      import org.apache.spark.sql.expressions.Window
+      val scored = emb.as("a")
+        .join(emb.as("b"),
+          col("a.label") === col("b.label") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+          col("b.vec_id").as("neighbor_id"),
+          (Similarity.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("vec_id"), col("label"), col("rank"),
+          col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("vec_id"), col("rank"))
+    }
+    // recall must be exactly 1.0 — the triangle-inequality pruning is
+    // a proof, not a tuned probe depth; sf0.001's isotropic vectors
+    // are the adversarial case where pruning fires least
+    for (sfName <- Seq("sf0.001", "sf0.01")) {
+      val got = Similarity.knnGraph(spark, sf(sfName)).collect()
+      val want = brute(sf(sfName)).collect()
+      assert(got.length === want.length, s"$sfName row count")
+      assert(got.sameElements(want), s"$sfName mismatch vs brute force")
+    }
+  }
+
+  test("knnGraph plan has no label-only join: every label join also keys on cell") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec, BroadcastHashJoinExec}
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    // AQE wraps the plan; descend through the adaptive node explicitly
+    def keysOf(p: SparkPlan): Seq[Seq[Expression]] =
+      (p match {
+        case a: AdaptiveSparkPlanExec => keysOf(a.executedPlan)
+        case j: SortMergeJoinExec => Seq(j.leftKeys)
+        case j: ShuffledHashJoinExec => Seq(j.leftKeys)
+        case j: BroadcastHashJoinExec => Seq(j.leftKeys)
+        case _ => Seq.empty
+      }) ++ p.children.flatMap(keysOf)
+    val equiJoins = keysOf(
+      Similarity.knnGraph(spark, sf("sf0.001")).queryExecution.executedPlan)
+    assert(equiJoins.nonEmpty)
+    equiJoins.foreach { keys =>
+      val names = keys.flatMap(_.references.map(_.name)).toSet
+      if (names.exists(_.contains("label")))
+        assert(names.exists(n => n.contains("cell") || n.contains("cid")),
+          s"join keyed on label without a cell key: $names")
+    }
   }
 
   test("probeBuckets covers the full Hamming ball at any maxFlips") {
