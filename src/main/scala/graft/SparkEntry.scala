@@ -23,6 +23,21 @@ object SparkEntry {
     InvertedIndex.ordered(
       Tables.documents(spark, "/root/testdata/sf0.001"))
 
+  /** Fixed export path for oracle-support tables (see oracleAux). */
+  val OracleAuxDir = "/tmp/graft_oracle_aux"
+
+  /** Oracle-support tables: Spark-computed inputs that oracle SQL reads
+    * back via read_parquet(OracleAuxDir). Exists for exactly one
+    * reason: DuckDB cannot recompute xxhash64, so ops keyed on it
+    * (simhash) would otherwise be stuck rows-only. The hash values
+    * cross engines as data; everything DOWNSTREAM of the hash (bit
+    * votes, fingerprint pack, hamming blocking) is recomputed
+    * independently in SQL, which is the part worth oracling.
+    */
+  def oracleAux: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "simhash_words" -> ((s, d) =>
+      Dedup.simhashWordTf(Tables.documents(s, d))))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- reference flagship + text pipeline ------------------------------
     "inverted_index" -> ((s, d) =>
@@ -559,6 +574,50 @@ object SparkEntry {
         |       CAST(max(n_shared) AS BIGINT) AS max_shared
         |FROM shared GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" -> NgramJaccardOracle,
+    // SimHash oracles recompute the bit votes, fingerprint pack, and
+    // (for pairs) the ground-truth quadratic hamming join from the
+    // Spark-exported word-hash table (oracleAux: DuckDB has no
+    // xxhash64). Shift semantics match Spark: >> is arithmetic on
+    // BIGINT in both engines, and (wh >> i) & 1 extracts bit i either
+    // way; bit 63 of the pack is the MIN_VALUE literal because DuckDB
+    // errors on 1 << 63 rather than wrapping.
+    "dedup_simhash" ->
+      """WITH w AS (SELECT doc_id, tf, wh
+        |           FROM read_parquet('/tmp/graft_oracle_aux/simhash_words/*.parquet')),
+        |bits AS (
+        |  SELECT w.doc_id, t.i,
+        |         SUM(CASE WHEN ((w.wh >> t.i) & 1) = 1 THEN w.tf ELSE -w.tf END) AS s
+        |  FROM w, range(64) t(i)
+        |  GROUP BY w.doc_id, t.i),
+        |fp AS (
+        |  SELECT doc_id,
+        |         bit_or(CASE WHEN s > 0 THEN
+        |           (CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+        |                 ELSE (1::BIGINT << CAST(i AS INTEGER)) END)
+        |           ELSE 0 END) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_id, to_hex(simhash) AS simhash_hex
+        |FROM fp ORDER BY doc_id""".stripMargin,
+    "simhash_pairs" ->
+      """WITH w AS (SELECT doc_id, tf, wh
+        |           FROM read_parquet('/tmp/graft_oracle_aux/simhash_words/*.parquet')),
+        |bits AS (
+        |  SELECT w.doc_id, t.i,
+        |         SUM(CASE WHEN ((w.wh >> t.i) & 1) = 1 THEN w.tf ELSE -w.tf END) AS s
+        |  FROM w, range(64) t(i)
+        |  GROUP BY w.doc_id, t.i),
+        |fp AS (
+        |  SELECT doc_id,
+        |         bit_or(CASE WHEN s > 0 THEN
+        |           (CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+        |                 ELSE (1::BIGINT << CAST(i AS INTEGER)) END)
+        |           ELSE 0 END) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE words AS (
         |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws

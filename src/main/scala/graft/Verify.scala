@@ -26,6 +26,18 @@ object Verify {
       }
       Cleanup.dropPersisted(spark)
     }
+    // Oracle-support tables: Spark-computed inputs (e.g. xxhash64 word
+    // hashes DuckDB cannot recompute) that oracle SQL reads back via
+    // read_parquet at this FIXED path. Verify always runs before the
+    // DuckDB compare, so the export is in place when the SQL runs.
+    SparkEntry.oracleAux.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"${SparkEntry.OracleAuxDir}/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
+      }
+      Cleanup.dropPersisted(spark)
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

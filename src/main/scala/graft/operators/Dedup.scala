@@ -379,11 +379,21 @@ object Dedup {
     * becomes the fingerprint bit. Implemented as 64 plain sum
     * aggregates (one shuffle, map-side combined) + a driver-free pack.
     */
-  def simhashes(docs: DataFrame): DataFrame = {
-    val tf = TextOps.explodedWords(docs, col("doc_id"))
+  /** (doc_id, word, tf, wh): the exact word-frequency stream the
+    * simhash aggregates over, with the xxhash64 word hash attached.
+    * Exported by Verify as an oracle-support table — DuckDB cannot
+    * compute xxhash64, so the hash crosses engines as DATA and the
+    * oracle recomputes the bit votes, fingerprint pack, and pair
+    * blocking from it in SQL (see SparkEntry.oracleAux).
+    */
+  def simhashWordTf(docs: DataFrame): DataFrame =
+    TextOps.explodedWords(docs, col("doc_id"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("wh", xxhash64(col("word")))
+
+  def simhashes(docs: DataFrame): DataFrame = {
+    val tf = simhashWordTf(docs)
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("wh"), i).bitwiseAND(1) === 1, col("tf"))
         .otherwise(-col("tf"))).as(s"b$i")

@@ -96,6 +96,50 @@ object ScaleSmoke {
     time("pq_encode_and_search")(
       graft.operators.Pq.pqTopK(spark, sfDir, prebuilt = Some(codebook))
         .write.format("noop").mode("overwrite").save())
+
+    // z-order WRITE path at sf0.1: the at-scale layout write the
+    // zorder_key query only previews. repartitionByRange(z) +
+    // sortWithinPartitions(z) into parquet, then measure what the
+    // per-file min/max stats actually buy a two-column box predicate:
+    // a file can be SKIPPED when its [min,max] on either column
+    // misses the box. EdgeCasesSpec asserts the span-shrink property
+    // at sf0.001; this exercises the real multi-file write at bench
+    // scale and logs the end-to-end skip ratio.
+    time("zorder_write_skip") {
+      import graft.operators.Analytics
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("orderkey"),
+          col("l_partkey").cast("long").as("partkey"))
+      val outDir = s"$sfDir/zorder_layout.parquet"
+      Analytics.zorderRanked(li, col("orderkey"), col("partkey"))
+        .repartitionByRange(32, col("z"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(outDir)
+      val stats = spark.read.parquet(outDir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("orderkey").as("o_min"), max("orderkey").as("o_max"),
+          min("partkey").as("p_min"), max("partkey").as("p_max"))
+        .collect()
+      require(stats.length > 8, s"expected many files, got ${stats.length}")
+      val (oLo, oHi) = (stats.map(_.getLong(1)).min, stats.map(_.getLong(2)).max)
+      val (pLo, pHi) = (stats.map(_.getLong(3)).min, stats.map(_.getLong(4)).max)
+      // 10% x 10% box predicate in the middle of both domains
+      def box(lo: Long, hi: Long): (Long, Long) = {
+        val w = hi - lo; (lo + (w * 45) / 100, lo + (w * 55) / 100)
+      }
+      val (oA, oB) = box(oLo, oHi)
+      val (pA, pB) = box(pLo, pHi)
+      val skipped = stats.count { r =>
+        r.getLong(2) < oA || r.getLong(1) > oB || // orderkey range misses
+          r.getLong(4) < pA || r.getLong(3) > pB  // partkey range misses
+      }
+      val ratio = skipped.toDouble / stats.length
+      println(f"zorder skip ratio: $skipped/${stats.length} = $ratio%.2f " +
+        "(10pct x 10pct box, either-column min/max skipping)")
+      // an unclustered layout skips ~0 files on a centered 10% box of
+      // BOTH columns; the z-layout must skip a solid majority
+      require(ratio >= 0.5, f"z-order layout skipped only $ratio%.2f of files")
+    }
     spark.stop()
   }
 }
