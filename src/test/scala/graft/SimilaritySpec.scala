@@ -142,7 +142,9 @@ class SimilaritySpec extends SparkTestBase {
     val recall = if (exact.isEmpty) 1.0
       else (exact intersect lsh).size.toDouble / exact.size
     info(f"LSH near-dup recall = $recall%.2f")
-    assert(recall > 0.3, s"recall too low: $recall")
+    // same bar as ann_topk: a published approximate op must not be
+    // half-wrong (the maxFlips=1 probe ball measured 0.52 here)
+    assert(recall >= 0.7, s"recall below floor: $recall")
   }
 
   test("near-dup pairs are symmetric-free (id1 < id2) and thresholded") {
