@@ -36,7 +36,49 @@ object SparkEntry {
     */
   def oracleAux: Map[String, (SparkSession, String) => DataFrame] = Map(
     "simhash_words" -> ((s, d) =>
-      Dedup.simhashWordTf(Tables.documents(s, d))))
+      Dedup.simhashWordTf(Tables.documents(s, d))),
+    // The IVF index the ivf_topk/ann_topk queries build — the build is
+    // bit-deterministic (spec-gated), so exporting a fresh build here
+    // yields byte-identical centroids/assignments to the ones the
+    // queries used; the oracle then recomputes probe selection,
+    // scoring, and ranking from them independently.
+    "ivf_centroids" -> ((s, d) =>
+      Ivf.buildCentroids(Tables.embeddings(s, d), 16, 2)),
+    "ivf_cells" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ivf.assign(emb, Ivf.buildCentroids(emb, 16, 2).localCheckpoint())
+    }),
+    // cosineNearDupLsh's bucket table; the Hamming-ball probe masks
+    // are a literal list in the oracle SQL (nPlanes=4, maxFlips=2)
+    "lsh_buckets" -> ((s, d) =>
+      Tables.embeddings(s, d).select(col("vec_id"),
+        graft.operators.Similarity.lshBucket(col("embedding"), 4)
+          .as("bucket"))),
+    // Count-min cell map: each distinct word's d=4 grid cells (DuckDB
+    // has no MurmurHash3); the oracle rebuilds the whole grid from the
+    // token stream and takes the min-estimate independently
+    "cms_cells" -> ((s, d) => {
+      val cellU = udf((x: String, i: Int) =>
+        graft.functions.CountMinAggregator.cell(x, i, 1024))
+      val rows = (0 until 4).map(i =>
+        struct(lit(i).as("row_i"), cellU(col("word"), lit(i)).as("cell")))
+      TextOps.explodedWords(Tables.documents(s, d))
+        .select(col("word")).distinct()
+        .select(col("word"), explode(array(rows: _*)).as("rc"))
+        .select(col("word"), col("rc.row_i").as("row_i"),
+          col("rc.cell").as("cell"))
+    }),
+    // PQ index artifacts (bit-deterministic build, like IVF): the
+    // oracle recomputes the ADC lookup, candidate ranking, and exact
+    // re-rank from the exported codebook + codes
+    "pq_codebook" -> ((s, d) =>
+      Pq.buildCodebook(Pq.subvectors(Tables.embeddings(s, d), 8, 64),
+        ks = 16, iters = 1)),
+    "pq_codes" -> ((s, d) => {
+      val subs = Pq.subvectors(Tables.embeddings(s, d), 8, 64)
+      Pq.assign(subs,
+        Pq.buildCodebook(subs, ks = 16, iters = 1).localCheckpoint())
+    }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- reference flagship + text pipeline ------------------------------
@@ -202,6 +244,38 @@ object SparkEntry {
       |JOIN sizes s2 ON doc_id_2 = s2.doc_id
       |WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
       |ORDER BY doc_id_1, doc_id_2""".stripMargin
+
+  /** Shared IVF search oracle (see the ivf_topk/ann_topk entries):
+    * probe the nProbe nearest exported centroids per query (ties on
+    * cid, matching the Spark window's (qd, cid) order), score every
+    * vector assigned to a probed cell, rank (cos desc, vec_id), top 5.
+    */
+  private def IvfSearchOracle(nProbe: Int): String =
+    s"""WITH cents AS (SELECT cid, CAST(cvec AS DOUBLE[]) AS cv
+       |               FROM read_parquet('/tmp/graft_oracle_aux/ivf_centroids/*.parquet')),
+       |cells AS (SELECT vec_id, cell FROM read_parquet('/tmp/graft_oracle_aux/ivf_cells/*.parquet')),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |             -(list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))),
+       |             c.cid) AS rn
+       |    FROM q, cents c) WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |         list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+       |  FROM q JOIN probes p ON q.query_id = p.query_id
+       |       JOIN cells ce ON ce.cell = p.cid
+       |       JOIN e ON e.vec_id = ce.vec_id
+       |  WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id AS neighbor_id, rank, round(cos, 6) AS cos_sim
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "inverted_index" ->
@@ -657,6 +731,98 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, vec_id AS neighbor_id, rank, round(cos, 6) AS cos_sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // IVF search oracles: the index (centroids + assignments) crosses
+    // engines as DATA (oracleAux export of the bit-deterministic
+    // build); probe selection, scoring, and ranking are recomputed
+    // independently. ivf_topk probes 4 cells, ann_topk (the IVF-routed
+    // ANN entry point) probes 8 — same index, same SQL shape.
+    "ivf_topk" -> IvfSearchOracle(nProbe = 4),
+    "ann_topk" -> IvfSearchOracle(nProbe = 8),
+    // PQ search oracle: codebook + codes cross as data; the ADC
+    // lookup table (decimal partial dots), approximate candidate
+    // ranking, and exact re-rank are recomputed in SQL. DECIMAL(28,12)
+    // sums are exact in both engines, so the approximate scores — and
+    // therefore the candidate cut — are bit-identical.
+    "pq_topk" ->
+      """WITH cb AS (SELECT sub, code, CAST(cword AS DOUBLE[]) AS cw
+        |            FROM read_parquet('/tmp/graft_oracle_aux/pq_codebook/*.parquet')),
+        |codes AS (SELECT vec_id, sub, code FROM read_parquet('/tmp/graft_oracle_aux/pq_codes/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qnorm
+        |      FROM e WHERE vec_id < 10),
+        |qsub AS (SELECT query_id, s.s AS sub, list_slice(qv, s.s*8 + 1, s.s*8 + 8) AS svec
+        |         FROM q, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) s(s)),
+        |lut AS (SELECT query_id, cb.sub, cb.code,
+        |               CAST(list_dot_product(qsub.svec, cb.cw) AS DECIMAL(28,12)) AS pdot,
+        |               CAST(list_dot_product(cb.cw, cb.cw) AS DECIMAL(28,12)) AS c2
+        |        FROM qsub JOIN cb ON cb.sub = qsub.sub),
+        |approx AS (
+        |  SELECT l.query_id, c.vec_id,
+        |         CAST(SUM(l.pdot) AS DOUBLE) AS adot,
+        |         sqrt(CAST(SUM(l.c2) AS DOUBLE)) AS rnorm
+        |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+        |  GROUP BY l.query_id, c.vec_id),
+        |cand AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT a.query_id, a.vec_id,
+        |           row_number() OVER (PARTITION BY a.query_id ORDER BY
+        |             (a.adot / (q.qnorm * a.rnorm)) DESC, a.vec_id) AS crn
+        |    FROM approx a JOIN q ON q.query_id = a.query_id
+        |    WHERE a.vec_id <> a.query_id) WHERE crn <= 50),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+        |  FROM cand JOIN q ON q.query_id = cand.query_id
+        |       JOIN e ON e.vec_id = cand.vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id AS neighbor_id, rank, round(cos, 6) AS cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Count-min heavy-hitter oracle: the cell map crosses as data; the
+    // grid (sum per touched cell over the full token stream), the
+    // min-of-d-cells estimate, and the top-k cut are recomputed in SQL
+    // — including the never-undercount property (overcount >= 0).
+    "cms_heavy_hitters" ->
+      """WITH m AS (SELECT word, row_i, cell FROM read_parquet('/tmp/graft_oracle_aux/cms_cells/*.parquet')),
+        |toks AS (
+        |  SELECT lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+        |  FROM documents),
+        |cnt AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+        |        FROM toks WHERE length(word) > 0 GROUP BY word),
+        |grid AS (SELECT m.row_i, m.cell, CAST(SUM(cnt.n) AS BIGINT) AS g
+        |         FROM cnt JOIN m USING (word) GROUP BY m.row_i, m.cell),
+        |exact AS (SELECT word, n AS n_exact FROM cnt ORDER BY n DESC, word LIMIT 20)
+        |SELECT e.word AS word, e.n_exact AS n_exact,
+        |       CAST(MIN(g.g) AS BIGINT) AS n_est,
+        |       CAST(MIN(g.g) - e.n_exact AS BIGINT) AS overcount
+        |FROM exact e
+        |JOIN m ON m.word = e.word
+        |JOIN grid g ON g.row_i = m.row_i AND g.cell = m.cell
+        |GROUP BY e.word, e.n_exact
+        |ORDER BY e.n_exact DESC, e.word""".stripMargin,
+    // LSH near-dup oracle: buckets cross as data; the Hamming-ball
+    // probe masks (nPlanes=4, maxFlips=2: all 4-bit values with <= 2
+    // bits set) and the verify join are recomputed in SQL.
+    "cosine_near_dup_lsh" ->
+      """WITH b AS (SELECT vec_id, bucket FROM read_parquet('/tmp/graft_oracle_aux/lsh_buckets/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |      FROM embeddings),
+        |probing AS (
+        |  SELECT b.vec_id, xor(b.bucket, m.m) AS bucket
+        |  FROM b, (VALUES (0),(1),(2),(3),(4),(5),(6),(8),(9),(10),(12)) m(m)),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS vec_id_1, bb.vec_id AS vec_id_2
+        |  FROM probing a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+        |SELECT p.vec_id_1, p.vec_id_2,
+        |       round(list_dot_product(e1.v, e2.v) / (e1.nrm * e2.nrm), 6) AS cos_sim
+        |FROM pairs p
+        |JOIN e e1 ON e1.vec_id = p.vec_id_1
+        |JOIN e e2 ON e2.vec_id = p.vec_id_2
+        |WHERE list_dot_product(e1.v, e2.v) / (e1.nrm * e2.nrm) >= 0.4
+        |ORDER BY vec_id_1, vec_id_2""".stripMargin,
     "cosine_near_dup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

@@ -34,7 +34,7 @@ object Ivf {
     * exchange. Same deterministic (dist, cid) tie-break, map-side
     * combined to one row per vector before the shuffle.
     */
-  private[operators] def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
+  def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
     emb
       .crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("cid"),
