@@ -42,12 +42,9 @@ object SparkEntry {
     // yields byte-identical centroids/assignments to the ones the
     // queries used; the oracle then recomputes probe selection,
     // scoring, and ranking from them independently.
-    "ivf_centroids" -> ((s, d) =>
-      Ivf.buildCentroids(Tables.embeddings(s, d), 16, 2)),
-    "ivf_cells" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Ivf.assign(emb, Ivf.buildCentroids(emb, 16, 2).localCheckpoint())
-    }),
+    "ivf_centroids" -> ((s, d) => Ivf.cachedCentroids(s, d, 16, 2)),
+    "ivf_cells" -> ((s, d) =>
+      Ivf.assign(Tables.embeddings(s, d), Ivf.cachedCentroids(s, d, 16, 2))),
     // cosineNearDupLsh's bucket table; the Hamming-ball probe masks
     // are a literal list in the oracle SQL (nPlanes=4, maxFlips=2)
     "lsh_buckets" -> ((s, d) =>

@@ -24,6 +24,42 @@ import graft.operators.Similarity.{cosine, topKPerQuery}
   */
 object Ivf {
 
+  /** Process-level memo of built centroid tables keyed by (corpus dir,
+    * nCells, iters) — "build the index once" across every consumer in
+    * one process (ivf_topk, ann_topk, knn_graph, the oracleAux
+    * exports), instead of re-running the Lloyd build per call. The
+    * cached value is the k x dim floats THEMSELVES (a centroid table
+    * is k rows by construction — driver-resident by design, like the
+    * broadcast it feeds), so re-materialization is a local-relation
+    * createDataFrame: it survives `Cleanup.dropPersisted`, needs no
+    * checkpoint blocks, and never replays lineage. The build is
+    * bit-deterministic (IvfSpec), so cache-hit vs rebuild cannot
+    * change any result. The 100 TB analog is the persisted index file
+    * a deployment builds once and every query job reads — that path
+    * is `ivfTopK(prebuilt = ...)`, spec-gated via a parquet
+    * round-trip.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
+      Seq[(Int, Seq[Float])]]()
+
+  private[graft] def clearCache(): Unit = centroidCache.clear()
+
+  def cachedCentroids(spark: SparkSession, dir: String, nCells: Int,
+      iters: Int): DataFrame = {
+    val key = (dir, nCells, iters)
+    val rows = Option(centroidCache.get(key)).getOrElse {
+      val built = buildCentroids(Tables.embeddings(spark, dir), nCells, iters)
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1)))
+        .toSeq
+      centroidCache.put(key, built)
+      built
+    }
+    import spark.implicits._
+    rows.toDF("cid", "cvec")
+  }
+
   /** Nearest-centroid assignment: broadcast the centroid array table,
     * score each (vector, centroid) pair, keep the argmin by (dist,
     * centroid id). Returns (vec_id, cell).
@@ -95,19 +131,24 @@ object Ivf {
     centroids
   }
 
-  /** IVF top-k: index build + nProbe-cell search for the query set. */
+  /** IVF top-k: nProbe-cell search for the query set over a centroid
+    * index that is built at most once per process (`cachedCentroids`)
+    * — or not at all when the caller passes a persisted index via
+    * `prebuilt` (schema (cid int, cvec array<float>), e.g. read back
+    * from parquet; see IvfSpec). Parity with `Pq.pqTopK`'s prebuilt
+    * path: the 100 TB deployment builds the index once, writes it,
+    * and every query job starts here.
+    */
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, prebuilt: Option[DataFrame] = None): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    // The built centroid table is the index artifact — k rows. It is
-    // consumed by BOTH the corpus assignment and the query probes, and
-    // Spark re-executes a subtree per use, so without a cut here the
-    // whole iterative Lloyd build (several shuffles per iteration) runs
-    // twice. localCheckpoint materializes the k-row table once and
-    // truncates the lineage — the batch analog of writing the index to
-    // storage, which is what a 100 TB build would do anyway.
-    val centroids = buildCentroids(emb, nCells, iters).localCheckpoint()
+    // The centroid table is the index artifact — k rows, consumed by
+    // BOTH the corpus assignment and the query probes. cachedCentroids
+    // hands back a local relation (no lineage to re-execute, nothing
+    // persisted), so no checkpoint cut is needed here.
+    val centroids = prebuilt.getOrElse(
+      cachedCentroids(spark, dir, nCells, iters))
     val cells = assign(emb, centroids)
     val indexed = emb.join(cells, "vec_id")
 

@@ -26,6 +26,35 @@ class IvfSpec extends SparkTestBase {
     assert(recall > 0.3, s"IVF recall too low: $recall")
   }
 
+  test("IVF prebuilt index: parquet round-trip matches the built-index run") {
+    // the 100 TB posture: build once, persist, every query job reloads.
+    // The reloaded index must produce bit-identical search results.
+    val dir = sf("sf0.001")
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").toString + "/centroids.parquet"
+    Ivf.cachedCentroids(spark, dir, 16, 2)
+      .write.mode("overwrite").parquet(idxPath)
+    val reloaded = spark.read.parquet(idxPath)
+    val fromPrebuilt = Ivf.ivfTopK(spark, dir, prebuilt = Some(reloaded))
+      .collect()
+    val fromBuild = Ivf.ivfTopK(spark, dir).collect()
+    assert(fromPrebuilt.sameElements(fromBuild))
+  }
+
+  test("centroid cache returns the same table as a fresh build") {
+    val dir = sf("sf0.001")
+    val fresh = Ivf.buildCentroids(
+      spark.read.parquet(dir + "/embeddings.parquet"), 16, 2)
+      .orderBy("cid").collect()
+    val cached = Ivf.cachedCentroids(spark, dir, 16, 2)
+      .orderBy("cid").collect()
+    assert(cached.length === fresh.length)
+    cached.zip(fresh).foreach { case (c, f) =>
+      assert(c.getInt(0) === f.getInt(0))
+      assert(c.getSeq[Float](1) === f.getSeq[Float](1))
+    }
+  }
+
   test("HLL sketch rollup: merging partial sketches == sketching raw rows") {
     // the mergeability contract pre-aggregation relies on: union of
     // fine-grained sketches must equal a direct coarse sketch
