@@ -8,6 +8,56 @@ import org.apache.spark.sql.SparkSession
   * prune projections and undercount the real work.
   */
 object Bench {
+
+  /** Regression baseline: per-query MINIMUM across every archived
+    * round (`BENCH_r{N}.json` in `dir`). The previous newest-round
+    * rule ratcheted the wrong way — after a contention-noised round
+    * (r6: ivf_topk recorded at 21.2 s vs 3.4 s the round before), a
+    * genuine regression to 8 s would have passed silently against the
+    * inflated number. The min across all rounds is the best the code
+    * has ever demonstrably run, which is exactly what "did it get
+    * slower" should compare against. Round numbers are extracted
+    * numerically, so an unpadded BENCH_r9.json cannot lexicographically
+    * shadow r10+ (moot for a min, but the file list is logged and
+    * should read in round order).
+    */
+  private[graft] def regressionBaseline(dir: java.io.File): Map[String, Double] =
+    try {
+      val benches = Option(dir.listFiles()).getOrElse(Array.empty)
+        .flatMap { f =>
+          "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
+            .map(m => (m.group(1).toInt, f))
+        }
+        .sortBy(_._1)
+      if (benches.isEmpty) {
+        System.err.println(
+          s"[bench] no BENCH_r*.json under ${dir.getAbsolutePath} — " +
+            "regression gate has no baseline and will pass vacuously")
+        Map.empty
+      } else {
+        System.err.println("[bench] regression baseline = per-query min over " +
+          benches.map(_._2.getName).mkString(", "))
+        val acc = scala.collection.mutable.Map[String, Double]()
+        benches.foreach { case (_, f) =>
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(f)
+          val qs = root.path("parsed").path("queries")
+          val it = qs.properties().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.isNumber) {
+              val v = e.getValue.asDouble()
+              acc(e.getKey) = acc.get(e.getKey).fold(v)(math.min(_, v))
+            }
+          }
+        }
+        acc.toMap
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] no regression baseline: ${e.getMessage}")
+      Map.empty[String, Double]
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -77,7 +127,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      Cleanup.dropPersisted(spark)
+      Cleanup.fullRelease(spark)
       name -> dt
     }
     // Locale-pinned: the f-interpolator uses the default JVM locale, which
@@ -106,58 +156,58 @@ object Bench {
     val missing = headline.filterNot(byName.contains)
     if (missing.nonEmpty)
       System.err.println(s"[bench] headline queries missing from registry: ${missing.mkString(", ")}")
-    // Regression gate vs the previous round: the driver archives each
-    // round's parsed bench line as BENCH_r{N}.json in the repo root.
-    // Compare this run's headline times against the newest one and flag
-    // anything >1.5x slower (with a 0.3s absolute floor so 0.1s-scale
-    // noise doesn't trip it). The r5 dedup_clusters/decontaminate
-    // regressions sat in the JSON un-noticed for a full round — this
-    // makes the next one fail loudly at build time, not judge time.
-    val prev: Map[String, Double] = try {
-      val dir = new java.io.File(".")
-      val benches = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(_.getName)
-      benches.lastOption.map { f =>
-        val root = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(f)
-        val qs = root.path("parsed").path("queries")
-        val it = qs.properties().iterator()
-        val m = scala.collection.mutable.Map[String, Double]()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue.isNumber) m(e.getKey) = e.getValue.asDouble()
-        }
-        System.err.println(s"[bench] regression baseline: ${f.getName}")
-        m.toMap
-      }.getOrElse(Map.empty)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] no regression baseline: ${e.getMessage}")
-      Map.empty[String, Double]
+    val prev = Bench.regressionBaseline(new java.io.File("."))
+    def overGate(now: Double, was: Double): Boolean =
+      now > was * 1.5 && now - was > 0.3
+    val flagged = headline.filter { k =>
+      byName.contains(k) && prev.contains(k) && overGate(byName(k), prev(k))
     }
-    val regressions = headline.filter { k =>
-      (byName.contains(k) && prev.contains(k)) && {
-        val now = byName(k); val was = prev(k)
-        now > was * 1.5 && now - was > 0.3
+    // A flagged query is immediately re-run ONCE (still warm — its own
+    // sf0.001 warmup and first timed run just happened) and both times
+    // are reported: a genuine code regression reproduces on the rerun,
+    // while environment contention (the r6 story: ivf_topk 21.2 s in
+    // the driver run vs 1.9 s on the same code locally) does not. Only
+    // queries whose FASTER run still trips the gate are reported as
+    // regressions; the rerun pairs go out in-band either way so the
+    // record shows what happened.
+    val reruns = flagged.map { k =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(k)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] rerun $k failed: ${e.getMessage}")
       }
+      val dt = (System.nanoTime() - t0) / 1e9
+      Cleanup.fullRelease(spark)
+      k -> dt
+    }.toMap
+    val regressions = flagged.filter { k =>
+      overGate(math.min(byName(k), reruns(k)), prev(k))
     }
-    regressions.foreach { k =>
+    flagged.foreach { k =>
+      val tag = if (regressions.contains(k)) "REGRESSION" else "noise (rerun cleared gate)"
       System.err.println(
-        f"[bench] REGRESSION $k: ${prev(k)}%.2fs -> ${byName(k)}%.2fs " +
-          f"(${byName(k) / prev(k)}%.2fx)")
+        f"[bench] $tag $k: baseline ${prev(k)}%.2fs -> ${byName(k)}%.2fs, " +
+          f"rerun ${reruns(k)}%.2fs")
     }
     val qs = headline.filter(byName.contains)
       .map(k => "\"" + k + "\":" + fmt(byName(k)))
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val regs = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // [first_run, rerun] per flagged query — tiny (flagged only), and
+    // it is the evidence distinguishing code regressions from
+    // environment noise in the archived record
+    val rr = flagged.map(k =>
+        "\"" + k + "\":[" + fmt(byName(k)) + "," + fmt(reruns(k)) + "]")
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     System.err.println(s"""[bench-detail] {"total":${fmt(total)},"queries":$detail}""")
     // a failed query makes the total meaningless — surface it in-band,
     // not just on stderr
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$errs,"regressions":$regs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$errs,"regressions":$regs,"reruns":$rr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

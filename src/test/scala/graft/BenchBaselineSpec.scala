@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench regression gate's baseline loader: per-query minimum
+  * across every archived round. Pointed at fixture dirs so the
+  * sort/min/missing-file behavior is testable without running a bench.
+  */
+class BenchBaselineSpec extends AnyFunSuite {
+
+  private def fixture(files: (String, String)*): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_fix").toFile
+    files.foreach { case (name, body) =>
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      try w.write(body) finally w.close()
+    }
+    dir
+  }
+
+  private def round(qs: (String, Double)*): String = {
+    val m = qs.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    s"""{"n":1,"parsed":{"queries":{$m}}}"""
+  }
+
+  test("baseline is the per-query min across ALL archived rounds") {
+    val dir = fixture(
+      "BENCH_r04.json" -> round("a" -> 1.0, "b" -> 9.0),
+      "BENCH_r05.json" -> round("a" -> 3.0, "b" -> 2.0, "c" -> 4.0),
+      "BENCH_r06.json" -> round("a" -> 2.0, "b" -> 21.0))
+    val base = Bench.regressionBaseline(dir)
+    assert(base === Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0))
+  }
+
+  test("unpadded round numbers sort numerically, not lexicographically") {
+    // r9 vs r10: lexicographic filename order would put r9 last and
+    // (under the old newest-round rule) make it a permanently stale
+    // baseline; the min rule plus numeric extraction is immune
+    val dir = fixture(
+      "BENCH_r9.json" -> round("a" -> 5.0),
+      "BENCH_r10.json" -> round("a" -> 1.5))
+    assert(Bench.regressionBaseline(dir) === Map("a" -> 1.5))
+  }
+
+  test("non-bench files are ignored; empty dir yields empty baseline") {
+    val dir = fixture(
+      "BENCH_rX.json" -> "not json",
+      "CORRECTNESS_r06.json" -> "{}")
+    assert(Bench.regressionBaseline(dir) === Map.empty[String, Double])
+    assert(Bench.regressionBaseline(
+      java.nio.file.Files.createTempDirectory("graft_bench_empty").toFile)
+      === Map.empty[String, Double])
+  }
+}
