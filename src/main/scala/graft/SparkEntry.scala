@@ -68,14 +68,10 @@ object SparkEntry {
     // PQ index artifacts (bit-deterministic build, like IVF): the
     // oracle recomputes the ADC lookup, candidate ranking, and exact
     // re-rank from the exported codebook + codes
-    "pq_codebook" -> ((s, d) =>
-      Pq.buildCodebook(Pq.subvectors(Tables.embeddings(s, d), 8, 64),
-        ks = 16, iters = 1)),
-    "pq_codes" -> ((s, d) => {
-      val subs = Pq.subvectors(Tables.embeddings(s, d), 8, 64)
-      Pq.assign(subs,
-        Pq.buildCodebook(subs, ks = 16, iters = 1).localCheckpoint())
-    }))
+    "pq_codebook" -> ((s, d) => Pq.cachedCodebook(s, d, 8, 16, 1)),
+    "pq_codes" -> ((s, d) =>
+      Pq.assign(Pq.subvectors(Tables.embeddings(s, d), 8, 64),
+        Pq.cachedCodebook(s, d, 8, 16, 1))))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- reference flagship + text pipeline ------------------------------
@@ -205,6 +201,11 @@ object SparkEntry {
     "pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
     "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
     "dup_span_coverage" -> ((s, d) => Dedup.dupSpanCoverage(s, d)),
+    // the at-scale (128-bit gram key) mode of the same operator: both
+    // gated against the identical string-keyed oracle, so the shipped
+    // answer to the 64-bit birthday-bound caveat is itself oracle-green
+    "dup_span_coverage128" ->
+      ((s, d) => Dedup.dupSpanCoverage(s, d, wideHash = true)),
     "top_dup_spans" -> ((s, d) => Dedup.topDupSpans(s, d)),
     "pagerank_neardup" -> ((s, d) => Dedup.pagerankNearDup(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
@@ -221,6 +222,38 @@ object SparkEntry {
     * equals the exact similarity join and both check against the same
     * brute-force DuckDB oracle.
     */
+  /** Shared by dup_span_coverage and dup_span_coverage128: the oracle
+    * groups the literal gram STRINGS, so one SQL gates both the 64-bit
+    * and the 128-bit hash-keyed modes — the hash width is an engine-side
+    * implementation detail the result must be independent of.
+    */
+  private val DupSpanCoverageOracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+      |  FROM words, unnest(range(1, len(ws) - 6)) AS t(i)
+      |  WHERE len(ws) >= 8),
+      |pg AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf
+      |       FROM g GROUP BY doc_id, gram),
+      |occ AS (SELECT gram, CAST(sum(tf) AS BIGINT) AS n_occ
+      |        FROM pg GROUP BY gram),
+      |per AS (
+      |  SELECT pg.doc_id,
+      |    CAST(sum(tf) AS BIGINT) AS n_grams,
+      |    CAST(sum(CASE WHEN n_occ > 1 THEN tf ELSE 0 END) AS BIGINT) AS n_dup_grams
+      |  FROM pg JOIN occ ON pg.gram = occ.gram
+      |  GROUP BY pg.doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(n_grams, 0) AS n_grams,
+      |  COALESCE(n_dup_grams, 0) AS n_dup_grams,
+      |  CASE WHEN n_grams IS NULL THEN 0.0
+      |       ELSE round(CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+      |  END AS dup_frac
+      |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   private val NgramJaccardOracle: String =
     """WITH words AS (
       |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
@@ -1485,32 +1518,8 @@ object SparkEntry {
         |  round((CAST(w_raw AS DOUBLE) / CAST(tot_w AS DOUBLE)) /
         |        (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)), 6) AS oversample
         |FROM w CROSS JOIN tot ORDER BY source""".stripMargin,
-    "dup_span_coverage" ->
-      """WITH words AS (
-        |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
-        |  FROM words, unnest(range(1, len(ws) - 6)) AS t(i)
-        |  WHERE len(ws) >= 8),
-        |pg AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf
-        |       FROM g GROUP BY doc_id, gram),
-        |occ AS (SELECT gram, CAST(sum(tf) AS BIGINT) AS n_occ
-        |        FROM pg GROUP BY gram),
-        |per AS (
-        |  SELECT pg.doc_id,
-        |    CAST(sum(tf) AS BIGINT) AS n_grams,
-        |    CAST(sum(CASE WHEN n_occ > 1 THEN tf ELSE 0 END) AS BIGINT) AS n_dup_grams
-        |  FROM pg JOIN occ ON pg.gram = occ.gram
-        |  GROUP BY pg.doc_id)
-        |SELECT d.doc_id,
-        |  COALESCE(n_grams, 0) AS n_grams,
-        |  COALESCE(n_dup_grams, 0) AS n_dup_grams,
-        |  CASE WHEN n_grams IS NULL THEN 0.0
-        |       ELSE round(CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
-        |  END AS dup_frac
-        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "dup_span_coverage" -> DupSpanCoverageOracle,
+    "dup_span_coverage128" -> DupSpanCoverageOracle,
     "bpe_pairs" ->
       """WITH toks AS (
         |  SELECT lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word

@@ -81,42 +81,58 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
-  /** Average-rank table for one column: (value, r2) where r2 = TWICE
-    * the tie-averaged rank — always an integer (avg rank is k or
-    * k+0.5), which keeps every downstream moment exact. Ranks come
-    * from a two-phase distributed prefix sum over the DISTINCT-value
-    * table (the Pipeline.packSequences pattern): range-partition the
-    * values, per-partition counts, prefix the per-partition partials
-    * (a window over #partitions rows — the only serial step), finish
-    * within partitions. No global single-reducer sort anywhere, which
-    * is what a naive rank() window would do.
+  /** Average-rank tables for one or more value streams in ONE shuffle
+    * chain. Input is (kind, v) rows — `kind` tags which stream a value
+    * belongs to, so ranking two columns (rank_corr's rx and ry) costs
+    * one distinct-agg + one range exchange + one window pass over the
+    * union instead of running the whole chain twice. Output is
+    * (kind, v, r2) where r2 = TWICE the tie-averaged rank WITHIN its
+    * kind — always an integer (avg rank is k or k+0.5), which keeps
+    * every downstream moment exact.
+    *
+    * Ranks come from a two-phase distributed prefix sum over the
+    * DISTINCT-(kind, value) table (the Pipeline.packSequences
+    * pattern): range-partition on (kind, v) — so within a kind,
+    * partition order IS value order — per-partition counts, prefix the
+    * per-(kind, partition) partials (a window over #partitions rows —
+    * the only serial step), finish within partitions. No global
+    * single-reducer sort anywhere, which is what a naive rank() window
+    * would do.
     *
     * Input contract: callers must drop null values first. A null key
     * ranks as its own group here, but the `===` join back in the
     * caller would drop it silently — see rankCorr's pairwise-complete
     * filter.
     */
-  private def avgRank2(rows: DataFrame, value: Column, out: String)
-      : DataFrame = {
-    val dist = rows.groupBy(value.as("v")).agg(count(lit(1)).as("cnt"))
-    val ranged = dist.repartitionByRange(col("v"))
+  private def avgRank2Kinds(vals: DataFrame): DataFrame = {
+    val dist = vals.groupBy(col("kind"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranged = dist.repartitionByRange(col("kind"), col("v"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(eager = false)
-    val wOff = Window.orderBy(col("pid"))
+    val wOff = Window.partitionBy(col("kind")).orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col("pid"))
+    val offsets = ranged.groupBy(col("kind"), col("pid"))
       .agg(sum(col("cnt")).as("part_sum"))
       .withColumn("offset",
         coalesce(sum(col("part_sum")).over(wOff), lit(0L)))
-      .select(col("pid"), col("offset"))
-    val wIn = Window.partitionBy(col("pid")).orderBy(col("v"))
+      .select(col("kind"), col("pid"), col("offset"))
+    val wIn = Window.partitionBy(col("kind"), col("pid")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    ranged.join(broadcast(offsets), "pid")
+    ranged.join(broadcast(offsets), Seq("kind", "pid"))
       .withColumn("cum_smaller",
         col("offset") + coalesce(sum(col("cnt")).over(wIn), lit(0L)))
-      .select(col("v").as(s"${out}_v"),
-        (col("cum_smaller") * 2 + col("cnt") + 1).as(out))
+      .select(col("kind"), col("v"),
+        (col("cum_smaller") * 2 + col("cnt") + 1).as("r2"))
   }
+
+  /** Single-stream wrapper over avgRank2Kinds: (value, r2) columns
+    * named for the caller's join-back.
+    */
+  private def avgRank2(rows: DataFrame, value: Column, out: String)
+      : DataFrame =
+    avgRank2Kinds(rows.select(lit(0).as("kind"), value.as("v")))
+      .select(col("v").as(s"${out}_v"), col("r2").as(out))
 
   /** Spearman rank correlation (tie-averaged) between quantity and
     * extended price, with the Pearson coefficient alongside — the
@@ -145,8 +161,20 @@ object Analytics {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_quantity").isNotNull &&
         col("l_extendedprice").isNotNull)
-    val rx = avgRank2(li, col("l_quantity"), "rx2")
-    val ry = avgRank2(li, col("l_extendedprice"), "ry2")
+    // both coordinates ranked in ONE pass over a (kind, value) union —
+    // one distinct-agg/range-exchange/window chain instead of two
+    // (both columns are double, so the union is type-exact and the
+    // join-back equality below is the same comparison as before). The
+    // cut: the ranked table feeds both the rx and ry filters, and
+    // without it the whole chain re-executes per consumer.
+    val ranked = avgRank2Kinds(
+        li.select(lit(0).as("kind"), col("l_quantity").as("v"))
+          .unionAll(li.select(lit(1).as("kind"), col("l_extendedprice").as("v"))))
+      .localCheckpoint(eager = false)
+    val rx = ranked.filter(col("kind") === 0)
+      .select(col("v").as("rx2_v"), col("r2").as("rx2"))
+    val ry = ranked.filter(col("kind") === 1)
+      .select(col("v").as("ry2_v"), col("r2").as("ry2"))
     val nRow = li.agg(count(lit(1)).as("nr"))
     val d38 = (c: Column) => c.cast("decimal(38,0)")
     val joined = li
@@ -522,8 +550,18 @@ object Analytics {
     * inputs, IEEE-exact division at integer quotients.
     */
   def zorderRanked(rows: DataFrame, x: Column, y: Column): DataFrame = {
-    val rx = avgRank2(rows, x, "zrx2")
-    val ry = avgRank2(rows, y, "zry2")
+    // both dimensions ranked in one (kind, value) union chain — see
+    // rankCorr. Union type coercion widens mixed numeric key types;
+    // the null-safe join-back below is equality-stable under that
+    // widening (and the shipped callers pass two longs).
+    val ranked = avgRank2Kinds(
+        rows.select(lit(0).as("kind"), x.as("v"))
+          .unionAll(rows.select(lit(1).as("kind"), y.as("v"))))
+      .localCheckpoint(eager = false)
+    val rx = ranked.filter(col("kind") === 0)
+      .select(col("v").as("zrx2_v"), col("r2").as("zrx2"))
+    val ry = ranked.filter(col("kind") === 1)
+      .select(col("v").as("zry2_v"), col("r2").as("zry2"))
     val nRow = rows.agg(count(lit(1)).as("znr"))
     def bucket(r2: Column) =
       floor((r2 - 1) * 256 / (col("znr") * 2)).cast("long")

@@ -463,10 +463,21 @@ object Dedup {
   }
 
   def dupSpanCoverage(spark: SparkSession, dir: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8, wideHash: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // wideHash widens the gram key to a 128-bit pair — xxhash64 of the
+    // span alone plus xxhash64 of (salt, span), two independent 64-bit
+    // draws — for corpora past ~10^9 distinct grams where the 64-bit
+    // birthday bound makes collisions expected (see the scale caveat
+    // above). Same plan shape and costs (the key is a 2-field struct
+    // instead of a long); a spec asserts both modes agree on corpora
+    // where 64-bit collisions are impossible in practice.
+    val gh =
+      if (wideHash) struct(xxhash64(col("span")).as("h1"),
+        xxhash64(lit(0x9E3779B9L), col("span")).as("h2"))
+      else struct(xxhash64(col("span")).as("h1"))
     val perDocGram = docSpans(docs, k)
-      .select(col("doc_id"), xxhash64(col("span")).as("gh"))
+      .select(col("doc_id"), gh.as("gh"))
       .groupBy(col("doc_id"), col("gh"))
       .agg(count(lit(1)).as("tf"))
     val occ = perDocGram.groupBy(col("gh"))

@@ -27,6 +27,36 @@ import graft.plans.VecDot
   */
 object Pq {
 
+  /** Process-level memo of trained codebooks keyed by (corpus dir, m,
+    * ks, iters) — the Ivf.cachedCentroids pattern: a codebook is M*ks
+    * rows of subDim doubles (driver-resident by design, like the
+    * broadcast it feeds), so the cache stores the values themselves
+    * and rematerializes a local relation per call. pq_topk and the
+    * pq_codebook/pq_codes oracle exports share one Lloyd build per
+    * process; the build is bit-deterministic (PqSpec), so cache-hit
+    * vs rebuild cannot change results. Persisted-index deployments
+    * bypass this entirely via `pqTopK(prebuilt = ...)`.
+    */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int),
+      Seq[(Int, Int, Seq[Double])]]()
+
+  def cachedCodebook(spark: SparkSession, dir: String, m: Int, ks: Int,
+      iters: Int, dim: Int = 64): DataFrame = {
+    val key = (dir, m, ks, iters)
+    val rows = Option(codebookCache.get(key)).getOrElse {
+      val built = buildCodebook(
+          subvectors(Tables.embeddings(spark, dir), m, dim), ks, iters)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .toSeq
+      codebookCache.put(key, built)
+      built
+    }
+    import spark.implicits._
+    rows.toDF("sub", "code", "cword")
+  }
+
   /** (vec_id, sub, svec array<double>) — the M-way split corpus.
     *
     * Pure narrow codegen: an array-level cast to double (bit-identical
@@ -113,12 +143,14 @@ object Pq {
     val emb = Tables.embeddings(spark, dir)
     val subs = subvectors(emb, m, dim)
     // the codebook is the index artifact (M*ks rows); it feeds the
-    // corpus encoding AND every query LUT — materialize once. A
-    // persisted index (`prebuilt`, e.g. read back from parquet — see
-    // PqSpec) skips the build entirely: the 100 TB deployment builds
-    // once, writes the codebook, and every query job starts here.
+    // corpus encoding AND every query LUT — built at most once per
+    // process (cachedCodebook hands back a local relation, nothing to
+    // re-execute). A persisted index (`prebuilt`, e.g. read back from
+    // parquet — see PqSpec) skips even that: the 100 TB deployment
+    // builds once, writes the codebook, and every query job starts
+    // here.
     val codebook = prebuilt.getOrElse(
-      buildCodebook(subs, ks, iters).localCheckpoint())
+      cachedCodebook(spark, dir, m, ks, iters, dim))
     val codes = assign(subs, codebook)
 
     // ADC lookup table: partial dot of each query subvector with each

@@ -6,6 +6,17 @@ import graft.operators.Dedup
 class DedupSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("dup span coverage: 64-bit and 128-bit gram keys agree") {
+    // on a corpus where 64-bit xxhash collisions are impossible in
+    // practice, the wide (at-scale) key mode must be a pure
+    // implementation detail — bit-identical output
+    val narrow = Dedup.dupSpanCoverage(spark, sf("sf0.001")).collect()
+    val wide = Dedup.dupSpanCoverage(spark, sf("sf0.001"), wideHash = true)
+      .collect()
+    assert(narrow.nonEmpty)
+    assert(wide.sameElements(narrow))
+  }
+
   test("exact clusters collapse identical texts to one keeper") {
     val docs = Seq(
       (1L, "hello world"), (2L, "hello world"),
