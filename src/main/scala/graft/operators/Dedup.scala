@@ -563,19 +563,24 @@ object Dedup {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val nn = deg.agg(count(lit(1)).as("n"))
+    // the rank table CARRIES its node's degree, so each iteration is
+    // one edge join + one aggregate + one node join — not a second
+    // degree join per round (deg is constant; re-deriving it per
+    // iteration from the checkpointed table added a whole join stage
+    // per round for a column the rank row can just keep)
     var pr = deg.crossJoin(broadcast(nn))
-      .select(col("src").as("node"), (lit(1.0) / col("n")).as("pr"))
+      .select(col("src").as("node"), col("deg"),
+        (lit(1.0) / col("n")).as("pr"))
     (1 to iters).foreach { _ =>
       val contrib = edges
         .join(pr.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
         .select(col("dst"),
           round(col("pr") / col("deg"), 12).cast("decimal(38,12)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      pr = deg.select(col("src").as("node"))
+      pr = deg.select(col("src").as("node"), col("deg"))
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .crossJoin(broadcast(nn))
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           round(lit(1.0 - damping) / col("n") +
             lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12)
             .as("pr"))
