@@ -30,7 +30,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] puts the driver AND all executor state (execution +
+  // storage memory, localCheckpoint blocks) in ONE heap. 8g left the
+  // block manager competing with execution memory on the
+  // checkpoint-heavy stretch of the 124-query suite — the exact
+  // queries the r6 official bench recorded 3-9x slower while isolated
+  // reruns were fast. The container has 128 GiB; 16g keeps storage
+  // eviction and GC out of the measured windows.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // 123 queries x (warmup + measured) x ~5-15 generated classes each:
   // the JDK-17 default 240m JIT code cache fills mid-suite, after which
   // HotSpot stops compiling and everything later runs interpreted —
