@@ -58,6 +58,13 @@ object Bench {
       Map.empty[String, Double]
     }
 
+  /** The regression gate: >1.5x the baseline AND >0.3s absolute (so
+    * 0.1s-scale noise can't trip it). Used twice — to flag a first
+    * run, and to CONFIRM against the faster of first run + rerun.
+    */
+  private[graft] def overGate(now: Double, was: Double): Boolean =
+    now > was * 1.5 && now - was > 0.3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -157,8 +164,6 @@ object Bench {
     if (missing.nonEmpty)
       System.err.println(s"[bench] headline queries missing from registry: ${missing.mkString(", ")}")
     val prev = Bench.regressionBaseline(new java.io.File("."))
-    def overGate(now: Double, was: Double): Boolean =
-      now > was * 1.5 && now - was > 0.3
     val flagged = headline.filter { k =>
       byName.contains(k) && prev.contains(k) && overGate(byName(k), prev(k))
     }

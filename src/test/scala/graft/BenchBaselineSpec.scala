@@ -41,6 +41,15 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(Bench.regressionBaseline(dir) === Map("a" -> 1.5))
   }
 
+  test("regression gate needs BOTH 1.5x relative and 0.3s absolute") {
+    assert(Bench.overGate(now = 1.0, was = 0.5))
+    // relative trip, absolute floor holds it back (0.1s-scale noise)
+    assert(!Bench.overGate(now = 0.25, was = 0.1))
+    // absolute delta large, relative under 1.5x (slow query drift)
+    assert(!Bench.overGate(now = 10.4, was = 10.0))
+    assert(!Bench.overGate(now = 0.5, was = 0.5))
+  }
+
   test("non-bench files are ignored; empty dir yields empty baseline") {
     val dir = fixture(
       "BENCH_rX.json" -> "not json",
