@@ -124,6 +124,7 @@ object SparkEntry {
     "cosine_near_dup" -> ((s, d) => Similarity.cosineNearDupExact(s, d)),
     "cosine_near_dup_lsh" -> ((s, d) => Similarity.cosineNearDupLsh(s, d)),
     "knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "curated_corpus" -> ((s, d) => Pipeline.curatedCorpus(s, d)),
     "split_assign" -> ((s, d) => Pipeline.splitAssign(s, d)),
@@ -874,6 +875,22 @@ object SparkEntry {
         |      FROM s)
         |SELECT vec_id, label, rank, neighbor_id, round(cos, 6) AS cos_sim
         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    // within-cell pair scan + lower-id drop rule replayed in SQL from
+    // the exported IVF cell assignment (the same ivf_cells artifact the
+    // search oracles use)
+    "semantic_dedup" ->
+      """WITH cells AS (SELECT vec_id, cell FROM read_parquet('/tmp/graft_oracle_aux/ivf_cells/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |      FROM embeddings),
+        |j AS (SELECT c.vec_id, c.cell, e.v, e.nrm
+        |      FROM cells c JOIN e ON c.vec_id = e.vec_id),
+        |d AS (SELECT DISTINCT b.vec_id
+        |      FROM j a JOIN j b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)
+        |SELECT j.vec_id, j.cell, (d.vec_id IS NULL) AS kept
+        |FROM j LEFT JOIN d ON j.vec_id = d.vec_id
+        |ORDER BY j.vec_id""".stripMargin,
     "hourly_rollup" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
         |       event_type, CAST(count(*) AS BIGINT) AS n_events,

@@ -210,6 +210,52 @@ object Similarity {
       .orderBy(col("vec_id_1"), col("vec_id_2"))
   }
 
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): bucket
+    * the corpus by IVF cell, and within each cell drop every vector
+    * that has a LOWER-id neighbor at cosine >= threshold — the
+    * cell-bucketed scale variant of embedding near-dup removal a
+    * training-data pipeline runs before sampling. Per-cluster scope is
+    * the operator's semantics, not an approximation bug: cross-cell
+    * pairs are deliberately out of contract (that is what makes the
+    * quadratic term touch only cell-mates at 100 TB), and the cell
+    * assignment comes from the shared process-level IVF index
+    * (`Ivf.cachedCentroids` — built once, reused by every ANN
+    * consumer). Emits the full audit table (vec_id, cell, kept), not
+    * just the keep-list, so downstream sampling can weight by cluster
+    * and audits can count drops per cell.
+    *
+    * Deterministic: the drop rule's only tie-break is vec_id order,
+    * and the index build is bit-deterministic (IvfSpec). The oracle
+    * recomputes the within-cell pair scan and drop rule in SQL from
+    * the exported cell assignment.
+    */
+  def semanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nCells: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+    val indexed = emb
+      .join(Ivf.assign(emb, Ivf.cachedCentroids(spark, dir, nCells, iters)),
+        "vec_id")
+      // both sides of the within-cell self-join read this; one cut
+      .localCheckpoint()
+    val dropped = indexed.as("a")
+      .join(indexed.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(
+        dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")) >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    indexed.select(col("vec_id"), col("cell"))
+      .join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(!col("is_dup"), lit(true)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Contrastive-pair mining: for each query vector, the most similar
     * SAME-label vector (the positive) and the most similar OTHER-label
     * vector (the hard negative), plus the contrastive margin — the

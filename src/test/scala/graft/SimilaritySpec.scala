@@ -53,6 +53,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"ANN recall below floor: $recall")
   }
 
+  test("semanticDedup: drop rule is sound, complete within cells, and audits the full corpus") {
+    val dir = sf("sf0.001")
+    val out = Similarity.semanticDedup(spark, dir).collect()
+    val emb = spark.read.parquet(dir + "/embeddings.parquet")
+    assert(out.length === emb.count(), "audit table must cover every vector")
+    // recompute within-cell cosines brute-force from the same cells
+    val cells = out.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kept = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until a.length).foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    ids.foreach { v =>
+      val hasLowerDup = ids.exists(u => u < v && cells(u) == cells(v) &&
+        cos(vecs(u), vecs(v)) >= 0.4)
+      assert(kept.contains(v) === !hasLowerDup,
+        s"vec $v: kept=${kept.contains(v)} but lower-id same-cell dup=$hasLowerDup")
+    }
+    // the op must actually exercise both outcomes on this corpus
+    assert(kept.nonEmpty && kept.size < ids.size,
+      s"degenerate corpus: ${kept.size}/${ids.size} kept")
+  }
+
   test("knnGraph IVF-pruned result is exactly the brute-force within-label graph") {
     // the pre-round-6 formulation: label-wide all-pairs + top-k —
     // kept inline as the oracle the bucketed plan must reproduce
