@@ -113,12 +113,21 @@ object Bench {
         s"[bench] no sf0.001 sibling of $sfDir; skipping per-query warmup " +
           "(first-run timings will include codegen/JIT cost)")
     val failed = scala.collection.mutable.ArrayBuffer[String]()
+    // SPARK_GRAFT_ONLY=a,b,c times just those queries in an otherwise
+    // fresh suite — the isolation probe for suite-context drift (a
+    // query that is fast here but slow in the full run is reacting to
+    // accumulated JVM/plan state, not to its own code). Diagnostic
+    // only: the driver's official run never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val registry = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
     // Warmup is INTERLEAVED per query (warm q at sf0.001, then time q at
     // the target SF), not a separate all-queries warmup pass: codegen
     // cache or not, the JVM's own JIT state for a query's generated
     // classes is freshest immediately after the warmup run, and an
     // up-front pass puts 122 other queries between warm and measure.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = registry.toSeq.sortBy(_._1).map { case (name, fn) =>
       warmDir.foreach { wd =>
         try {
           fn(spark, wd).write.format("noop").mode("overwrite").save()

@@ -32,11 +32,29 @@ object Tables {
     * already parallel and the extra exchange is pure waste. Dimension
     * tables are never split (they broadcast). Bench/Verify/Prof enable
     * it because the driver's testdata is single-row-group parquet.
+    *
+    * Each table also carries a MINIMUM ROW COUNT below which the split
+    * is skipped: the exchange pays for itself only when the serial
+    * scan+map time it removes exceeds the shuffle's own cost plus a
+    * stage of scheduling overhead, and that break-even point is a row
+    * count scaled by the table's per-row work — relational decimal
+    * rows cost ~1 us, tokenized text ~50 us/doc, 64-dim vector math
+    * ~10 us/row. Below the floor, one core finishes the map work
+    * faster than the cluster can shuffle it (measured at sf0.1:
+    * splitting 150k orders rows cost the window/upsert queries
+    * +0.3-0.5 s each for nothing; splitting 600k lineitem rows saves
+    * stats_lineitem ~0.8 s). The ratio is scale-free, so the floors
+    * are not sf-tuned — they mark where fixed stage overhead stops
+    * dominating.
     */
   private val splitKeys = Map(
-    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
-    "events" -> "user_id", "documents" -> "doc_id",
-    "embeddings" -> "vec_id")
+    "lineitem" -> ("l_orderkey", 250000L),
+    "orders" -> ("o_orderkey", 250000L),
+    "events" -> ("user_id", 250000L),
+    "documents" -> ("doc_id", 10000L),
+    // the O(n^2) similarity self-joins stream this side; keep it split
+    // at any size the quadratic term can make expensive
+    "embeddings" -> ("vec_id", 0L))
 
   /** Row groups per parquet path, cached: byte-range split count alone
     * overstates real scan parallelism — a 700 MB single-row-group file
@@ -45,10 +63,11 @@ object Tables {
     * other five tasks read nothing. Effective parallelism is bounded by
     * row groups, and that is what the autosplit guard must compare.
     */
-  private val rowGroupCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Int]()
-  private def rowGroups(spark: SparkSession, path: String): Int =
-    rowGroupCache.computeIfAbsent(path, { p =>
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+  /** (row groups, total rows) from the parquet footers, cached. */
+  private def footerStats(spark: SparkSession, path: String): (Int, Long) =
+    footerCache.computeIfAbsent(path, { p =>
       try {
         val hp = new org.apache.hadoop.fs.Path(p)
         val conf = spark.sparkContext.hadoopConfiguration
@@ -57,17 +76,25 @@ object Tables {
           if (fs.getFileStatus(hp).isDirectory)
             fs.listStatus(hp).filter(_.getPath.getName.endsWith(".parquet"))
           else Array(fs.getFileStatus(hp))
-        val total = files.map { st =>
+        var groups = 0
+        var rows = 0L
+        files.foreach { st =>
           val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-          try rd.getFooter.getBlocks.size finally rd.close()
-        }.sum
-        // zero means we found no parquet files at the top level (e.g. a
-        // Hive-partitioned dir of subdirectories) — that is "layout
-        // unknown", not "zero parallelism"; returning 0 would force a
-        // repartition unconditionally
-        if (total == 0) Int.MaxValue else total
-      } catch { case _: Exception => Int.MaxValue } // unknown: assume fine
+          try {
+            val blocks = rd.getFooter.getBlocks
+            groups += blocks.size
+            blocks.forEach(b => rows += b.getRowCount)
+          } finally rd.close()
+        }
+        // zero groups means we found no parquet files at the top level
+        // (e.g. a Hive-partitioned dir of subdirectories) — that is
+        // "layout unknown", not "zero parallelism"; returning 0 would
+        // force a repartition unconditionally
+        if (groups == 0) (Int.MaxValue, Long.MaxValue) else (groups, rows)
+      } catch { case _: Exception =>
+        (Int.MaxValue, Long.MaxValue) // unknown: assume fine
+      }
     })
   // NOTE: the cache assumes immutable inputs (true for the testdata and
   // for any write-once corpus); rewriting a file at a cached path
@@ -79,13 +106,14 @@ object Tables {
     val auto = spark.conf
       .getOption("spark.graft.ingest.autosplit").contains("true")
     splitKeys.get(name) match {
-      case Some(key) if auto =>
+      case Some((key, minRows)) if auto =>
         val target = spark.sparkContext.defaultParallelism
+        val (groups, rows) = footerStats(spark, path)
         // plan-only (no job): the scan's byte-range split count, capped
         // by the number of row groups actually available to read
-        val scanParts =
-          math.min(df.rdd.getNumPartitions, rowGroups(spark, path))
-        if (scanParts * 2 <= target) df.repartition(target, col(key))
+        val scanParts = math.min(df.rdd.getNumPartitions, groups)
+        if (scanParts * 2 <= target && rows >= minRows)
+          df.repartition(target, col(key))
         else df
       case _ => df
     }

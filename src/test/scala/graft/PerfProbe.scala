@@ -5,6 +5,10 @@ object PerfProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions","32")
       .config("spark.sql.legacy.parquet.nanosAsLong","true")
+      // match Bench's ingest config so probe timings are comparable
+      // (flip with -Dgraft.probe.autosplit=false to isolate its cost)
+      .config("spark.graft.ingest.autosplit",
+        sys.props.getOrElse("graft.probe.autosplit", "true"))
       .config("spark.sql.adaptive.enabled","true")
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.ui.enabled","false").getOrCreate()

@@ -95,10 +95,17 @@ class SourcesRoundTripSpec extends SparkTestBase {
       assert(!hasRepartition(
         graft.sources.Tables.documents(spark, sf("sf0.001"))))
       spark.conf.set(conf, "true")
-      // single-row-group testdata + local[4]: scanParts(1)*2 <= 4
+      // single-row-group testdata + local[4]: scanParts(1)*2 <= 4, and
+      // embeddings carries a zero row floor — must be repartitioned
       assert(hasRepartition(
-        graft.sources.Tables.documents(spark, sf("sf0.001"))),
+        graft.sources.Tables.embeddings(spark, sf("sf0.001"))),
         "fact table with a degenerate layout must be repartitioned")
+      // below the per-table row floor the split is SKIPPED even with a
+      // degenerate layout: 50 docs of serial map work finish before an
+      // exchange could pay for itself (sf0.001 documents << 10k floor)
+      assert(!hasRepartition(
+        graft.sources.Tables.documents(spark, sf("sf0.001"))),
+        "sub-floor table must not pay the split exchange")
       // dimension tables never split (they broadcast)
       assert(!hasRepartition(
         graft.sources.Tables.nation(spark, sf("sf0.001"))))
