@@ -9,36 +9,46 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Regression baseline: per-query MINIMUM across every archived
-    * round (`BENCH_r{N}.json` in `dir`). The previous newest-round
-    * rule ratcheted the wrong way — after a contention-noised round
-    * (r6: ivf_topk recorded at 21.2 s vs 3.4 s the round before), a
-    * genuine regression to 8 s would have passed silently against the
-    * inflated number. The min across all rounds is the best the code
-    * has ever demonstrably run, which is exactly what "did it get
-    * slower" should compare against. Round numbers are extracted
-    * numerically, so an unpadded BENCH_r9.json cannot lexicographically
-    * shadow r10+ (moot for a min, but the file list is logged and
-    * should read in round order).
+  /** How many archived rounds the regression baseline looks back
+    * over. A single newest-round baseline ratchets the wrong way (r6:
+    * one contention-noised round inflated ivf_topk's record 6x and
+    * would have let a real regression through next round); an
+    * unbounded all-time minimum has no forgiveness — a deliberate,
+    * accepted slowdown (a correctness fix that adds a join) would be
+    * flagged REGRESSION every round forever, with deleting history as
+    * the only escape. Min over the newest K rounds resists K-1
+    * consecutive noisy rounds AND self-heals K rounds after an
+    * accepted slowdown.
     */
-  private[graft] def regressionBaseline(dir: java.io.File): Map[String, Double] =
-    try {
-      val benches = Option(dir.listFiles()).getOrElse(Array.empty)
-        .flatMap { f =>
-          "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
-            .map(m => (m.group(1).toInt, f))
-        }
-        .sortBy(_._1)
-      if (benches.isEmpty) {
-        System.err.println(
-          s"[bench] no BENCH_r*.json under ${dir.getAbsolutePath} — " +
-            "regression gate has no baseline and will pass vacuously")
-        Map.empty
-      } else {
-        System.err.println("[bench] regression baseline = per-query min over " +
-          benches.map(_._2.getName).mkString(", "))
-        val acc = scala.collection.mutable.Map[String, Double]()
-        benches.foreach { case (_, f) =>
+  private val BaselineLookback = 4
+
+  /** Regression baseline: per-query MINIMUM across the newest
+    * `BaselineLookback` archived rounds (`BENCH_r{N}.json` in `dir`).
+    * Round numbers are extracted numerically, so an unpadded
+    * BENCH_r9.json cannot lexicographically shadow r10+. A round whose
+    * archive fails to parse is skipped with a note — one truncated
+    * file must not discard every valid baseline (which would make the
+    * gate pass vacuously).
+    */
+  private[graft] def regressionBaseline(dir: java.io.File): Map[String, Double] = {
+    val benches = Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
+          .map(m => (m.group(1).toInt, f))
+      }
+      .sortBy(_._1)
+      .takeRight(BaselineLookback)
+    if (benches.isEmpty) {
+      System.err.println(
+        s"[bench] no BENCH_r*.json under ${dir.getAbsolutePath} — " +
+          "regression gate has no baseline and will pass vacuously")
+      Map.empty
+    } else {
+      System.err.println("[bench] regression baseline = per-query min over " +
+        benches.map(_._2.getName).mkString(", "))
+      val acc = scala.collection.mutable.Map[String, Double]()
+      benches.foreach { case (_, f) =>
+        try {
           val root = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(f)
           val qs = root.path("parsed").path("queries")
@@ -50,13 +60,14 @@ object Bench {
               acc(e.getKey) = acc.get(e.getKey).fold(v)(math.min(_, v))
             }
           }
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] skipping unreadable ${f.getName}: ${e.getMessage}")
         }
-        acc.toMap
       }
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] no regression baseline: ${e.getMessage}")
-      Map.empty[String, Double]
+      acc.toMap
     }
+  }
 
   /** The regression gate: >1.5x the baseline AND >0.3s absolute (so
     * 0.1s-scale noise can't trip it). Used twice — to flag a first
@@ -186,17 +197,26 @@ object Bench {
     // record shows what happened.
     val reruns = flagged.map { k =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(k)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] rerun $k failed: ${e.getMessage}")
-      }
+      val ok =
+        try {
+          SparkEntry.queries(k)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] rerun $k failed: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       Cleanup.fullRelease(spark)
-      k -> dt
+      // a FAILED rerun must not clear the gate: its time-to-exception
+      // would otherwise min() below the threshold and misclassify a
+      // genuine regression as noise. -1 is the archived sentinel.
+      k -> (if (ok) dt else -1.0)
     }.toMap
     val regressions = flagged.filter { k =>
-      overGate(math.min(byName(k), reruns(k)), prev(k))
+      val best =
+        if (reruns(k) > 0) math.min(byName(k), reruns(k)) else byName(k)
+      overGate(best, prev(k))
     }
     flagged.foreach { k =>
       val tag = if (regressions.contains(k)) "REGRESSION" else "noise (rerun cleared gate)"

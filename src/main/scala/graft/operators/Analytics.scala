@@ -126,13 +126,6 @@ object Analytics {
         (col("cum_smaller") * 2 + col("cnt") + 1).as("r2"))
   }
 
-  /** Single-stream wrapper over avgRank2Kinds: (value, r2) columns
-    * named for the caller's join-back.
-    */
-  private def avgRank2(rows: DataFrame, value: Column, out: String)
-      : DataFrame =
-    avgRank2Kinds(rows.select(lit(0).as("kind"), value.as("v")))
-      .select(col("v").as(s"${out}_v"), col("r2").as(out))
 
   /** Spearman rank correlation (tie-averaged) between quantity and
     * extended price, with the Pearson coefficient alongside — the
@@ -152,7 +145,7 @@ object Analytics {
   def rankCorr(spark: SparkSession, dir: String): DataFrame = {
     // Pairwise-complete observations: a null in either coordinate drops
     // the ROW before ranking (the standard Spearman treatment). This is
-    // load-bearing, not just hygiene — avgRank2 would rank a NULL key
+    // load-bearing, not just hygiene — avgRank2Kinds would rank a NULL key
     // as its own group, but the `===` join back would silently drop
     // those rows AFTER nRow counted them, breaking the sum(cx) = 0
     // centering invariant the exact-moment derivation relies on.
@@ -319,7 +312,7 @@ object Analytics {
     // distinct names across 20k rows at sf0.1 — 2k distance calls vs
     // the 7.7M the row-pair join was measured doing, 11.2s -> ~1s),
     // and never worse: the distinct table is <= the input. The same
-    // value-domain move as avgRank2's distinct-value ranking.
+    // value-domain move as avgRank2Kinds's distinct-value ranking.
     val names = parts.select(col("p_name")).distinct()
       .withColumn("len", length(col("p_name")))
     val a = names.select(col("p_name").as("name_1"),
@@ -538,7 +531,7 @@ object Analytics {
 
   /** Attach a RANK-NORMALIZED Morton key `z` for (x, y): each column
     * is first mapped to a 256-way equi-depth bucket via its
-    * distributed average rank (see avgRank2 — no global sort), then
+    * distributed average rank (see avgRank2Kinds — no global sort), then
     * the two 8-bit bucket ids are bit-interleaved. Interleaving RAW
     * values would let the wider-range column's high bits dominate the
     * key and leave the narrow column unclustered (orderkey spans 13
@@ -566,7 +559,7 @@ object Analytics {
     def bucket(r2: Column) =
       floor((r2 - 1) * 256 / (col("znr") * 2)).cast("long")
     // null-SAFE joins: a NULL key column forms its own rank group in
-    // avgRank2 (groupBy keeps null keys) and must keep its row here —
+    // avgRank2Kinds (groupBy keeps null keys) and must keep its row here —
     // an equi-join would silently DROP null-keyed rows from a layout
     // write built on this helper (data loss, not a keying artifact)
     rows

@@ -43,8 +43,10 @@ object Ivf {
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
       Seq[(Int, Seq[Float])]]()
 
-  private[graft] def clearCache(): Unit = centroidCache.clear()
-
+  /** Assumes an immutable corpus at a given path (the Tables footer
+    * cache contract): rewriting embeddings in-place at a cached path
+    * in-process would serve stale centroids.
+    */
   def cachedCentroids(spark: SparkSession, dir: String, nCells: Int,
       iters: Int): DataFrame = {
     val key = (dir, nCells, iters)

@@ -38,12 +38,18 @@ object Pq {
     * bypass this entirely via `pqTopK(prebuilt = ...)`.
     */
   private val codebookCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int),
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int),
       Seq[(Int, Int, Seq[Double])]]()
 
+  /** Keyed by EVERY build parameter including dim — a (dir, m, ks,
+    * iters) key would hand a 64-dim codebook to a dim=32 caller, whose
+    * mismatched-width ADC would be silently wrong (VecDot skips the
+    * tail) rather than an error. Assumes an immutable corpus at a
+    * given path, the same contract as Tables' footer cache.
+    */
   def cachedCodebook(spark: SparkSession, dir: String, m: Int, ks: Int,
       iters: Int, dim: Int = 64): DataFrame = {
-    val key = (dir, m, ks, iters)
+    val key = (dir, m, ks, iters, dim)
     val rows = Option(codebookCache.get(key)).getOrElse {
       val built = buildCodebook(
           subvectors(Tables.embeddings(spark, dir), m, dim), ks, iters)

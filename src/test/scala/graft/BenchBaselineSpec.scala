@@ -41,6 +41,27 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(Bench.regressionBaseline(dir) === Map("a" -> 1.5))
   }
 
+  test("baseline lookback window drops rounds older than the newest 4") {
+    // r01 holds the all-time min for "a" but falls outside the window:
+    // an accepted slowdown self-heals once its pre-change rounds age
+    // out, instead of being flagged REGRESSION forever
+    val dir = fixture(
+      "BENCH_r01.json" -> round("a" -> 0.1),
+      "BENCH_r02.json" -> round("a" -> 5.0),
+      "BENCH_r03.json" -> round("a" -> 4.0),
+      "BENCH_r04.json" -> round("a" -> 6.0),
+      "BENCH_r05.json" -> round("a" -> 7.0))
+    assert(Bench.regressionBaseline(dir) === Map("a" -> 4.0))
+  }
+
+  test("one unreadable round is skipped, not fatal to the baseline") {
+    val dir = fixture(
+      "BENCH_r04.json" -> round("a" -> 2.0),
+      "BENCH_r05.json" -> "{truncated-mid-write",
+      "BENCH_r06.json" -> round("a" -> 3.0))
+    assert(Bench.regressionBaseline(dir) === Map("a" -> 2.0))
+  }
+
   test("regression gate needs BOTH 1.5x relative and 0.3s absolute") {
     assert(Bench.overGate(now = 1.0, was = 0.5))
     // relative trip, absolute floor holds it back (0.1s-scale noise)
