@@ -85,6 +85,15 @@ object ScaleSmoke {
     time("cosine_topk_brute")(
       graft.operators.Similarity.cosineTopK(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
+    // semantic dedup is per-cell quadratic BY CONTRACT, so the index
+    // must be sized to the corpus: cells scale with mult to hold the
+    // expected cell population (and with it the pair count per cell)
+    // constant — the "more data, more clusters" SemDeDup deployment
+    // rule, exercised here rather than assumed
+    time("semantic_dedup")(
+      graft.operators.Similarity.semanticDedup(spark, sfDir,
+          nCells = 16 * mult)
+        .write.format("noop").mode("overwrite").save())
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     var codebook: org.apache.spark.sql.DataFrame = null
     time("pq_build_once", cleanup = false) {
