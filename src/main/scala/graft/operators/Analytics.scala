@@ -86,9 +86,12 @@ object Analytics {
     * belongs to, so ranking two columns (rank_corr's rx and ry) costs
     * one distinct-agg + one range exchange + one window pass over the
     * union instead of running the whole chain twice. Output is
-    * (kind, v, r2) where r2 = TWICE the tie-averaged rank WITHIN its
-    * kind — always an integer (avg rank is k or k+0.5), which keeps
-    * every downstream moment exact.
+    * (kind, v, cnt, r2) where r2 = TWICE the tie-averaged rank WITHIN
+    * its kind — always an integer (avg rank is k or k+0.5), which
+    * keeps every downstream moment exact — and cnt is the value's
+    * multiplicity, kept so callers can derive their total row count
+    * (sum of cnt within a kind) from this table's cached blocks
+    * instead of paying another scan of the fact table.
     *
     * Ranks come from a two-phase distributed prefix sum over the
     * DISTINCT-(kind, value) table (the Pipeline.packSequences
@@ -99,6 +102,14 @@ object Analytics {
     * single-reducer sort anywhere, which is what a naive rank() window
     * would do.
     *
+    * The distinct table is checkpointed BEFORE the range exchange:
+    * repartitionByRange runs a sampling job over its child to pick the
+    * range bounds, and without the cut that job re-executes the whole
+    * union-scan + distinct aggregate a second time before the real
+    * exchange runs it again. With it, the heaviest stage of the chain
+    * runs once and both the sampler and the exchange read cached
+    * narrow (kind, v, cnt) blocks.
+    *
     * Input contract: callers must drop null values first. A null key
     * ranks as its own group here, but the `===` join back in the
     * caller would drop it silently — see rankCorr's pairwise-complete
@@ -107,6 +118,7 @@ object Analytics {
   private def avgRank2Kinds(vals: DataFrame): DataFrame = {
     val dist = vals.groupBy(col("kind"), col("v"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
     val ranged = dist.repartitionByRange(col("kind"), col("v"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(eager = false)
@@ -122,7 +134,7 @@ object Analytics {
     ranged.join(broadcast(offsets), Seq("kind", "pid"))
       .withColumn("cum_smaller",
         col("offset") + coalesce(sum(col("cnt")).over(wIn), lit(0L)))
-      .select(col("kind"), col("v"),
+      .select(col("kind"), col("v"), col("cnt"),
         (col("cum_smaller") * 2 + col("cnt") + 1).as("r2"))
   }
 
@@ -154,21 +166,32 @@ object Analytics {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_quantity").isNotNull &&
         col("l_extendedprice").isNotNull)
-    // both coordinates ranked in ONE pass over a (kind, value) union —
-    // one distinct-agg/range-exchange/window chain instead of two
-    // (both columns are double, so the union is type-exact and the
-    // join-back equality below is the same comparison as before). The
-    // cut: the ranked table feeds both the rx and ry filters, and
+    // both coordinates ranked in ONE pass over a (kind, value) stream —
+    // one distinct-agg/range-exchange/window chain instead of two. The
+    // stream comes from a single fact scan via explode (2 rows out per
+    // row in), where the previous unionAll of two projections planned
+    // as TWO scans each paying its own ingest exchange — branches of a
+    // union cannot share a subtree. Both columns are double, so the
+    // struct battery is type-exact and the join-back equality below is
+    // the same comparison as before. The checkpoint cut: the ranked
+    // table feeds the rx/ry filters AND the row-count aggregate, and
     // without it the whole chain re-executes per consumer.
     val ranked = avgRank2Kinds(
-        li.select(lit(0).as("kind"), col("l_quantity").as("v"))
-          .unionAll(li.select(lit(1).as("kind"), col("l_extendedprice").as("v"))))
+        li.select(explode(array(
+            struct(lit(0).as("kind"), col("l_quantity").as("v")),
+            struct(lit(1).as("kind"), col("l_extendedprice").as("v"))))
+          .as("kv"))
+          .select(col("kv.kind").as("kind"), col("kv.v").as("v")))
       .localCheckpoint(eager = false)
     val rx = ranked.filter(col("kind") === 0)
       .select(col("v").as("rx2_v"), col("r2").as("rx2"))
     val ry = ranked.filter(col("kind") === 1)
       .select(col("v").as("ry2_v"), col("r2").as("ry2"))
-    val nRow = li.agg(count(lit(1)).as("nr"))
+    // n = total (non-null-pair) rows = the multiplicity sum within
+    // either kind — read from the checkpointed ranked table instead of
+    // a third scan over the fact table
+    val nRow = ranked.filter(col("kind") === 0)
+      .agg(sum(col("cnt")).as("nr"))
     val d38 = (c: Column) => c.cast("decimal(38,0)")
     val joined = li
       .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
@@ -543,19 +566,27 @@ object Analytics {
     * inputs, IEEE-exact division at integer quotients.
     */
   def zorderRanked(rows: DataFrame, x: Column, y: Column): DataFrame = {
-    // both dimensions ranked in one (kind, value) union chain — see
-    // rankCorr. Union type coercion widens mixed numeric key types;
-    // the null-safe join-back below is equality-stable under that
-    // widening (and the shipped callers pass two longs).
+    // both dimensions ranked in one (kind, value) stream from a SINGLE
+    // scan via explode — see rankCorr (a unionAll of two projections
+    // plans as two scans). array() coerces the two struct element
+    // types to their wider common type exactly as the union did, so
+    // mixed numeric key types keep working (spec-gated) and the
+    // null-safe join-back below is equality-stable under the widening
+    // (the shipped callers pass two longs).
     val ranked = avgRank2Kinds(
-        rows.select(lit(0).as("kind"), x.as("v"))
-          .unionAll(rows.select(lit(1).as("kind"), y.as("v"))))
+        rows.select(explode(array(
+            struct(lit(0).as("kind"), x.as("v")),
+            struct(lit(1).as("kind"), y.as("v")))).as("kv"))
+          .select(col("kv.kind").as("kind"), col("kv.v").as("v")))
       .localCheckpoint(eager = false)
     val rx = ranked.filter(col("kind") === 0)
       .select(col("v").as("zrx2_v"), col("r2").as("zrx2"))
     val ry = ranked.filter(col("kind") === 1)
       .select(col("v").as("zry2_v"), col("r2").as("zry2"))
-    val nRow = rows.agg(count(lit(1)).as("znr"))
+    // row count from the checkpointed rank table (cnt sums to the row
+    // count within a kind) — not another pass over `rows`
+    val nRow = ranked.filter(col("kind") === 0)
+      .agg(sum(col("cnt")).as("znr"))
     def bucket(r2: Column) =
       floor((r2 - 1) * 256 / (col("znr") * 2)).cast("long")
     // null-SAFE joins: a NULL key column forms its own rank group in

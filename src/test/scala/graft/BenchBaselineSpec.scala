@@ -71,6 +71,45 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(!Bench.overGate(now = 0.5, was = 0.5))
   }
 
+  test("run-log minima merge with archive minima (full-registry coverage)") {
+    // archive knows only headline query "a"; the run log also knows
+    // non-headline "b" and holds a lower "a" — the merged baseline
+    // takes the min for "a" and gains coverage of "b"
+    val dir = fixture(
+      "BENCH_r06.json" -> round("a" -> 2.0),
+      "BENCH_RUNS.jsonl" ->
+        ("""{"sf":"/sf0.1","queries":{"a":1.2,"b":3.0}}""" + "\n" +
+          """{"sf":"/sf0.1","queries":{"a":1.8,"b":2.5}}"""))
+    assert(Bench.regressionBaseline(dir, "/sf0.1")
+      === Map("a" -> 1.2, "b" -> 2.5))
+  }
+
+  test("run-log lines from a different sf dir are ignored") {
+    val dir = fixture(
+      "BENCH_RUNS.jsonl" ->
+        ("""{"sf":"/sf0.01","queries":{"a":0.1}}""" + "\n" +
+          """{"sf":"/sf0.1","queries":{"a":4.0}}"""))
+    assert(Bench.regressionBaseline(dir, "/sf0.1") === Map("a" -> 4.0))
+    // and with no matching lines at all, baseline is empty, not crossed
+    assert(Bench.regressionBaseline(dir, "/sf1.0")
+      === Map.empty[String, Double])
+  }
+
+  test("appendRunLog keeps only the newest lines and unreadable lines are skipped") {
+    val dir = fixture("BENCH_RUNS.jsonl" -> "not-json-line")
+    (1 to 10).foreach { i =>
+      Bench.appendRunLog(dir, "/sf0.1", Map("q" -> i.toDouble))
+    }
+    val lines = scala.io.Source
+      .fromFile(new java.io.File(dir, "BENCH_RUNS.jsonl"))("UTF-8")
+      .getLines().toVector
+    assert(lines.size === 8)
+    // trimmed from the head: the bad line and the oldest runs are gone
+    assert(!lines.exists(_.contains("not-json")))
+    // baseline looks back 4 lines -> min is 7 (runs 7,8,9,10)
+    assert(Bench.regressionBaseline(dir, "/sf0.1") === Map("q" -> 7.0))
+  }
+
   test("non-bench files are ignored; empty dir yields empty baseline") {
     val dir = fixture(
       "BENCH_rX.json" -> "not json",
