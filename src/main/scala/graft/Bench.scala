@@ -270,6 +270,11 @@ object Bench {
     // parseable line carries the total plus a fixed HEADLINE subset at 3
     // decimals (kept well under 1.5 KB), and the full per-query map goes to
     // stderr for humans.
+    // Cross-round comparisons use the intersection of headline sets, so
+    // ADDING queries is safe; the round-7 additions (rank_corr,
+    // ann_topk, semantic_dedup, pca_top_component) are exactly the
+    // heavy non-headline queries whose official timings were invisible
+    // before the full-registry gate existed.
     val headline = Seq(
       "q1_pricing", "q3_shipping_priority", "q5_local_volume",
       "q8_market_share", "q18_large_orders", "inverted_index",
@@ -277,7 +282,8 @@ object Bench {
       "cosine_topk", "pq_topk", "ivf_topk", "tfidf_top_term",
       "sessionize", "rolling_7d_qty", "stats_lineitem", "percentiles",
       "curated_corpus", "decontaminate", "window_top_orders",
-      "upsert_snapshot", "top_words")
+      "upsert_snapshot", "top_words", "rank_corr", "ann_topk",
+      "semantic_dedup", "pca_top_component")
     val byName = results.toMap
     // a renamed/removed registry entry silently shrinking the headline map
     // would go unnoticed — surface it

@@ -213,6 +213,7 @@ object SparkEntry {
     "pii_scrub" -> ((s, d) => TextQuality.piiScrub(s, d)),
     "label_centroids" -> ((s, d) => Vectors.labelCentroids(s, d)),
     "vec_quantize" -> ((s, d) => Vectors.vecQuantize(s, d)),
+    "pca_top_component" -> ((s, d) => Vectors.pcaTopComponent(s, d)),
     "bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
     "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
@@ -323,7 +324,48 @@ object SparkEntry {
        |SELECT query_id, vec_id AS neighbor_id, rank, round(cos, 6) AS cos_sim
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** pca_top_component oracle: the fixed-iteration power method
+    * replayed in SQL, one CTE block per iteration (the pagerank
+    * chained-CTE pattern). Every numeric step mirrors the Spark
+    * implementation exactly — list_dot_product == VecDot's
+    * left-to-right fold, decimal(28,12)/(20,6) sums are
+    * order-independent in both engines, and the s/normalization
+    * arithmetic is the same IEEE expression tree — so the comparison
+    * is a full-precision hash match, not a tolerance. dim=64 and
+    * iters=3 are literals here (oracle SQL pins corpus facts, like
+    * the PQ oracle's m=8/dim=64).
+    */
+  private def pcaOracle(iters: Int): String = {
+    def iter(k: Int): String = {
+      val p = if (k == 1) "v0" else s"v${k - 1}"
+      s"""d$k AS (SELECT x, list_dot_product(x, (SELECT v FROM $p)) - list_dot_product((SELECT mv FROM mv), (SELECT v FROM $p)) AS dd FROM e),
+         |g$k AS (SELECT j, sum(CAST(dd * x[j] AS DECIMAL(28,12))) AS a
+         |  FROM d$k, unnest(range(1, 65)) AS t(j) GROUP BY j),
+         |b$k AS (SELECT sum(CAST(dd AS DECIMAL(28,12))) AS b FROM d$k),
+         |s$k AS (SELECT g.j, CAST(g.a AS DOUBLE) - mj.m * CAST((SELECT b FROM b$k) AS DOUBLE) AS s
+         |  FROM g$k g JOIN mj ON mj.j = g.j),
+         |sv$k AS (SELECT list(s ORDER BY j) AS sv FROM s$k),
+         |v$k AS (SELECT CASE WHEN list_dot_product(sv, sv) = 0 THEN list_transform(sv, z -> 0.0)
+         |  ELSE list_transform(sv, z -> z / sqrt(list_dot_product(sv, sv))) END AS v FROM sv$k),""".stripMargin
+    }
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings WHERE embedding IS NOT NULL),
+       |cnt AS (SELECT count(*) AS n FROM e),
+       |mj AS (
+       |  SELECT j, CAST(sum(CAST(x[j] AS DECIMAL(20,6))) AS DOUBLE) / (SELECT n FROM cnt) AS m
+       |  FROM e, unnest(range(1, 65)) AS t(j) GROUP BY j),
+       |mv AS (SELECT list(m ORDER BY j) AS mv FROM mj),
+       |v0 AS (SELECT list(CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END ORDER BY j) AS v
+       |  FROM unnest(range(1, 65)) AS t(j)),
+       |${(1 to iters).map(iter).mkString("\n")}
+       |fin AS (SELECT v FROM v$iters)
+       |SELECT CAST(t.j AS BIGINT) AS dim, round(mj.m, 6) AS mu,
+       |  round(fin.v[t.j], 6) AS loading
+       |FROM unnest(range(1, 65)) AS t(j) JOIN mj ON mj.j = t.j CROSS JOIN fin
+       |ORDER BY dim""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "pca_top_component" -> pcaOracle(3),
     "inverted_index" ->
       """WITH toks AS (
         |  SELECT doc_id, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word

@@ -93,4 +93,102 @@ object Vectors {
       .select(col("vec_id"), col("scale"), col("q_sum"),
         round(col("max_err"), 9).as("max_err"))
       .orderBy(col("vec_id"))
+
+  /** Top principal component of the embedding corpus by distributed
+    * power iteration — the de-biasing primitive ("all-but-the-top",
+    * Mu & Viswanath, ICLR 2018) an embedding pipeline applies before
+    * similarity work: estimate the mean and the dominant covariance
+    * direction, then subtract/project them out. Emits one row per
+    * dimension: (dim, mu, loading) — the mean vector and the unit
+    * top-component estimate after `iters` fixed iterations (the
+    * pagerankNearDup contract: fixed-k, bit-reproducible, replayable
+    * by the oracle; no convergence test).
+    *
+    * Matrix-free: with centered covariance C = Σ_i (x_i−μ)(x_i−μ)ᵀ,
+    *
+    *   C v = Σ_i d_i x_i − μ Σ_i d_i,   d_i = x_i·v − μ·v
+    *
+    * so one iteration is ONE scan computing per-row d_i (VecDot, the
+    * codegen dot product) and ONE hash aggregate of dim+1 DECIMAL
+    * sums (the buildCentroids column-battery shape) that map-side
+    * combines to a single row. The driver holds only dim-sized
+    * vectors between iterations — the cachedCentroids posture; at
+    * 100 TB each iteration is a scan + an allreduce of `dim` doubles,
+    * the textbook distributed power iteration. v0 = e1 (so v_k is
+    * exactly normalize(C^k e1) — deterministic; a corpus whose top
+    * eigenvector is exactly orthogonal to e1 is measure-zero and
+    * would converge to the next component instead, still
+    * deterministically).
+    *
+    * Cross-engine exactness (every step replayed by the DuckDB
+    * oracle): VecDot folds left-to-right == DuckDB list_dot_product;
+    * per-row terms cross decimal(28,12) sums (order-independent, so
+    * also partitioning-independent); μ uses the 6dp-quantized decimal
+    * sums of the labelCentroids policy; driver-side normalization
+    * accumulates in index order == list_dot_product(sv, sv). A
+    * degenerate corpus (all-zero vectors) yields norm 0 and keeps the
+    * zero vector rather than dividing by it; an empty corpus returns
+    * zero rows.
+    */
+  def pcaTopComponent(spark: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("embedding")).filter(col("embedding").isNotNull)
+    def empty = Seq.empty[(Long, Double, Double)]
+      .toDF("dim", "mu", "loading")
+    // 1-row dim probe (the Ivf.buildCentroids pattern)
+    val probe = emb.select(size(col("embedding")).as("d"))
+      .filter(col("d") > 0).limit(1).collect()
+    if (probe.isEmpty) return empty
+    val dim = probe.head.getInt(0)
+    def xd(j: Int) = element_at(col("embedding"), j + 1).cast("double")
+
+    // mean pass: n + dim quantized decimal sums in one aggregate
+    val muRow = emb.agg(
+        count(lit(1)).as("n"),
+        (0 until dim).map(j =>
+          sum(xd(j).cast("decimal(20,6)")).as(s"m$j")): _*)
+      .collect().head
+    val n = muRow.getLong(0)
+    if (n == 0) return empty
+    val mu = Array.tabulate(dim) { j =>
+      val s = muRow.getDecimal(j + 1)
+      (if (s == null) java.math.BigDecimal.ZERO else s).doubleValue / n
+    }
+
+    var v = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
+    (1 to iters).foreach { _ =>
+      // μ·v on the driver, index order (== list_dot_product)
+      var mdv = 0.0
+      var j = 0
+      while (j < dim) { mdv += mu(j) * v(j); j += 1 }
+      val vLit = array(v.toIndexedSeq.map(lit): _*)
+      val scored = emb.select(
+        (Similarity.dot(col("embedding"), vLit) - lit(mdv)).as("dd"),
+        col("embedding"))
+      val aggRow = scored.agg(
+          sum(col("dd").cast("decimal(28,12)")).as("b"),
+          (0 until dim).map(j =>
+            sum((col("dd") * xd(j)).cast("decimal(28,12)")).as(s"a$j")): _*)
+        .collect().head
+      def dec(i: Int): Double = {
+        val d = aggRow.getDecimal(i)
+        (if (d == null) java.math.BigDecimal.ZERO else d).doubleValue
+      }
+      val b = dec(0)
+      val s = Array.tabulate(dim)(j => dec(j + 1) - mu(j) * b)
+      var ss = 0.0
+      j = 0
+      while (j < dim) { ss += s(j) * s(j); j += 1 }
+      val norm = math.sqrt(ss)
+      v = if (norm == 0) s else s.map(_ / norm)
+    }
+
+    (0 until dim).map(j => (j + 1L, mu(j), v(j)))
+      .toDF("dim", "mu_raw", "loading_raw")
+      .select(col("dim"), round(col("mu_raw"), 6).as("mu"),
+        round(col("loading_raw"), 6).as("loading"))
+      .orderBy(col("dim"))
+  }
 }

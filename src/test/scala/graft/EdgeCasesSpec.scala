@@ -137,6 +137,27 @@ class EdgeCasesSpec extends SparkTestBase
     assert(avgP < rawP, "ranked layout must beat raw on the narrow dim")
   }
 
+  test("zorderRanked: mixed int/long key types coerce like the both-long form, nulls kept") {
+    // the (kind, value) stream is built with array(struct, struct) —
+    // array() must widen the two key types to their common type exactly
+    // as the previous unionAll formulation did. Pin that: an (int, long)
+    // key pair must produce the same z as pre-casting both to long, and
+    // a NULL key must keep its row (the null-safe join-back contract).
+    val rows = Seq[(Integer, java.lang.Long)](
+      (1, 10L), (5, 2L), (3, 7L), (8, 1L), (2, 9L), (null, 4L))
+      .toDF("xi", "yl")
+    val mixed = Analytics.zorderRanked(rows, col("xi"), col("yl"))
+      .select(col("xi").cast("long").as("x"), col("yl").as("y"), col("z"))
+      .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    val uniform = Analytics.zorderRanked(
+        rows.select(col("xi").cast("long").as("xl"), col("yl")),
+        col("xl"), col("yl"))
+      .select(col("xl").as("x"), col("yl").as("y"), col("z"))
+      .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    assert(mixed === uniform)
+    assert(mixed.size === 6, "null-keyed row must be kept, not dropped")
+  }
+
   test("top dup spans: corpus with no repeated spans returns empty, not error") {
     val dir = corpus(docs = Seq(
       (1L, "one two three four five six seven eight", "en"),
