@@ -86,6 +86,7 @@ object SparkEntry {
   def prewarmIndexes(s: SparkSession, d: String): Unit = {
     Ivf.cachedCentroids(s, d, 16, 2)
     Pq.cachedCodebook(s, d, 8, 16, 1)
+    Vectors.cachedPcaFit(s, d, 3)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -214,6 +215,7 @@ object SparkEntry {
     "label_centroids" -> ((s, d) => Vectors.labelCentroids(s, d)),
     "vec_quantize" -> ((s, d) => Vectors.vecQuantize(s, d)),
     "pca_top_component" -> ((s, d) => Vectors.pcaTopComponent(s, d)),
+    "abtt_debias" -> ((s, d) => Vectors.abttDebias(s, d)),
     "bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
     "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
@@ -335,7 +337,7 @@ object SparkEntry {
     * iters=3 are literals here (oracle SQL pins corpus facts, like
     * the PQ oracle's m=8/dim=64).
     */
-  private def pcaOracle(iters: Int): String = {
+  private def pcaCtes(iters: Int): String = {
     def iter(k: Int): String = {
       val p = if (k == 1) "v0" else s"v${k - 1}"
       s"""d$k AS (SELECT x, list_dot_product(x, (SELECT v FROM $p)) - list_dot_product((SELECT mv FROM mv), (SELECT v FROM $p)) AS dd FROM e),
@@ -348,7 +350,7 @@ object SparkEntry {
          |v$k AS (SELECT CASE WHEN list_dot_product(sv, sv) = 0 THEN list_transform(sv, z -> 0.0)
          |  ELSE list_transform(sv, z -> z / sqrt(list_dot_product(sv, sv))) END AS v FROM sv$k),""".stripMargin
     }
-    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings WHERE embedding IS NOT NULL),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings WHERE embedding IS NOT NULL),
        |cnt AS (SELECT count(*) AS n FROM e),
        |mj AS (
        |  SELECT j, CAST(sum(CAST(x[j] AS DECIMAL(20,6))) AS DOUBLE) / (SELECT n FROM cnt) AS m
@@ -357,15 +359,37 @@ object SparkEntry {
        |v0 AS (SELECT list(CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END ORDER BY j) AS v
        |  FROM unnest(range(1, 65)) AS t(j)),
        |${(1 to iters).map(iter).mkString("\n")}
-       |fin AS (SELECT v FROM v$iters)
+       |fin AS (SELECT v FROM v$iters)""".stripMargin
+  }
+
+  private def pcaOracle(iters: Int): String =
+    s"""${pcaCtes(iters)}
        |SELECT CAST(t.j AS BIGINT) AS dim, round(mj.m, 6) AS mu,
        |  round(fin.v[t.j], 6) AS loading
        |FROM unnest(range(1, 65)) AS t(j) JOIN mj ON mj.j = t.j CROSS JOIN fin
        |ORDER BY dim""".stripMargin
-  }
+
+  /** abtt_debias oracle: same fit CTEs, then the per-row projection /
+    * residual replayed with the identical IEEE expression tree (see
+    * Vectors.abttDebias — the expanded ||x−μ||² form exists exactly so
+    * every term is a left-to-right list_dot_product here).
+    */
+  private def abttOracle(iters: Int): String =
+    s"""${pcaCtes(iters)},
+       |scal AS (SELECT list_dot_product(mv.mv, fin.v) AS mdv,
+       |    list_dot_product(mv.mv, mv.mv) AS mdm FROM mv CROSS JOIN fin)
+       |SELECT e.vec_id,
+       |  round(list_dot_product(e.x, fin.v) - scal.mdv, 6) AS proj,
+       |  round(sqrt(greatest(
+       |    list_dot_product(e.x, e.x) - 2.0 * list_dot_product(e.x, mv.mv) + scal.mdm
+       |      - (list_dot_product(e.x, fin.v) - scal.mdv) * (list_dot_product(e.x, fin.v) - scal.mdv),
+       |    0.0)), 6) AS resid_norm
+       |FROM e CROSS JOIN fin CROSS JOIN mv CROSS JOIN scal
+       |ORDER BY vec_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "pca_top_component" -> pcaOracle(3),
+    "abtt_debias" -> abttOracle(3),
     "inverted_index" ->
       """WITH toks AS (
         |  SELECT doc_id, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word

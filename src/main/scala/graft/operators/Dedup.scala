@@ -543,11 +543,18 @@ object Dedup {
     * engines and the DuckDB oracle replays it with chained CTEs.
     *
     * Scale shape: one join + one aggregate per iteration over the edge
-    * list (the connectedComponents loop shape), edge table and degrees
-    * checkpointed once, rank table checkpointed per round to cut the
-    * doubling lineage. The driver never sees the data — only the loop
-    * counter. At web scale you would add dangling-mass handling and a
-    * convergence test; the fixed-k shape per iteration is identical.
+    * list (the connectedComponents loop shape); the edge table and
+    * degrees — the only multiply-consumed intermediates — are
+    * checkpointed once. The rank table is NOT checkpointed per round:
+    * each pr feeds exactly one consumer (the next iteration's edge
+    * join), so lineage grows linearly in the fixed iteration count and
+    * a per-round materialization is three stage barriers of pure
+    * overhead at k=3 (measured ~0.7 s at sf0.1). An unbounded-k or
+    * convergence-tested variant SHOULD cut lineage every few rounds —
+    * that is the nearDupClusters loop's shape. The driver never sees
+    * the data — only the loop counter. At web scale you would add
+    * dangling-mass handling and a convergence test; the fixed-k shape
+    * per iteration is identical.
     */
   def pagerankNearDup(spark: SparkSession, dir: String,
       iters: Int = 3, damping: Double = 0.85, topK: Int = 25): DataFrame = {
@@ -584,7 +591,6 @@ object Dedup {
           round(lit(1.0 - damping) / col("n") +
             lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12)
             .as("pr"))
-        .localCheckpoint()
     }
     // the per-iteration 12-dp round IS the output precision: a second
     // round(pr, 9) would park ~1/1000 of the ranks on an exact decimal

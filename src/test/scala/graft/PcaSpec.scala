@@ -113,4 +113,37 @@ class PcaSpec extends SparkTestBase
     assert(out.length === 4)
     assert(out.forall(r => r.getDouble(1) === 0.0 && r.getDouble(2) === 0.0))
   }
+
+  test("abttDebias: Pythagoras — proj^2 + resid^2 == ||x - mu||^2 per vector") {
+    val vecs = (0 until 80).map { i =>
+      (i.toLong,
+        Array.tabulate(6)(j =>
+          math.sin(i * 0.9 + j).toFloat +
+            (if (j == 1) math.cos(i * 0.4).toFloat * 2f else 0f)).toSeq,
+        0)
+    }
+    val dir = corpus(vecs)
+    val out = Vectors.abttDebias(spark, dir).collect()
+    assert(out.length === 80)
+    // recompute ||x - mu||^2 from the fit and check the decomposition
+    val Some((mu, _)) = Vectors.cachedPcaFit(spark, dir, 3)
+    val byId = vecs.map { case (id, x, _) => id -> x }.toMap
+    out.foreach { r =>
+      val x = byId(r.getLong(0))
+      val cn2 = x.toSeq.zip(mu.toSeq)
+        .map { case (xi, mi) => (xi - mi) * (xi - mi) }.sum
+      val lhs = r.getDouble(1) * r.getDouble(1) +
+        r.getDouble(2) * r.getDouble(2)
+      assert(math.abs(lhs - cn2) < 1e-4,
+        s"vec ${r.getLong(0)}: proj^2+resid^2 $lhs vs ||x-mu||^2 $cn2")
+    }
+  }
+
+  test("abttDebias degenerate corpora: empty -> zero rows; zero vectors -> zero columns") {
+    assert(Vectors.abttDebias(spark, corpus(Seq.empty)).count() === 0)
+    val zeros = (0 until 4).map(i => (i.toLong, Seq.fill(3)(0f), 0))
+    val out = Vectors.abttDebias(spark, corpus(zeros)).collect()
+    assert(out.length === 4)
+    assert(out.forall(r => r.getDouble(1) === 0.0 && r.getDouble(2) === 0.0))
+  }
 }
