@@ -37,14 +37,16 @@ object Bench {
   private val RunLogName = "BENCH_RUNS.jsonl"
   private val RunLogKeep = 8
 
+  private def readLines(f: java.io.File): Vector[String] = {
+    if (!f.isFile) return Vector.empty
+    val src = scala.io.Source.fromFile(f)("UTF-8")
+    try src.getLines().toVector finally src.close()
+  }
+
   private[graft] def appendRunLog(dir: java.io.File, sfDir: String,
       queries: Map[String, Double]): Unit = {
     val f = new java.io.File(dir, RunLogName)
-    val existing =
-      if (f.isFile)
-        scala.io.Source.fromFile(f)("UTF-8").getLines().toVector
-          .filter(_.trim.nonEmpty)
-      else Vector.empty
+    val existing = readLines(f).filter(_.trim.nonEmpty)
     def fmtQ(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = queries.toSeq.sortBy(_._1)
@@ -67,8 +69,7 @@ object Bench {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val acc = scala.collection.mutable.Map[String, Double]()
     val lines =
-      try scala.io.Source.fromFile(f)("UTF-8").getLines().toVector
-      catch { case _: Throwable => Vector.empty }
+      try readLines(f) catch { case _: Throwable => Vector.empty }
     lines.flatMap { l =>
         try {
           val root = mapper.readTree(l)
@@ -296,8 +297,12 @@ object Bench {
     // ann_topk at ~20 s each under host contention) are non-headline
     // and previously dodged the rerun machinery entirely. Flag order =
     // registry order (deterministic).
+    // A FAILED query's dt is its time-to-exception — flagging it would
+    // burn a rerun and (since a failed rerun can't clear the gate)
+    // archive a failure mislabeled as REGRESSION; failures are already
+    // reported under "failed".
     val flagged = results.map(_._1).filter { k =>
-      prev.contains(k) && overGate(byName(k), prev(k))
+      !failed.contains(k) && prev.contains(k) && overGate(byName(k), prev(k))
     }
     // A flagged query is immediately re-run ONCE (still warm — its own
     // sf0.001 warmup and first timed run just happened) and both times
@@ -339,7 +344,12 @@ object Bench {
     val qs = headline.filter(byName.contains)
       .map(k => "\"" + k + "\":" + fmt(byName(k)))
       .mkString("{", ",", "}")
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // failed is capped in-band like regressions/reruns: a mass failure
+    // (corrupt table -> dozens of names) must not push the parseable
+    // line past the driver's ~2000-char output-tail window — the
+    // rounds-1-3 "parsed": null failure mode. "failed_n" carries the
+    // true count; the full list is on stderr per query already.
+    val errs = failed.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
     // confirmed regressions in-band, capped like reruns (worst first by
     // inflation); "regressions_n" below carries the true count
     val regs = regressions
@@ -376,7 +386,7 @@ object Bench {
     }
     // a failed query makes the total meaningless — surface it in-band,
     // not just on stderr
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"index_build_sec":${fmt(indexBuildSec)},"failed":$errs,"regressions":$regs,"regressions_n":${regressions.size},"flagged_n":${flagged.size},"reruns":$rr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"index_build_sec":${fmt(indexBuildSec)},"failed":$errs,"failed_n":${failed.size},"regressions":$regs,"regressions_n":${regressions.size},"flagged_n":${flagged.size},"reruns":$rr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,14 @@
 #!/usr/bin/env python3
-"""One-off smoke: compare one query's Spark output vs its DuckDB
-oracle SQL without running the full Verify suite. Deleted after use or
-kept as a fast dev probe."""
+"""Fast dev probe: compare ONE query's Spark output against its DuckDB
+oracle SQL without running the full Verify suite.
+
+    python3 tools/smoke_query.py <query> [sfdir]
+
+Queries whose oracle reads the /tmp/graft_oracle_aux exports (simhash,
+IVF/PQ, LSH, count-min families) need SPARK_GRAFT_AUX set (a
+comma-separated list of oracleAux names, or "all") so VerifyOne
+(re)exports them first; the env var passes through to the sbt
+subprocess."""
 import json, subprocess, sys
 from pathlib import Path
 
@@ -21,7 +28,10 @@ if r.returncode != 0:
 
 oracle = json.loads((OUT / "oracle_sql.json").read_text())[Q]
 con = duckdb.connect()
-con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 want = con.execute(oracle).fetch_arrow_table()
 got = pq.read_table(str(OUT / Q))
 
