@@ -105,6 +105,14 @@ object ScaleSmoke {
     time("pq_encode_and_search")(
       graft.operators.Pq.pqTopK(spark, sfDir, prebuilt = Some(codebook))
         .write.format("noop").mode("overwrite").save())
+    // PCA fit + ABTT transform: per-iteration cost is one scan + one
+    // dim+1-decimal allreduce, so the fit should scale linearly with
+    // the corpus and the transform at scan speed — the two shapes this
+    // smoke exists to confirm (super-linear here would mean the
+    // battery aggregate stopped map-side combining)
+    time("pca_fit_and_abtt")(
+      graft.operators.Vectors.abttDebias(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
 
     // z-order WRITE path at sf0.1: the at-scale layout write the
     // zorder_key query only previews. repartitionByRange(z) +
