@@ -154,6 +154,20 @@ object Bench {
   private[graft] def overGate(now: Double, was: Double): Boolean =
     now > was * 1.5 && now - was > 0.3
 
+  /** Which measured queries get the rerun treatment: over the gate
+    * vs their baseline, excluding FAILED queries — a failed query's
+    * dt is its time-to-exception, flagging it would burn a rerun and
+    * (since a failed rerun cannot clear the gate) archive a failure
+    * mislabeled REGRESSION. Order = measurement order (deterministic).
+    */
+  private[graft] def selectFlagged(results: Seq[(String, Double)],
+      failed: collection.Set[String],
+      baseline: Map[String, Double]): Seq[String] =
+    results.collect {
+      case (k, dt) if !failed.contains(k) && baseline.contains(k) &&
+        overGate(dt, baseline(k)) => k
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -297,13 +311,7 @@ object Bench {
     // ann_topk at ~20 s each under host contention) are non-headline
     // and previously dodged the rerun machinery entirely. Flag order =
     // registry order (deterministic).
-    // A FAILED query's dt is its time-to-exception — flagging it would
-    // burn a rerun and (since a failed rerun can't clear the gate)
-    // archive a failure mislabeled as REGRESSION; failures are already
-    // reported under "failed".
-    val flagged = results.map(_._1).filter { k =>
-      !failed.contains(k) && prev.contains(k) && overGate(byName(k), prev(k))
-    }
+    val flagged = selectFlagged(results, failed.toSet, prev)
     // A flagged query is immediately re-run ONCE (still warm — its own
     // sf0.001 warmup and first timed run just happened) and both times
     // are reported: a genuine code regression reproduces on the rerun,

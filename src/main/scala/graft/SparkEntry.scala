@@ -87,6 +87,7 @@ object SparkEntry {
     Ivf.cachedCentroids(s, d, 16, 2)
     Pq.cachedCodebook(s, d, 8, 16, 1)
     Vectors.cachedPcaFit(s, d, 3)
+    Vectors.cachedPcaFitK(s, d, 3, 2)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -216,6 +217,7 @@ object SparkEntry {
     "vec_quantize" -> ((s, d) => Vectors.vecQuantize(s, d)),
     "pca_top_component" -> ((s, d) => Vectors.pcaTopComponent(s, d)),
     "abtt_debias" -> ((s, d) => Vectors.abttDebias(s, d)),
+    "pca_components" -> ((s, d) => Vectors.pcaComponents(s, d)),
     "bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
     "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
@@ -340,26 +342,26 @@ object SparkEntry {
   private def pcaCtes(iters: Int): String = {
     def iter(k: Int): String = {
       val p = if (k == 1) "v0" else s"v${k - 1}"
-      s"""d$k AS (SELECT x, list_dot_product(x, (SELECT v FROM $p)) - list_dot_product((SELECT mv FROM mv), (SELECT v FROM $p)) AS dd FROM e),
-         |g$k AS (SELECT j, sum(CAST(dd * x[j] AS DECIMAL(28,12))) AS a
+      s"""d$k AS MATERIALIZED (SELECT x, list_dot_product(x, (SELECT v FROM $p)) - list_dot_product((SELECT mv FROM mv), (SELECT v FROM $p)) AS dd FROM e),
+         |g$k AS MATERIALIZED (SELECT j, sum(CAST(dd * x[j] AS DECIMAL(28,12))) AS a
          |  FROM d$k, unnest(range(1, 65)) AS t(j) GROUP BY j),
-         |b$k AS (SELECT sum(CAST(dd AS DECIMAL(28,12))) AS b FROM d$k),
-         |s$k AS (SELECT g.j, CAST(g.a AS DOUBLE) - mj.m * CAST((SELECT b FROM b$k) AS DOUBLE) AS s
+         |b$k AS MATERIALIZED (SELECT sum(CAST(dd AS DECIMAL(28,12))) AS b FROM d$k),
+         |s$k AS MATERIALIZED (SELECT g.j, CAST(g.a AS DOUBLE) - mj.m * CAST((SELECT b FROM b$k) AS DOUBLE) AS s
          |  FROM g$k g JOIN mj ON mj.j = g.j),
-         |sv$k AS (SELECT list(s ORDER BY j) AS sv FROM s$k),
-         |v$k AS (SELECT CASE WHEN list_dot_product(sv, sv) = 0 THEN list_transform(sv, z -> 0.0)
+         |sv$k AS MATERIALIZED (SELECT list(s ORDER BY j) AS sv FROM s$k),
+         |v$k AS MATERIALIZED (SELECT CASE WHEN list_dot_product(sv, sv) = 0 THEN list_transform(sv, z -> 0.0)
          |  ELSE list_transform(sv, z -> z / sqrt(list_dot_product(sv, sv))) END AS v FROM sv$k),""".stripMargin
     }
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings WHERE embedding IS NOT NULL),
-       |cnt AS (SELECT count(*) AS n FROM e),
-       |mj AS (
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings WHERE embedding IS NOT NULL),
+       |cnt AS MATERIALIZED (SELECT count(*) AS n FROM e),
+       |mj AS MATERIALIZED (
        |  SELECT j, CAST(sum(CAST(x[j] AS DECIMAL(20,6))) AS DOUBLE) / (SELECT n FROM cnt) AS m
        |  FROM e, unnest(range(1, 65)) AS t(j) GROUP BY j),
-       |mv AS (SELECT list(m ORDER BY j) AS mv FROM mj),
-       |v0 AS (SELECT list(CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END ORDER BY j) AS v
+       |mv AS MATERIALIZED (SELECT list(m ORDER BY j) AS mv FROM mj),
+       |v0 AS MATERIALIZED (SELECT list(CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END ORDER BY j) AS v
        |  FROM unnest(range(1, 65)) AS t(j)),
        |${(1 to iters).map(iter).mkString("\n")}
-       |fin AS (SELECT v FROM v$iters)""".stripMargin
+       |fin AS MATERIALIZED (SELECT v FROM v$iters)""".stripMargin
   }
 
   private def pcaOracle(iters: Int): String =
@@ -369,6 +371,49 @@ object SparkEntry {
        |FROM unnest(range(1, 65)) AS t(j) JOIN mj ON mj.j = t.j CROSS JOIN fin
        |ORDER BY dim""".stripMargin
 
+  /** pca_components oracle (k=2): component 1 is the pcaCtes fit;
+    * component 2 re-runs the same iteration blocks with the extracted
+    * component projected out of the RAW iterate by Gram-Schmidt —
+    * s = s_raw − (v1·s_raw) v1 — before normalization, exactly as the
+    * driver does it (so the two components are orthogonal by
+    * construction). Eigenvalues are the final projected iterate's
+    * Rayleigh estimate sqrt(sv·sv) in both engines.
+    */
+  private def pcaComponentsOracle(iters: Int): String = {
+    def wIter(k: Int): String = {
+      val p = if (k == 1) "w0" else s"wv${k - 1}"
+      s"""wd$k AS MATERIALIZED (SELECT x, list_dot_product(x, (SELECT v FROM $p)) - list_dot_product((SELECT mv FROM mv), (SELECT v FROM $p)) AS dd FROM e),
+         |wg$k AS MATERIALIZED (SELECT j, sum(CAST(dd * x[j] AS DECIMAL(28,12))) AS a
+         |  FROM wd$k, unnest(range(1, 65)) AS t(j) GROUP BY j),
+         |wb$k AS MATERIALIZED (SELECT sum(CAST(dd AS DECIMAL(28,12))) AS b FROM wd$k),
+         |wsr$k AS MATERIALIZED (SELECT g.j,
+         |  CAST(g.a AS DOUBLE) - mj.m * CAST((SELECT b FROM wb$k) AS DOUBLE) AS s
+         |  FROM wg$k g JOIN mj ON mj.j = g.j),
+         |wsvr$k AS MATERIALIZED (SELECT list(s ORDER BY j) AS sv FROM wsr$k),
+         |ws$k AS MATERIALIZED (SELECT r.j,
+         |  r.s - list_dot_product(fin.v, wsvr$k.sv) * fin.v[r.j] AS s
+         |  FROM wsr$k r CROSS JOIN fin CROSS JOIN wsvr$k),
+         |wsv$k AS MATERIALIZED (SELECT list(s ORDER BY j) AS sv FROM ws$k),
+         |wv$k AS MATERIALIZED (SELECT CASE WHEN list_dot_product(sv, sv) = 0 THEN list_transform(sv, z -> 0.0)
+         |  ELSE list_transform(sv, z -> z / sqrt(list_dot_product(sv, sv))) END AS v FROM wsv$k),""".stripMargin
+    }
+    s"""${pcaCtes(iters)},
+       |w0 AS MATERIALIZED (SELECT list(CASE WHEN j = 2 THEN 1.0 ELSE 0.0 END ORDER BY j) AS v
+       |  FROM unnest(range(1, 65)) AS t(j)),
+       |${(1 to iters).map(wIter).mkString("\n")}
+       |wfin AS MATERIALIZED (SELECT v FROM wv$iters)
+       |SELECT CAST(1 AS BIGINT) AS component, CAST(t.j AS BIGINT) AS dim,
+       |  round(sqrt(list_dot_product(sv$iters.sv, sv$iters.sv)), 6) AS eigenvalue,
+       |  round(fin.v[t.j], 6) AS loading
+       |FROM unnest(range(1, 65)) AS t(j) CROSS JOIN fin CROSS JOIN sv$iters
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), CAST(t.j AS BIGINT),
+       |  round(sqrt(list_dot_product(wsv$iters.sv, wsv$iters.sv)), 6),
+       |  round(wfin.v[t.j], 6)
+       |FROM unnest(range(1, 65)) AS t(j) CROSS JOIN wfin CROSS JOIN wsv$iters
+       |ORDER BY component, dim""".stripMargin
+  }
+
   /** abtt_debias oracle: same fit CTEs, then the per-row projection /
     * residual replayed with the identical IEEE expression tree (see
     * Vectors.abttDebias — the expanded ||x−μ||² form exists exactly so
@@ -376,7 +421,7 @@ object SparkEntry {
     */
   private def abttOracle(iters: Int): String =
     s"""${pcaCtes(iters)},
-       |scal AS (SELECT list_dot_product(mv.mv, fin.v) AS mdv,
+       |scal AS MATERIALIZED (SELECT list_dot_product(mv.mv, fin.v) AS mdv,
        |    list_dot_product(mv.mv, mv.mv) AS mdm FROM mv CROSS JOIN fin)
        |SELECT e.vec_id,
        |  round(list_dot_product(e.x, fin.v) - scal.mdv, 6) AS proj,
@@ -390,6 +435,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "pca_top_component" -> pcaOracle(3),
     "abtt_debias" -> abttOracle(3),
+    "pca_components" -> pcaComponentsOracle(3),
     "inverted_index" ->
       """WITH toks AS (
         |  SELECT doc_id, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word

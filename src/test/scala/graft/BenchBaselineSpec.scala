@@ -110,6 +110,18 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(Bench.regressionBaseline(dir, "/sf0.1") === Map("q" -> 7.0))
   }
 
+  test("flag selection: failed and baseline-less queries are never flagged") {
+    val results = Seq("ok_fast" -> 0.5, "ok_slow" -> 5.0,
+      "boom" -> 9.0, "new_query" -> 9.0)
+    val baseline = Map("ok_fast" -> 0.4, "ok_slow" -> 1.0, "boom" -> 1.0)
+    // ok_slow: over gate -> flagged; boom: over gate but FAILED ->
+    // excluded (its dt is time-to-exception); new_query: no baseline
+    assert(Bench.selectFlagged(results, Set("boom"), baseline)
+      === Seq("ok_slow"))
+    assert(Bench.selectFlagged(results, Set.empty[String], baseline)
+      === Seq("ok_slow", "boom"))
+  }
+
   test("non-bench files are ignored; empty dir yields empty baseline") {
     val dir = fixture(
       "BENCH_rX.json" -> "not json",

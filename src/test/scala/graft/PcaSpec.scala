@@ -139,6 +139,34 @@ class PcaSpec extends SparkTestBase
     }
   }
 
+  test("pcaComponents: two dominant directions recovered, orthogonal, eigenvalues ordered") {
+    // variance planted on dims 1 and 3 (0-based), with the dim-1
+    // amplitude larger; deterministic phases so no RNG flake
+    val vecs = (0 until 300).map { i =>
+      val base = Array.tabulate(8)(j => ((i * 13 + j * 7) % 5 - 2) * 0.01f)
+      base(1) = (math.sin(i * 1.1) * 4).toFloat
+      base(3) = (math.cos(i * 2.3) * 2).toFloat
+      (i.toLong, base.toSeq, 0)
+    }
+    val out = Vectors.pcaComponents(spark, corpus(vecs)).collect()
+    assert(out.length === 16)
+    val c1 = out.filter(_.getLong(0) === 1L).sortBy(_.getLong(1))
+    val c2 = out.filter(_.getLong(0) === 2L).sortBy(_.getLong(1))
+    val v1 = c1.map(_.getDouble(3))
+    val v2 = c2.map(_.getDouble(3))
+    assert(math.abs(v1(1)) > 0.99, s"component 1 should be ~e2: ${v1.toSeq}")
+    assert(math.abs(v2(3)) > 0.99, s"component 2 should be ~e4: ${v2.toSeq}")
+    val dot12 = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot12) < 1e-3, s"components should be orthogonal, dot=$dot12")
+    val l1 = c1.head.getDouble(2)
+    val l2 = c2.head.getDouble(2)
+    assert(l1 > l2 && l2 > 0, s"eigenvalues should be ordered: $l1, $l2")
+    // consistency: component 1 == the single-component query's loading
+    val single = Vectors.pcaTopComponent(spark, corpus(vecs))
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(2))
+    v1.zip(single).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("abttDebias degenerate corpora: empty -> zero rows; zero vectors -> zero columns") {
     assert(Vectors.abttDebias(spark, corpus(Seq.empty)).count() === 0)
     val zeros = (0 until 4).map(i => (i.toLong, Seq.fill(3)(0f), 0))
