@@ -298,7 +298,8 @@ object Bench {
       "sessionize", "rolling_7d_qty", "stats_lineitem", "percentiles",
       "curated_corpus", "decontaminate", "window_top_orders",
       "upsert_snapshot", "top_words", "rank_corr", "ann_topk",
-      "semantic_dedup", "pca_top_component")
+      "semantic_dedup", "pca_top_component", "abtt_debias",
+      "pca_components")
     val byName = results.toMap
     // a renamed/removed registry entry silently shrinking the headline map
     // would go unnoticed — surface it
