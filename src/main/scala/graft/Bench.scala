@@ -286,10 +286,11 @@ object Bench {
     // decimals (kept well under 1.5 KB), and the full per-query map goes to
     // stderr for humans.
     // Cross-round comparisons use the intersection of headline sets, so
-    // ADDING queries is safe; the round-7 additions (rank_corr,
-    // ann_topk, semantic_dedup, pca_top_component) are exactly the
-    // heavy non-headline queries whose official timings were invisible
-    // before the full-registry gate existed.
+    // ADDING queries is safe. Round-7 additions: rank_corr, ann_topk,
+    // semantic_dedup (heavy non-headline queries whose official timings
+    // were invisible before the full-registry gate existed) and the
+    // PCA family (pca_top_component, abtt_debias, pca_components) so
+    // archives carry its serving costs.
     val headline = Seq(
       "q1_pricing", "q3_shipping_priority", "q5_local_volume",
       "q8_market_share", "q18_large_orders", "inverted_index",

@@ -86,7 +86,8 @@ object SparkEntry {
   def prewarmIndexes(s: SparkSession, d: String): Unit = {
     Ivf.cachedCentroids(s, d, 16, 2)
     Pq.cachedCodebook(s, d, 8, 16, 1)
-    Vectors.cachedPcaFit(s, d, 3)
+    // one k=2 fit serves the whole PCA family: cachedPcaFitK hands
+    // smaller-k requests the prefix of this build
     Vectors.cachedPcaFitK(s, d, 3, 2)
   }
 

@@ -193,10 +193,17 @@ object Analytics {
     val nRow = ranked.filter(col("kind") === 0)
       .agg(sum(col("cnt")).as("nr"))
     val d38 = (c: Column) => c.cast("decimal(38,0)")
+    // The ry side is ~one row per distinct price (~|fact| on this
+    // column): a shuffled HASH join builds on the rank table and
+    // streams the fact — no sort on either side, where the default
+    // SMJ sorts both 600k-row inputs. SHUFFLE_HASH is the right call
+    // whenever one side's per-partition build fits executor memory,
+    // which a (value, rank) pair table does at any corpus size with
+    // sane partition counts. rx (tiny) broadcasts via AQE as before.
     val joined = li
       .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
       .join(rx, col("x") === col("rx2_v"))
-      .join(ry, col("y") === col("ry2_v"))
+      .join(ry.hint("SHUFFLE_HASH"), col("y") === col("ry2_v"))
       .crossJoin(broadcast(nRow))
       .select(col("x"), col("y"),
         (col("rx2") - col("nr") - 1).as("cx"),

@@ -145,12 +145,18 @@ object Vectors {
     }
   }
 
-  /** Process-level memo of the PCA fit keyed by (dir, iters) — the
-    * cachedCentroids contract: the artifact is two dim-sized vectors
-    * (driver-resident by design), the build is bit-deterministic, and
-    * the corpus at a path is assumed immutable. Both consumers
-    * (pca_top_component, abtt_debias) and Bench's untimed prewarm
-    * share one build. None = empty corpus.
+  /** Process-level memo of the k-component PCA fit keyed by
+    * (dir, iters, k) — the cachedCentroids contract: the artifact is
+    * a handful of dim-sized vectors (driver-resident by design), the
+    * build is bit-deterministic, and the corpus at a path is assumed
+    * immutable. All consumers (pca_top_component, abtt_debias,
+    * pca_components) and the bench's untimed prewarm share builds: a
+    * request for k components is served by TRUNCATING any cached fit
+    * with the same (dir, iters) and k' >= k — orthogonalized power
+    * iteration extracts components sequentially, so the first k of a
+    * larger fit are bit-identical to a k-component fit (PcaSpec
+    * asserts it) — and one k=2 build therefore serves the whole
+    * family. None = empty corpus.
     */
   private val pcaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
@@ -164,12 +170,22 @@ object Vectors {
 
   def cachedPcaFitK(spark: SparkSession, dir: String, iters: Int,
       k: Int): Option[(Array[Double], Seq[(Double, Array[Double])])] = {
+    import scala.jdk.CollectionConverters._
     val key = (dir, iters, k)
-    Option(pcaCache.get(key)).getOrElse {
-      val fit = pcaFitK(spark, dir, iters, k)
-      pcaCache.put(key, fit)
-      fit
-    }
+    Option(pcaCache.get(key))
+      .orElse {
+        // serve a smaller request from a larger cached fit's prefix
+        pcaCache.asScala.collectFirst {
+          case ((d, it, kk), Some((mu, comps)))
+            if d == dir && it == iters && kk > k =>
+              Some((mu, comps.take(k)))
+        }
+      }
+      .getOrElse {
+        val fit = pcaFitK(spark, dir, iters, k)
+        pcaCache.put(key, fit)
+        fit
+      }
   }
 
   /** k-component fit by orthogonalized power iteration: component c's
