@@ -199,6 +199,7 @@ object SparkEntry {
     "q17_small_quantity" -> ((s, d) => TpcH.q17SmallQuantity(s, d)),
     "q18_large_orders" -> ((s, d) => TpcH.q18LargeOrders(s, d)),
     "q19_disjunctive" -> ((s, d) => TpcH.q19Disjunctive(s, d)),
+    "q21_waiting_suppliers" -> ((s, d) => TpcH.q21WaitingSuppliers(s, d)),
     "q22_dormant_rich" -> ((s, d) => TpcH.q22DormantRich(s, d)),
     // -- SQL-surface kit -------------------------------------------------
     "unpivot_orders" -> ((s, d) => SqlKit.unpivotOrders(s, d)),
@@ -1398,6 +1399,25 @@ object SparkEntry {
         |JOIN part ON l_partkey = p_partkey
         |JOIN pa ON lineitem.l_partkey = pa.l_partkey
         |WHERE p_brand = 'Brand#3' AND l_quantity < qty_limit""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND n_name = 'NATION_3'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
     "q22_dormant_rich" ->
       """WITH ab AS (
         |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal

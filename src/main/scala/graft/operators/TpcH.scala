@@ -298,6 +298,52 @@ object TpcH {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H q21: suppliers who kept orders waiting — for finished
+    * orders, count the late lines whose supplier was the ONLY late
+    * supplier in a multi-supplier order. "Late" is adapted to this
+    * schema (no commitdate/receiptdate): shipped more than `lateDays`
+    * after the order date.
+    *
+    * The textbook form is EXISTS (another supplier in the order) AND
+    * NOT EXISTS (another LATE supplier in the order) — two correlated
+    * self-joins over the fact table. Here both are decorrelated into
+    * ONE aggregation keyed on orderkey (n_supp, n_late_supp): at 100 TB
+    * that is a single fact-table shuffle instead of three, and the
+    * join back is per-order (already reduced) rather than per-line.
+    * The oracle SQL deliberately keeps the EXISTS/NOT EXISTS form, so
+    * the gate proves the two formulations equivalent.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String,
+      nation: String = "NATION_3", lateDays: Int = 90): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).as("late"))
+    val perOrder = lines
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .select(col("l_orderkey"))
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name") === nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    lines.filter(col("late"))
+      .join(perOrder, Seq("l_orderkey"))
+      .join(broadcast(natSupp), Seq("l_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** TPC-H q19: disjunctive multi-column predicate (OR of AND blocks
     * spanning both join sides) — the planner must still use the
     * equi-join on partkey and evaluate the residual disjunction after.
