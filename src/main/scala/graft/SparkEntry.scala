@@ -65,6 +65,12 @@ object SparkEntry {
         .select(col("word"), col("rc.row_i").as("row_i"),
           col("rc.cell").as("cell"))
     }),
+    // rolling_users_7d's HLL estimates: sketch state is a per-register
+    // max, so the estimate is order-independent — the aux re-run is
+    // byte-identical to the registry query's column. Day spine and
+    // window pairing are NOT exported; the oracle recomputes those.
+    "rolling_users_7d_est" -> ((s, d) =>
+      EventOps.rollingUsers7d(s, d).select("day", "approx_users_7d")),
     // PQ index artifacts (bit-deterministic build, like IVF): the
     // oracle recomputes the ADC lookup, candidate ranking, and exact
     // re-rank from the exported codebook + codes
@@ -200,6 +206,7 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) => TpcH.q18LargeOrders(s, d)),
     "q19_disjunctive" -> ((s, d) => TpcH.q19Disjunctive(s, d)),
     "q21_waiting_suppliers" -> ((s, d) => TpcH.q21WaitingSuppliers(s, d)),
+    "q9_profit" -> ((s, d) => TpcH.q9Profit(s, d)),
     "q22_dormant_rich" -> ((s, d) => TpcH.q22DormantRich(s, d)),
     // -- SQL-surface kit -------------------------------------------------
     "unpivot_orders" -> ((s, d) => SqlKit.unpivotOrders(s, d)),
@@ -778,6 +785,52 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // media_features is fully deterministic (the stub codec is the
+    // identity), so DuckDB recomputes every column from the UTF-8
+    // bytes: the 16-bin HIGH-nibble histogram/entropy read off the odd
+    // positions of the hex rendering, ceil-division frame count, and
+    // the stride-sampled 16-byte preview.
+    "media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |nib AS (
+        |  SELECT m.doc_id, substr(m.hx, 2*t.i + 1, 1) AS hi, count(*) AS c
+        |  FROM m, UNNEST(range(m.n)) AS t(i)
+        |  GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT nib.doc_id,
+        |         round(-SUM((c::DOUBLE / m.n) * ln(c::DOUBLE / m.n)) / ln(2), 6) AS entropy
+        |  FROM nib JOIN m USING (doc_id)
+        |  GROUP BY 1)
+        |SELECT m.doc_id, m.kind, CAST(m.n AS BIGINT) AS n_bytes,
+        |       COALESCE(ent.entropy, 0.0) AS entropy,
+        |       CAST(CASE WHEN m.n = 0 THEN 0 ELSE (m.n - 1) // 64 + 1 END AS INT) AS frames_sampled,
+        |       CASE WHEN m.n = 0 THEN repeat('00', 16)
+        |            ELSE list_aggregate([substr(m.hx, 2*CAST(i * m.n // 16 AS BIGINT) + 1, 2) FOR i IN range(16)], 'string_agg', '')
+        |       END AS preview_hex
+        |FROM m LEFT JOIN ent USING (doc_id)
+        |ORDER BY m.doc_id""".stripMargin,
+    // rolling_users_7d: the HLL estimate crosses engines as DATA (aux
+    // export, same pattern as the ANN indexes); the deterministic part
+    // — which days exist, which feed each 7-day window, n_days — is
+    // recomputed independently, and the join-back catches any pairing
+    // drift (a dropped window changes the row set, not just a value).
+    "rolling_users_7d" ->
+      """WITH days AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day FROM events),
+        |w AS (
+        |  SELECT a.day, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM days a JOIN days b ON b.day BETWEEN a.day - 6 AND a.day
+        |  GROUP BY a.day)
+        |SELECT w.day, s.approx_users_7d, w.n_days
+        |FROM w JOIN read_parquet('/tmp/graft_oracle_aux/rolling_users_7d_est/*.parquet') s USING (day)
+        |ORDER BY w.day""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_key,
         |  count(*) OVER (PARTITION BY md5(text)) AS cluster_size,
@@ -1418,6 +1471,24 @@ object SparkEntry {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
+    // q9 adaptation: supply cost is 0.5 * p_retailprice (no partsupp
+    // in the testdata); the double expression is written in the same
+    // left-associated order as the Spark column so the IEEE sequence
+    // matches before the DECIMAL(18,4) cast.
+    "q9_profit" ->
+      """SELECT n_name AS nation,
+        |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) -
+        |                     0.5 * p_retailprice * l_quantity
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
     "q22_dormant_rich" ->
       """WITH ab AS (
         |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal

@@ -95,20 +95,30 @@ object Analytics {
     *
     * Ranks come from a two-phase distributed prefix sum over the
     * DISTINCT-(kind, value) table (the Pipeline.packSequences
-    * pattern): range-partition on (kind, v) — so within a kind,
-    * partition order IS value order — per-partition counts, prefix the
-    * per-(kind, partition) partials (a window over #partitions rows —
-    * the only serial step), finish within partitions. No global
-    * single-reducer sort anywhere, which is what a naive rank() window
-    * would do.
+    * pattern): bucket each value by EXPLICIT per-kind quantile splits
+    * (strictly-smaller split count, so equal values always share a
+    * bucket), per-bucket counts, prefix the per-(kind, bucket)
+    * partials (a window over #buckets rows — the only serial step),
+    * finish within buckets. No global single-reducer sort anywhere,
+    * which is what a naive rank() window would do.
     *
-    * The distinct table is checkpointed BEFORE the range exchange:
-    * repartitionByRange runs a sampling job over its child to pick the
-    * range bounds, and without the cut that job re-executes the whole
-    * union-scan + distinct aggregate a second time before the real
-    * exchange runs it again. With it, the heaviest stage of the chain
-    * runs once and both the sampler and the exchange read cached
-    * narrow (kind, v, cnt) blocks.
+    * The explicit-splits bucketing replaced an earlier
+    * repartitionByRange + spark_partition_id formulation on two
+    * counts. Determinism under recomputation: the range exchange
+    * picks bounds by SAMPLING its child, so a partition recomputed
+    * after block loss could land rows in different pids than the
+    * offsets were computed from — silent rank corruption on a real
+    * cluster, which the old code held off with lineage-truncating
+    * localCheckpoints (fail loudly instead). Here the splits are a
+    * tiny per-kind aggregate broadcast once, bucket assignment is a
+    * pure function of (v, splits), and every stage recomputes to
+    * identical output — persist() below is purely a compute-dedup
+    * cut (the distinct table feeds the splits aggregate and the
+    * bucketed chain; the lazy-localCheckpoint version also measured
+    * 2-4x slower under the bench's unpersist cycling). Rank
+    * correctness never depends on WHICH splits come back (any
+    * bucketing yields the same prefix sums), so approx-percentile
+    * merge-order wobble across cluster shapes cannot change results.
     *
     * Input contract: callers must drop null values first. A null key
     * ranks as its own group here, but the `===` join back in the
@@ -118,20 +128,28 @@ object Analytics {
   private def avgRank2Kinds(vals: DataFrame): DataFrame = {
     val dist = vals.groupBy(col("kind"), col("v"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(eager = false)
-    val ranged = dist.repartitionByRange(col("kind"), col("v"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(eager = false)
-    val wOff = Window.partitionBy(col("kind")).orderBy(col("pid"))
+      .persist()
+    // one split per target partition: scales with the session's
+    // shuffle parallelism, so a 100 TB run with 10k partitions gets
+    // 10k-way bucket balance from the same code path
+    val nB = math.max(2,
+      vals.sparkSession.sessionState.conf.numShufflePartitions)
+    val probs = (1 until nB).map(i => i.toDouble / nB).mkString(",")
+    val splits = dist.groupBy(col("kind"))
+      .agg(expr(s"percentile_approx(v, array($probs), 1000)").as("splits"))
+    val bucketed = dist.join(broadcast(splits), Seq("kind"))
+      .withColumn("bucket", expr("size(filter(splits, s -> s < v))"))
+      .drop("splits")
+    val wOff = Window.partitionBy(col("kind")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col("kind"), col("pid"))
+    val offsets = bucketed.groupBy(col("kind"), col("bucket"))
       .agg(sum(col("cnt")).as("part_sum"))
       .withColumn("offset",
         coalesce(sum(col("part_sum")).over(wOff), lit(0L)))
-      .select(col("kind"), col("pid"), col("offset"))
-    val wIn = Window.partitionBy(col("kind"), col("pid")).orderBy(col("v"))
+      .select(col("kind"), col("bucket"), col("offset"))
+    val wIn = Window.partitionBy(col("kind"), col("bucket")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    ranged.join(broadcast(offsets), Seq("kind", "pid"))
+    bucketed.join(broadcast(offsets), Seq("kind", "bucket"))
       .withColumn("cum_smaller",
         col("offset") + coalesce(sum(col("cnt")).over(wIn), lit(0L)))
       .select(col("kind"), col("v"), col("cnt"),
@@ -167,13 +185,13 @@ object Analytics {
       .filter(col("l_quantity").isNotNull &&
         col("l_extendedprice").isNotNull)
     // both coordinates ranked in ONE pass over a (kind, value) stream —
-    // one distinct-agg/range-exchange/window chain instead of two. The
+    // one distinct-agg/bucket/window chain instead of two. The
     // stream comes from a single fact scan via explode (2 rows out per
     // row in), where the previous unionAll of two projections planned
     // as TWO scans each paying its own ingest exchange — branches of a
     // union cannot share a subtree. Both columns are double, so the
     // struct battery is type-exact and the join-back equality below is
-    // the same comparison as before. The checkpoint cut: the ranked
+    // the same comparison as before. The persist cut: the ranked
     // table feeds the rx/ry filters AND the row-count aggregate, and
     // without it the whole chain re-executes per consumer.
     val ranked = avgRank2Kinds(
@@ -182,13 +200,13 @@ object Analytics {
             struct(lit(1).as("kind"), col("l_extendedprice").as("v"))))
           .as("kv"))
           .select(col("kv.kind").as("kind"), col("kv.v").as("v")))
-      .localCheckpoint(eager = false)
+      .persist()
     val rx = ranked.filter(col("kind") === 0)
       .select(col("v").as("rx2_v"), col("r2").as("rx2"))
     val ry = ranked.filter(col("kind") === 1)
       .select(col("v").as("ry2_v"), col("r2").as("ry2"))
     // n = total (non-null-pair) rows = the multiplicity sum within
-    // either kind — read from the checkpointed ranked table instead of
+    // either kind — read from the persisted rank table instead of
     // a third scan over the fact table
     val nRow = ranked.filter(col("kind") === 0)
       .agg(sum(col("cnt")).as("nr"))
@@ -585,12 +603,12 @@ object Analytics {
             struct(lit(0).as("kind"), x.as("v")),
             struct(lit(1).as("kind"), y.as("v")))).as("kv"))
           .select(col("kv.kind").as("kind"), col("kv.v").as("v")))
-      .localCheckpoint(eager = false)
+      .persist()
     val rx = ranked.filter(col("kind") === 0)
       .select(col("v").as("zrx2_v"), col("r2").as("zrx2"))
     val ry = ranked.filter(col("kind") === 1)
       .select(col("v").as("zry2_v"), col("r2").as("zry2"))
-    // row count from the checkpointed rank table (cnt sums to the row
+    // row count from the persisted rank table (cnt sums to the row
     // count within a kind) — not another pass over `rows`
     val nRow = ranked.filter(col("kind") === 0)
       .agg(sum(col("cnt")).as("znr"))

@@ -29,11 +29,16 @@ object Temporal {
 
   private val NsPerSec = 1000000000L
 
-  /** Raw events with ts as ns-since-epoch long. */
+  /** Raw events with ts as ns-since-epoch long. Ns-long testdata passes
+    * through untouched; timestamp testdata (instant or NTZ — the
+    * normalizer handles both) converts via unix_micros, exact because
+    * the source precision is at most microseconds there.
+    */
   private def rawEvents(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "events")
     if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType) e
-    else e.withColumn("ts", unix_micros(col("ts")) * 1000L)
+    else Tables.normalizeEventTs(e)
+      .withColumn("ts", unix_micros(col("ts")) * 1000L)
   }
 
   /** Generic as-of join: for each left row, the latest right row with

@@ -306,12 +306,21 @@ object TpcH {
     *
     * The textbook form is EXISTS (another supplier in the order) AND
     * NOT EXISTS (another LATE supplier in the order) — two correlated
-    * self-joins over the fact table. Here both are decorrelated into
-    * ONE aggregation keyed on orderkey (n_supp, n_late_supp): at 100 TB
-    * that is a single fact-table shuffle instead of three, and the
-    * join back is per-order (already reduced) rather than per-line.
-    * The oracle SQL deliberately keeps the EXISTS/NOT EXISTS form, so
-    * the gate proves the two formulations equivalent.
+    * self-joins over the fact table. Here both are decorrelated through
+    * ONE per-(order, supplier) pre-aggregate: the fact table is scanned
+    * and shuffled exactly once, and everything after operates on the
+    * reduced table. The earlier formulation used two countDistincts
+    * over different expressions, which forced an Expand (2x the fact
+    * rows into the aggregate) and consumed the fact join twice (once
+    * for the per-order counts, once for the late-lines join) — at
+    * 100 TB that is two fact joins and a doubled shuffle where one
+    * suffices. perOS carries n_late_lines so the final numwait keeps
+    * line (not supplier) multiplicity, and every downstream step —
+    * per-order counts, qualifying-order filter, join back — stays
+    * partitioned on l_orderkey, so no further fact-sized shuffle
+    * exists in the plan. The oracle SQL deliberately keeps the
+    * EXISTS/NOT EXISTS form, so the gate proves the two formulations
+    * equivalent.
     */
   def q21WaitingSuppliers(spark: SparkSession, dir: String,
       nation: String = "NATION_3", lateDays: Int = 90): DataFrame = {
@@ -323,11 +332,27 @@ object TpcH {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") >
           col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).as("late"))
-    val perOrder = lines
+    // one row per (order, supplier): any_late replaces the distinct-
+    // count's deduplication, n_late_lines preserves the late-line
+    // multiplicity numwait counts. Partitioned on l_orderkey by the
+    // join above; a prefix of the group keys, so no new exchange.
+    // persist(): both consumers (per-order counts, final join) read
+    // the reduced table from blocks — without it Catalyst prunes
+    // n_late_lines out of the perOrder branch, the subtrees diverge,
+    // exchange reuse is off, and the fact table is scanned and joined
+    // twice. Deterministic content, so recompute-after-loss is safe.
+    val perOS = lines
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(
+        max(col("late")).as("any_late"),
+        count(when(col("late"), lit(1))).as("n_late_lines"))
+      .persist()
+    // plain conditional counts over the reduced table — no Expand
+    val perOrder = perOS
       .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+        count(lit(1)).as("n_supp"),
+        count(when(col("any_late"), lit(1))).as("n_late_supp"))
       .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
       .select(col("l_orderkey"))
     val natSupp = Tables.supplier(spark, dir)
@@ -335,13 +360,46 @@ object TpcH {
         .filter(col("n_name") === nation)),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
-    lines.filter(col("late"))
+    perOS.filter(col("any_late"))
       .join(perOrder, Seq("l_orderkey"))
       .join(broadcast(natSupp), Seq("l_suppkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late_lines")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(100)
+  }
+
+  /** TPC-H q9 shape: product-type profit by nation and order year.
+    * The testdata has no partsupp, so supply cost is a deterministic
+    * function of the part (half retail price) — the OPERATOR shape is
+    * the point: a selective dimension filter fanned through the fact
+    * table, two broadcast dimension joins plus the orders equi-join,
+    * and a two-key rollup. lineitem is shuffled ONCE (the orderkey
+    * join); part/supplier/nation broadcast, and the part filter
+    * reaches the scan before the join fans anything out.
+    */
+  def q9Profit(spark: SparkSession, dir: String,
+      namePattern: String = "%red%"): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").like(namePattern))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.5) * col("p_retailprice") * col("l_quantity"))
+        .cast("decimal(18,4)")).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
   }
 
   /** TPC-H q19: disjunctive multi-column predicate (OR of AND blocks

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet testdata (TESTDATA.md).
   *
@@ -126,19 +126,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark's reader
-    * only surfaces as a raw Long (spark.sql.legacy.parquet.nanosAsLong —
-    * set in every graft session). Convert to microsecond TimestampType
-    * with integer `div` (a double division would lose precision above
-    * 2^53 ns). Sub-microsecond truncation is harmless downstream: every
-    * oracle-checked query compares at second-or-coarser granularity.
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations: nanosecond-precision parquet that Spark's reader only
+    * surfaces as a raw Long (spark.sql.legacy.parquet.nanosAsLong — set
+    * in every graft session), and naive microsecond timestamps that read
+    * as TIMESTAMP_NTZ. Normalize both to microsecond TimestampType so
+    * every consumer sees one type: Long converts with integer `div` (a
+    * double division would lose precision above 2^53 ns); NTZ casts to
+    * the instant type, which is value-preserving because every graft
+    * session pins spark.sql.session.timeZone=UTC. Sub-microsecond
+    * truncation is harmless downstream: every oracle-checked query
+    * compares at second-or-coarser granularity.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(load(s, d, "events"))
+
+  /** See [[events]]: ns-Long or TIMESTAMP_NTZ `ts` → microsecond
+    * TimestampType; already-instant timestamps pass through.
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

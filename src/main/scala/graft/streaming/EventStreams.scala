@@ -26,9 +26,7 @@ object EventStreams {
     val raw = spark.readStream
       .schema(spark.read.parquet(s"$dir/events.parquet").schema)
       .parquet(s"$dir/events.parque*")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    graft.sources.Tables.normalizeEventTs(raw)
   }
 
   /** Watermarked tumbling 1-hour rollup per event type. */
