@@ -71,6 +71,24 @@ object SparkEntry {
     // window pairing are NOT exported; the oracle recomputes those.
     "rolling_users_7d_est" -> ((s, d) =>
       EventOps.rollingUsers7d(s, d).select("day", "approx_users_7d")),
+    // hll_rollup's merged estimates: same per-register-max argument —
+    // HLL union is commutative/idempotent, so the re-run export is
+    // byte-identical to the registry query's column no matter how the
+    // partials arrive. The oracle recomputes the grouping skeleton
+    // (which returnflag groups exist) independently.
+    "hll_rollup_est" -> ((s, d) => Relational.hllRollup(s, d)),
+    // approx_stats' estimates: the HLL legs are per-register maxes
+    // (merge-order independent like hll_rollup). percentile_approx
+    // merges QuantileSummaries in partial-arrival order, which is NOT
+    // order-independent by construction — the export pattern only
+    // needs run-to-run agreement within ONE session (Verify's main
+    // dump and this export run back to back), which holds on the
+    // deterministic local shuffle (probed: 15 consecutive runs
+    // byte-identical at sf0.01 and sf0.1, with the median sitting
+    // exactly on a value boundary — the worst case for wobble). If
+    // this column ever flakes the mismatch lands here, not in an
+    // exact operator.
+    "approx_stats_est" -> ((s, d) => Relational.approxStats(s, d)),
     // PQ index artifacts (bit-deterministic build, like IVF): the
     // oracle recomputes the ADC lookup, candidate ranking, and exact
     // re-rank from the exported codebook + codes
@@ -819,8 +837,13 @@ object SparkEntry {
     // rolling_users_7d: the HLL estimate crosses engines as DATA (aux
     // export, same pattern as the ANN indexes); the deterministic part
     // — which days exist, which feed each 7-day window, n_days — is
-    // recomputed independently, and the join-back catches any pairing
-    // drift (a dropped window changes the row set, not just a value).
+    // recomputed independently. LEFT JOIN, not INNER: the aux comes
+    // from the same Spark function under test, so a day the Spark side
+    // dropped would vanish from an inner join in lockstep and go
+    // undetected — the left join keeps the independently-derived spine
+    // authoritative, surfacing a dropped day as a NULL estimate row
+    // the hash compare then catches (extra/mispaired days change the
+    // row set either way).
     "rolling_users_7d" ->
       """WITH days AS (
         |  SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day FROM events),
@@ -829,8 +852,27 @@ object SparkEntry {
         |  FROM days a JOIN days b ON b.day BETWEEN a.day - 6 AND a.day
         |  GROUP BY a.day)
         |SELECT w.day, s.approx_users_7d, w.n_days
-        |FROM w JOIN read_parquet('/tmp/graft_oracle_aux/rolling_users_7d_est/*.parquet') s USING (day)
+        |FROM w LEFT JOIN read_parquet('/tmp/graft_oracle_aux/rolling_users_7d_est/*.parquet') s USING (day)
         |ORDER BY w.day""".stripMargin,
+    // hll_rollup: the deterministic skeleton — which returnflag groups
+    // the rollup must produce — comes from DuckDB's own DISTINCT scan;
+    // the merged HLL estimate crosses as aux data (per-register max →
+    // merge-order independent, byte-stable across re-runs). LEFT JOIN
+    // for the same reason as rolling_users_7d: a group the Spark side
+    // dropped must surface as a NULL-estimate row, not vanish from an
+    // inner join in lockstep.
+    "hll_rollup" ->
+      """SELECT g.l_returnflag, s.approx_parts_merged
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem) g
+        |LEFT JOIN read_parquet('/tmp/graft_oracle_aux/hll_rollup_est/*.parquet') s USING (l_returnflag)
+        |ORDER BY g.l_returnflag""".stripMargin,
+    // approx_stats: same skeleton-plus-estimates shape as hll_rollup
+    // (see the oracleAux notes for the determinism argument per leg).
+    "approx_stats" ->
+      """SELECT g.l_returnflag, s.approx_parts, s.approx_orders, s.approx_median_qty
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem) g
+        |LEFT JOIN read_parquet('/tmp/graft_oracle_aux/approx_stats_est/*.parquet') s USING (l_returnflag)
+        |ORDER BY g.l_returnflag""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_key,
         |  count(*) OVER (PARTITION BY md5(text)) AS cluster_size,
@@ -1474,12 +1516,17 @@ object SparkEntry {
     // q9 adaptation: supply cost is 0.5 * p_retailprice (no partsupp
     // in the testdata); the double expression is written in the same
     // left-associated order as the Spark column so the IEEE sequence
-    // matches before the DECIMAL(18,4) cast.
+    // matches before the DECIMAL(18,4) cast. The literals are cast to
+    // DOUBLE explicitly — bare 1.0/0.5 parse as DECIMAL(2,1) in DuckDB
+    // and only become double today via promotion against the all-DOUBLE
+    // testdata columns; a future DECIMAL-typed testdata generation
+    // would silently flip the whole expression to decimal arithmetic
+    // while Spark's lit(1.0)/lit(0.5) stay double.
     "q9_profit" ->
       """SELECT n_name AS nation,
         |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) -
-        |                     0.5 * p_retailprice * l_quantity
+        |       CAST(sum(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) -
+        |                     CAST(0.5 AS DOUBLE) * p_retailprice * l_quantity
         |                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey

@@ -120,10 +120,15 @@ object Analytics {
     * bucketing yields the same prefix sums), so approx-percentile
     * merge-order wobble across cluster shapes cannot change results.
     *
-    * Input contract: callers must drop null values first. A null key
-    * ranks as its own group here, but the `===` join back in the
-    * caller would drop it silently — see rankCorr's pairwise-complete
-    * filter.
+    * Input contract: callers must drop null AND NaN values first. A
+    * null key ranks as its own group here, but the `===` join back in
+    * the caller would drop it silently — see rankCorr's
+    * pairwise-complete filter. NaN is worse than null under the
+    * explicit-splits bucketing: `s < v` is false for every split when
+    * v is NaN, so NaN lands in bucket 0, yet the within-bucket window
+    * orders NaN GREATEST — the bucket-monotonicity invariant (every
+    * value in bucket b sorts before every value in bucket b+1) breaks
+    * and ranks silently corrupt.
     */
   private def avgRank2Kinds(vals: DataFrame): DataFrame = {
     val dist = vals.groupBy(col("kind"), col("v"))
@@ -173,17 +178,20 @@ object Analytics {
     * and AQE broadcasts them when they fit.
     */
   def rankCorr(spark: SparkSession, dir: String): DataFrame = {
-    // Pairwise-complete observations: a null in either coordinate drops
-    // the ROW before ranking (the standard Spearman treatment). This is
-    // load-bearing, not just hygiene — avgRank2Kinds would rank a NULL key
-    // as its own group, but the `===` join back would silently drop
-    // those rows AFTER nRow counted them, breaking the sum(cx) = 0
-    // centering invariant the exact-moment derivation relies on.
-    // lineitem's columns are non-null, so this is a no-op here; it
-    // makes the generic-input contract hold instead of assumed.
+    // Pairwise-complete observations: a null OR NaN in either coordinate
+    // drops the ROW before ranking (the standard Spearman treatment).
+    // This is load-bearing, not just hygiene — avgRank2Kinds would rank
+    // a NULL key as its own group, but the `===` join back would silently
+    // drop those rows AFTER nRow counted them, breaking the sum(cx) = 0
+    // centering invariant the exact-moment derivation relies on; a NaN
+    // would violate avgRank2Kinds' bucket-monotonicity invariant (see
+    // its contract) and corrupt ranks silently rather than drop.
+    // lineitem's columns are non-null and non-NaN, so this is a no-op
+    // here; it makes the generic-input contract hold instead of assumed.
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_quantity").isNotNull &&
-        col("l_extendedprice").isNotNull)
+        col("l_extendedprice").isNotNull &&
+        !isnan(col("l_quantity")) && !isnan(col("l_extendedprice")))
     // both coordinates ranked in ONE pass over a (kind, value) stream —
     // one distinct-agg/bucket/window chain instead of two. The
     // stream comes from a single fact scan via explode (2 rows out per

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -314,13 +315,23 @@ object TpcH {
     * rows into the aggregate) and consumed the fact join twice (once
     * for the per-order counts, once for the late-lines join) — at
     * 100 TB that is two fact joins and a doubled shuffle where one
-    * suffices. perOS carries n_late_lines so the final numwait keeps
-    * line (not supplier) multiplicity, and every downstream step —
-    * per-order counts, qualifying-order filter, join back — stays
-    * partitioned on l_orderkey, so no further fact-sized shuffle
-    * exists in the plan. The oracle SQL deliberately keeps the
-    * EXISTS/NOT EXISTS form, so the gate proves the two formulations
-    * equivalent.
+    * suffices.
+    *
+    * The per-order EXISTS counts come from a WINDOW over the reduced
+    * table, not a second aggregate + self-join: perOS is clustered on
+    * l_orderkey (the orders join partitions on it, and the (orderkey,
+    * suppkey) group keys have it as a prefix, so the aggregate adds no
+    * exchange), and a count() over partitionBy(l_orderkey) satisfies
+    * its distribution from that same partitioning — one local sort on
+    * per-order groups (a handful of suppliers each, at any scale), no
+    * self-join, and no persist(). The r10 form materialized perOS
+    * through the memory store so two consumers (the per-order counts
+    * and the join back) could share it; the window formulation has ONE
+    * consumer, so the sharing problem the persist solved is gone —
+    * recompute-safety concerns with it. perOS carries n_late_lines so
+    * the final numwait keeps line (not supplier) multiplicity. The
+    * oracle SQL deliberately keeps the EXISTS/NOT EXISTS form, so the
+    * gate proves the formulations equivalent.
     */
   def q21WaitingSuppliers(spark: SparkSession, dir: String,
       nation: String = "NATION_3", lateDays: Int = 90): DataFrame = {
@@ -334,34 +345,24 @@ object TpcH {
           col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).as("late"))
     // one row per (order, supplier): any_late replaces the distinct-
     // count's deduplication, n_late_lines preserves the late-line
-    // multiplicity numwait counts. Partitioned on l_orderkey by the
-    // join above; a prefix of the group keys, so no new exchange.
-    // persist(): both consumers (per-order counts, final join) read
-    // the reduced table from blocks — without it Catalyst prunes
-    // n_late_lines out of the perOrder branch, the subtrees diverge,
-    // exchange reuse is off, and the fact table is scanned and joined
-    // twice. Deterministic content, so recompute-after-loss is safe.
+    // multiplicity numwait counts
     val perOS = lines
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(
         max(col("late")).as("any_late"),
         count(when(col("late"), lit(1))).as("n_late_lines"))
-      .persist()
-    // plain conditional counts over the reduced table — no Expand
-    val perOrder = perOS
-      .groupBy(col("l_orderkey"))
-      .agg(
-        count(lit(1)).as("n_supp"),
-        count(when(col("any_late"), lit(1))).as("n_late_supp"))
-      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
-      .select(col("l_orderkey"))
+    val wOrd = Window.partitionBy(col("l_orderkey"))
     val natSupp = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)
         .filter(col("n_name") === nation)),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
-    perOS.filter(col("any_late"))
-      .join(perOrder, Seq("l_orderkey"))
+    perOS
+      .withColumn("n_supp", count(lit(1)).over(wOrd))
+      .withColumn("n_late_supp",
+        count(when(col("any_late"), lit(1))).over(wOrd))
+      .filter(col("any_late") &&
+        col("n_supp") > 1 && col("n_late_supp") === 1)
       .join(broadcast(natSupp), Seq("l_suppkey"))
       .groupBy(col("s_name"))
       .agg(sum(col("n_late_lines")).as("numwait"))
