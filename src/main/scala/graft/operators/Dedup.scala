@@ -162,6 +162,51 @@ object Dedup {
     ngramJaccardPairs(Tables.documents(spark, dir))
       .orderBy(col("doc_id_1"), col("doc_id_2"))
 
+  /** Asymmetric n-gram Jaccard: every pair (doc_id_1 < doc_id_2) at or
+    * above the threshold where AT LEAST ONE side belongs to `probe` —
+    * the incremental companion to the self-join above for delta
+    * ingest: `base` is everything seen so far (it must CONTAIN the
+    * probe docs), `probe` is the newly arrived slice. The probe's gram
+    * table is micro-batch-sized by construction and BROADCASTS (the
+    * decontaminate shape), so the accumulated corpus pays one linear
+    * gram scan and an aggregation — never a self-join over history. At
+    * 100 TB the remaining linear re-scan of `base` per delta is the
+    * part a production pipeline replaces with a persisted posting-list
+    * table appended per batch; the join and scoring are unchanged.
+    *
+    * Same gram extraction, threshold semantics, and exact-Jaccard
+    * scoring as ngramJaccardPairs: a probe-only corpus degenerates to
+    * exactly its self-join pair set.
+    */
+  def ngramJaccardAgainst(base: DataFrame, probe: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val bg = ngramsWithSize(base, n)
+      .select(col("doc_id").as("doc_id_b"), col("ng"), col("n_ng").as("nb"))
+    val pg = ngramsWithSize(probe, n)
+      .select(col("doc_id").as("doc_id_p"), col("ng"), col("n_ng").as("np"))
+    bg.join(broadcast(pg), Seq("ng"))
+      .filter(col("doc_id_b") =!= col("doc_id_p"))
+      .select(
+        least(col("doc_id_b"), col("doc_id_p")).as("doc_id_1"),
+        greatest(col("doc_id_b"), col("doc_id_p")).as("doc_id_2"),
+        when(col("doc_id_b") < col("doc_id_p"), col("nb"))
+          .otherwise(col("np")).as("n1"),
+        when(col("doc_id_b") < col("doc_id_p"), col("np"))
+          .otherwise(col("nb")).as("n2"),
+        col("ng"))
+      // probe-probe pairs surface once per DIRECTION (both docs sit on
+      // both join sides); collapse before counting intersections
+      .distinct()
+      .groupBy(col("doc_id_1"), col("doc_id_2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_1"), col("doc_id_2"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Benchmark decontamination: for every training document, count the
     * evaluation-set documents it shares at least `minShared` word
     * n-grams with — the pre-training hygiene pass that keeps eval data

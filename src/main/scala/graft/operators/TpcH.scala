@@ -318,20 +318,27 @@ object TpcH {
     * suffices.
     *
     * The per-order EXISTS counts come from a WINDOW over the reduced
-    * table, not a second aggregate + self-join: perOS is clustered on
-    * l_orderkey (the orders join partitions on it, and the (orderkey,
-    * suppkey) group keys have it as a prefix, so the aggregate adds no
-    * exchange), and a count() over partitionBy(l_orderkey) satisfies
-    * its distribution from that same partitioning — one local sort on
-    * per-order groups (a handful of suppliers each, at any scale), no
-    * self-join, and no persist(). The r10 form materialized perOS
-    * through the memory store so two consumers (the per-order counts
-    * and the join back) could share it; the window formulation has ONE
-    * consumer, so the sharing problem the persist solved is gone —
-    * recompute-safety concerns with it. perOS carries n_late_lines so
-    * the final numwait keeps line (not supplier) multiplicity. The
-    * oracle SQL deliberately keeps the EXISTS/NOT EXISTS form, so the
-    * gate proves the formulations equivalent.
+    * table, not a second aggregate + self-join: a count() over
+    * partitionBy(l_orderkey) needs only per-order clustering and a
+    * local sort over per-order groups (a handful of suppliers each, at
+    * any scale) — no self-join, and no persist(). The plan is
+    * regime-adaptive and right in both regimes: at cluster scale the
+    * orders side outgrows the broadcast threshold, the join becomes an
+    * orderkey shuffle join, and the aggregate (orderkey is a prefix of
+    * its group keys) and the window both ride that partitioning with
+    * NO further exchange — one fact shuffle total; at local/test scale
+    * orders broadcasts instead, the fact is never pre-partitioned, and
+    * the plan pays the aggregate's own exchange of map-side-reduced
+    * partials plus a reduced-table exchange for the window — two
+    * exchanges of ~0.6x-fact narrow rows, cheaper locally than forcing
+    * the cluster shape with a merge-join hint would be. The r10 form
+    * materialized perOS through the memory store so two consumers (the
+    * per-order counts and the join back) could share it; the window
+    * formulation has ONE consumer, so the sharing problem the persist
+    * solved is gone — recompute-safety concerns with it. perOS carries
+    * n_late_lines so the final numwait keeps line (not supplier)
+    * multiplicity. The oracle SQL deliberately keeps the EXISTS/NOT
+    * EXISTS form, so the gate proves the formulations equivalent.
     */
   def q21WaitingSuppliers(spark: SparkSession, dir: String,
       nation: String = "NATION_3", lateDays: Int = 90): DataFrame = {

@@ -225,6 +225,7 @@ object EventStreams {
   // ---- stateful sessionization ----
 
   case class Ev(user_id: Long, event_id: Long, sec: Long)
+  case class CDoc(doc_id: Long, lang: String, text: String)
   case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long)
   case class Session(user_id: Long, session_start: Long, session_end: Long,
       n_events: Long)
@@ -282,4 +283,131 @@ object EventStreams {
         .as[Ev],
       gapSec)
   }
+
+  // ---- streaming curation ingest ----
+
+  /** Streaming ingest variant of the curation pipeline
+    * (Pipeline.curatedCorpus): documents arrive as micro-batches and
+    * are folded into a curated snapshot whose FINAL contents are
+    * independent of how — and in what order — the corpus was split
+    * into batches. curatedSnapshot(path) over the result equals the
+    * batch pipeline's output over the same rows, for ANY batch split;
+    * the StreamingSpec drives an out-of-id-order split to prove it.
+    *
+    * Batch-split independence needs two things the obvious
+    * filter-as-you-go design lacks:
+    *
+    *  - Exact dedup is first-writer-wins BY doc_id, not by arrival:
+    *    when a batch brings a lower-id twin of an admitted doc (same
+    *    content fingerprint), the twin REPLACES it — the batch
+    *    pipeline's min-doc_id-per-fingerprint rule replayed
+    *    incrementally. The replacement re-enters near-dup scoring as a
+    *    new doc; its grams equal its predecessor's (same fingerprint
+    *    => same normalized word stream), so pair directions involving
+    *    it can only tighten toward the batch outcome.
+    *  - Near-dup losers stay in the snapshot as TOMBSTONES (`out` =
+    *    true), not deletions: the batch rule drops every doc that
+    *    pairs with ANY lower-id keeper, including keepers that are
+    *    themselves losers — so a loser's grams must keep knocking out
+    *    later arrivals. `out` is monotone (the keeper set only grows),
+    *    so tombstones never resurrect.
+    *
+    * Per batch the new docs probe the accumulated corpus through
+    * Dedup.ngramJaccardAgainst — the batch side broadcasts, history
+    * pays a linear scan, never a self-join. Quality gates (token
+    * floor, language) are applied at READ time (curatedSnapshot), as
+    * in the batch pipeline: a low-quality doc still participates in
+    * near-dup knockouts, so filtering it at admission would change
+    * the result.
+    *
+    * Snapshot writes follow upsertSink's commit discipline (_SUCCESS
+    * marker; a committed snapshot is never overwritten from a batch
+    * alone; an uncommitted partial is rebuilt with a warning).
+    */
+  def curatedIngest(docs: DataFrame, path: String, n: Int = 3,
+      threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        // within-batch exact dedup: lowest doc_id per fingerprint
+        val batchKeepers = batch
+          .select(col("doc_id"), col("lang"), col("text"),
+            md5(graft.functions.TextOps.normalizedStream(col("text")))
+              .as("fp"))
+          .groupBy(col("fp"))
+          .agg(min_by(
+            struct(col("doc_id"), col("lang"), col("text")),
+            col("doc_id")).as("r"))
+          .select(col("r.doc_id"), col("r.lang"), col("r.text"), col("fp"),
+            lit(false).as("out"))
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val snapshotOpt: Option[DataFrame] =
+          if (fs.exists(hPath) &&
+              fs.exists(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS"))) {
+            Some(spark.read.parquet(path))
+          } else {
+            if (fs.exists(hPath))
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"curatedIngest: snapshot at $path has no _SUCCESS marker " +
+                  "(incomplete write); rebuilding from the current batch")
+            None
+          }
+        val merged = snapshotOpt match {
+          case None => batchKeepers
+          case Some(snapshot) =>
+            // cross-batch exact dedup: keeper per fingerprint is the
+            // LOWEST doc_id seen so far. A replaced keeper forfeits its
+            // flags (min_by takes the whole winner row): the
+            // replacement's `out` is recomputed fresh below, since as a
+            // new doc all its pairs are scored this batch.
+            snapshot.unionByName(batchKeepers)
+              .groupBy(col("fp"))
+              .agg(min_by(
+                struct(col("doc_id"), col("lang"), col("text"), col("out")),
+                col("doc_id")).as("r"))
+              .select(col("r.doc_id"), col("r.lang"), col("r.text"),
+                col("fp"), col("r.out"))
+        }
+        val newDocs = snapshotOpt.fold(merged)(snapshot =>
+          merged.join(snapshot.select(col("doc_id")), Seq("doc_id"),
+            "left_anti"))
+        // blanket knockout: any doc on the HIGHER side of a new pair
+        // goes out — including previously admitted snapshot docs (a
+        // lower-id near-dup just arrived) and docs already out (no-op)
+        val newlyOut = graft.operators.Dedup.ngramJaccardAgainst(
+            merged.select(col("doc_id"), col("text")),
+            newDocs.select(col("doc_id"), col("text")), n, threshold)
+          .select(col("doc_id_2").as("doc_id")).distinct()
+          .withColumn("hit", lit(true))
+        val updated = merged
+          .join(newlyOut, Seq("doc_id"), "left_outer")
+          .withColumn("out", col("out") || coalesce(col("hit"), lit(false)))
+          .drop("hit")
+          .localCheckpoint()
+        updated.write.mode("overwrite").parquet(path)
+        val checkpointed = updated.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }
+        checkpointed.foreach(_.unpersist(blocking = false))
+        ()
+      }
+      .outputMode("update")
+      .start()
+
+  /** The curated corpus as of the last committed batch: tombstones
+    * dropped, then the batch pipeline's quality gates — same output
+    * schema and ordering as Pipeline.curatedCorpus.
+    */
+  def curatedSnapshot(spark: SparkSession, path: String,
+      minTokens: Int = 10): DataFrame =
+    spark.read.parquet(path)
+      .filter(!col("out"))
+      .withColumn("n_tokens",
+        graft.functions.TextOps.tokenCount(col("text")).cast("long"))
+      .filter(col("n_tokens") >= minTokens)
+      .filter(col("lang").isin("en", "de", "fr", "es"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy(col("doc_id"))
 }

@@ -110,6 +110,37 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(Bench.regressionBaseline(dir, "/sf0.1") === Map("q" -> 7.0))
   }
 
+  test("archived value: median of three outvotes one stall, keeps a reproducer") {
+    // one-off stall on the first run -> the two steady reruns win
+    assert(Bench.archivedValue(38.6, List(2.4, 2.6)) === 2.6)
+    // stall on a rerun instead -> same outcome
+    assert(Bench.archivedValue(2.4, List(38.6, 2.6)) === 2.6)
+    // genuine regression reproduces on all three -> reported undiminished
+    assert(Bench.archivedValue(9.1, List(8.8, 9.3)) === 9.1)
+    // one rerun failed (-1 sentinel): conservative larger-of-pair
+    assert(Bench.archivedValue(5.0, List(-1.0, 1.0)) === 5.0)
+    // both reruns failed: the first run stands
+    assert(Bench.archivedValue(5.0, List(-1.0, -1.0)) === 5.0)
+  }
+
+  test("BASELINE.md fenced json medians load and beat nothing when sf differs") {
+    val dir = fixture(
+      "BASELINE.md" ->
+        """# Baseline
+          |prose...
+          |```json
+          |{"sf":"/sf0.1","queries":{"a":1.5,"b":0.7}}
+          |```
+          |more prose""".stripMargin)
+    assert(Bench.fileBaseline(dir, "/sf0.1") === Map("a" -> 1.5, "b" -> 0.7))
+    assert(Bench.fileBaseline(dir, "/sf0.01") === Map.empty[String, Double])
+    // absent or fence-less files are empty, not fatal
+    assert(Bench.fileBaseline(fixture(), "/sf0.1")
+      === Map.empty[String, Double])
+    assert(Bench.fileBaseline(fixture("BASELINE.md" -> "no fence here"),
+      "/sf0.1") === Map.empty[String, Double])
+  }
+
   test("flag selection: failed and baseline-less queries are never flagged") {
     val results = Seq("ok_fast" -> 0.5, "ok_slow" -> 5.0,
       "boom" -> 9.0, "new_query" -> 9.0)

@@ -267,4 +267,34 @@ class StreamingSpec extends SparkTestBase {
     assert(want.nonEmpty, "batch reference join produced no rows")
     assert(got.sameElements(want))
   }
+
+  test("streaming curation ingest converges to the batch pipeline under an adversarial batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("curated_ingest")
+      .resolve("snapshot").toString
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[EventStreams.CDoc].collect()
+    // three batches arriving HIGHEST doc_ids first: exact twins and
+    // near-dup pairs split across batches with the keeper arriving
+    // LAST, so first-writer-wins-by-id replacement and tombstone
+    // knockouts are actually exercised, not just the append path
+    val batches = docs.sortBy(-_.doc_id)
+      .grouped((docs.length + 2) / 3).toSeq
+    assert(batches.size === 3)
+    val input = MemoryStream[EventStreams.CDoc]
+    val q = EventStreams.curatedIngest(input.toDF(), dir)
+    try {
+      batches.foreach { b =>
+        input.addData(b.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = EventStreams.curatedSnapshot(spark, dir).collect()
+    val want = graft.operators.Pipeline.curatedCorpus(spark, sf("sf0.001"))
+      .collect()
+    assert(want.nonEmpty, "batch pipeline produced no rows")
+    assert(got.sameElements(want),
+      s"stream ${got.length} rows vs batch ${want.length} rows")
+  }
 }
