@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.plans.{RewriteSelfDotProduct, VecDot}
+import graft.plans.{ArrayCountLess, RewriteSelfDotProduct, VecDot}
 
 /** Library integration point: sessions built with
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -25,6 +25,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"vec_dot requires exactly 2 arguments, got ${exprs.length}")
         VecDot(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("array_count_less"),
+      new ExpressionInfo(
+        classOf[ArrayCountLess].getName, null, "array_count_less",
+        "array_count_less(sorted_xs, v) - elements of a sorted array " +
+          "strictly below v (lower-bound index, binary search)",
+        ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"array_count_less requires exactly 2 arguments, got ${exprs.length}")
+        ArrayCountLess(exprs(0), exprs(1))
       }))
     ext.injectOptimizerRule(_ => RewriteSelfDotProduct)
     // whole-operator extension: plans graft.plans.AsOfJoinPlan as the

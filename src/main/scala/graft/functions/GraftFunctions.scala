@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import graft.plans.VecDot
+import graft.plans.{ArrayCountLess, VecDot}
 
 /** SQL registration for graft's custom Catalyst expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column
@@ -15,6 +15,17 @@ object GraftFunctions {
         require(exprs.length == 2,
           s"vec_dot requires exactly 2 arguments, got ${exprs.length}")
         VecDot(exprs(0), exprs(1))
+      },
+      "built-in")
+    // sorted-array lower bound (the rank machinery's bucket step) —
+    // `size(filter(xs, s -> s < v))` at O(log n) compiled instead of
+    // O(n) interpreted
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_count_less",
+      exprs => {
+        require(exprs.length == 2,
+          s"array_count_less requires exactly 2 arguments, got ${exprs.length}")
+        ArrayCountLess(exprs(0), exprs(1))
       },
       "built-in")
     // cosine composed from the same codegen primitive — expanded at

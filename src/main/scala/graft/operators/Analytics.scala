@@ -120,15 +120,18 @@ object Analytics {
     * bucketing yields the same prefix sums), so approx-percentile
     * merge-order wobble across cluster shapes cannot change results.
     *
-    * Input contract: callers must drop null AND NaN values first. A
-    * null key ranks as its own group here, but the `===` join back in
-    * the caller would drop it silently — see rankCorr's
-    * pairwise-complete filter. NaN is worse than null under the
-    * explicit-splits bucketing: `s < v` is false for every split when
-    * v is NaN, so NaN lands in bucket 0, yet the within-bucket window
-    * orders NaN GREATEST — the bucket-monotonicity invariant (every
-    * value in bucket b sorts before every value in bucket b+1) breaks
-    * and ranks silently corrupt.
+    * Input contract: callers must drop null values first (a null key
+    * ranks as its own group here, but an `===` join back in a caller
+    * would drop it silently — see rankCorr's pairwise-complete
+    * filter). NaN keys RANK CORRECTLY as the greatest value — Spark's
+    * comparison is a total order with NaN last, the bucket expression
+    * replicates it (ArrayCountLess: a NaN probe counts the whole
+    * splits array, landing in the top bucket where orderBy(v) also
+    * sorts NaN last — bucket-monotone), and the join back compares
+    * NaN = NaN as true under the same total order. Statistics callers
+    * still drop NaN (a rank for "not a number" is not a meaningful
+    * observation), but that is the caller's statistical choice, not a
+    * machinery limitation.
     */
   private def avgRank2Kinds(vals: DataFrame): DataFrame = {
     val dist = vals.groupBy(col("kind"), col("v"))
@@ -142,8 +145,15 @@ object Analytics {
     val probs = (1 until nB).map(i => i.toDouble / nB).mkString(",")
     val splits = dist.groupBy(col("kind"))
       .agg(expr(s"percentile_approx(v, array($probs), 1000)").as("splits"))
+    // codegen binary search, not `size(filter(splits, s -> s < v))`:
+    // the HOF is interpreted and O(nB) per distinct value, and nB
+    // tracks shuffle parallelism — at 10k cluster partitions that is
+    // 10k lambda evals per row vs 14 compiled comparisons here (same
+    // result on the contract inputs; see ArrayCountLess's scaladoc,
+    // including the null-key equivalence argument)
     val bucketed = dist.join(broadcast(splits), Seq("kind"))
-      .withColumn("bucket", expr("size(filter(splits, s -> s < v))"))
+      .withColumn("bucket",
+        graft.plans.ArrayCountLess(col("splits"), col("v")))
       .drop("splits")
     val wOff = Window.partitionBy(col("kind")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -180,14 +190,16 @@ object Analytics {
   def rankCorr(spark: SparkSession, dir: String): DataFrame = {
     // Pairwise-complete observations: a null OR NaN in either coordinate
     // drops the ROW before ranking (the standard Spearman treatment).
-    // This is load-bearing, not just hygiene — avgRank2Kinds would rank
-    // a NULL key as its own group, but the `===` join back would silently
-    // drop those rows AFTER nRow counted them, breaking the sum(cx) = 0
-    // centering invariant the exact-moment derivation relies on; a NaN
-    // would violate avgRank2Kinds' bucket-monotonicity invariant (see
-    // its contract) and corrupt ranks silently rather than drop.
-    // lineitem's columns are non-null and non-NaN, so this is a no-op
-    // here; it makes the generic-input contract hold instead of assumed.
+    // The null leg is load-bearing, not just hygiene — avgRank2Kinds
+    // would rank a NULL key as its own group, but the `===` join back
+    // would silently drop those rows AFTER nRow counted them, breaking
+    // the sum(cx) = 0 centering invariant the exact-moment derivation
+    // relies on. The NaN leg is a statistical choice: the machinery
+    // would rank NaN consistently as the greatest value (see the
+    // avgRank2Kinds contract), but a rank for "not a number" is not a
+    // meaningful observation for a correlation. lineitem's columns are
+    // non-null and non-NaN, so this is a no-op here; it makes the
+    // generic-input contract hold instead of assumed.
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_quantity").isNotNull &&
         col("l_extendedprice").isNotNull &&

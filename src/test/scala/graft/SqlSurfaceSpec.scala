@@ -41,6 +41,16 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(viaSql.sameElements(viaDf))
   }
 
+  test("custom array_count_less expression is callable from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT array_count_less(array(0.25D, 0.5D, 0.5D, 0.75D), 0.5D) AS c,
+        |       array_count_less(array(10L, 20L, 30L), 25L) AS cl""".stripMargin)
+      .collect().head
+    assert(viaSql.getInt(0) === 1)
+    assert(viaSql.getInt(1) === 2)
+  }
+
   test("vec_cosine in SQL matches the Column-API cosine bit-for-bit") {
     graft.functions.GraftFunctions.register(spark)
     graft.sources.Tables.embeddings(spark, sf("sf0.001"))
