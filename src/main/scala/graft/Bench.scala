@@ -277,10 +277,19 @@ object Bench {
     // code depends on the plan, not the input path, so an sf0.001 pass
     // populates the codegen cache and the measured run reports
     // steady-state throughput at the target SF.
+    // SPARK_GRAFT_WARM_SF picks the warmup scale (default sf0.001).
+    // The round-11 profiling found the default's row counts sit UNDER
+    // HotSpot's ~10k compile thresholds for the hot generated loops, so
+    // the first measured run at the target SF still pays C1/interpreted
+    // execution (the "cold-at-scale JIT" pathology in BASELINE.md);
+    // sf0.01 drives the same methods past the thresholds for ~10% of a
+    // measured run's cost per query.
     val warmDir = {
       val p = java.nio.file.Paths.get(sfDir)
-      Option(p.getParent).map(_.resolve("sf0.001"))
+      val warmSf = sys.env.getOrElse("SPARK_GRAFT_WARM_SF", "sf0.001")
+      Option(p.getParent).map(_.resolve(warmSf))
         .filter(java.nio.file.Files.isDirectory(_))
+        .filter(_.toString != sfDir)
         .map(_.toString)
     }
     if (warmDir.isEmpty)

@@ -210,6 +210,20 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"scan reads pruned columns:\n$scan")
   }
 
+  test("rank machinery buckets via the codegen binary search, not the interpreted HOF") {
+    // a regression back to size(filter(splits, ...)) would be silent
+    // (identical results) but reintroduce O(nB)-interpreted bucket
+    // assignment — at 10k cluster shuffle partitions that is 10k
+    // lambda evals per distinct value
+    Seq("rank_corr", "zorder_key").foreach { q =>
+      val plan = planOf(q).toString
+      assert(plan.contains("array_count_less"),
+        s"$q plan lost the ArrayCountLess bucket expression")
+      assert(!plan.contains("filter(splits"),
+        s"$q plan fell back to the interpreted HOF bucketing")
+    }
+  }
+
   test("cms_heavy_hitters: the sketch aggregate partial-combines map-side") {
     // the UDAF must show up as a partial/final ObjectHashAggregate pair —
     // one grid per task merged by elementwise sum, not rows to one reducer
