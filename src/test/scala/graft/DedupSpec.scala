@@ -52,6 +52,33 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === Array((1L, 2L)))
   }
 
+  test("asymmetric jaccard with probe == base degenerates to the self-join pair set") {
+    // the incremental (delta-ingest) formulation must be the SAME
+    // operator when the delta is the whole corpus: every pair, same
+    // scores, nothing double-counted from the probe sitting on both
+    // join sides
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val self = Dedup.ngramJaccardPairs(docs).collect()
+    val asym = Dedup.ngramJaccardAgainst(docs, docs)
+      .orderBy(col("doc_id_1"), col("doc_id_2")).collect()
+    assert(self.nonEmpty)
+    assert(asym.sameElements(self))
+  }
+
+  test("asymmetric jaccard with a strict probe subset reports exactly the pairs touching it") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val probe = docs.filter(col("doc_id") % 3 === 0)
+    val probeIds = probe.select("doc_id").as[Long].collect().toSet
+    val expected = Dedup.ngramJaccardPairs(docs).collect()
+      .filter(r => probeIds(r.getLong(0)) || probeIds(r.getLong(1)))
+    val got = Dedup.ngramJaccardAgainst(docs, probe)
+      .orderBy(col("doc_id_1"), col("doc_id_2")).collect()
+    assert(expected.nonEmpty)
+    assert(got.sameElements(expected))
+  }
+
   test("minhash LSH output equals the exact jaccard join on sf0.001") {
     val exact = Dedup.ngramJaccardDedup(spark, sf("sf0.001")).collect()
     val lsh = Dedup.minhashLshDedup(spark, sf("sf0.001")).collect()
