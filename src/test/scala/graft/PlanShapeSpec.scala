@@ -210,6 +210,45 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"scan reads pruned columns:\n$scan")
   }
 
+  test("q21 cluster regime: one fact shuffle feeds aggregate AND window") {
+    // the q21 docstring's scale claim, asserted: when the orders side
+    // stops broadcasting (emulated by disabling auto-broadcast — the
+    // 100 TB regime), the orderkey join's shuffle must be the ONLY
+    // exchange under the window — the (orderkey, suppkey) aggregate
+    // rides the join partitioning (orderkey is a prefix of its keys)
+    // and the window needs just a local sort. natSupp stays broadcast
+    // by explicit hint, and only the final tiny s_name rollup may add
+    // exchanges above the window.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.TpcH.q21WaitingSuppliers(spark, sf("sf0.001"))
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan
+      val windows = collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "q21 lost its window formulation")
+      val joins = collect(windows.head) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(joins.size === 1,
+        s"expected the orderkey SMJ under the window:\n${windows.head}")
+      // the join's own two input shuffles (fact + orders) are the only
+      // exchanges under the window: the aggregate and the window both
+      // ride the join's orderkey partitioning
+      val belowWindow = collect(windows.head) {
+        case e: ShuffleExchangeLike => e
+      }
+      val belowJoin = collect(joins.head) {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(belowWindow.size === belowJoin.size,
+        s"found an exchange BETWEEN the orderkey join and the window " +
+          s"(aggregate or window re-shuffled):\n${windows.head}")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("rank machinery buckets via the codegen binary search, not the interpreted HOF") {
     // a regression back to size(filter(splits, ...)) would be silent
     // (identical results) but reintroduce O(nB)-interpreted bucket
