@@ -347,7 +347,9 @@ object Bench {
     // semantic_dedup (heavy non-headline queries whose official timings
     // were invisible before the full-registry gate existed) and the
     // PCA family (pca_top_component, abtt_debias, pca_components) so
-    // archives carry its serving costs.
+    // archives carry its serving costs. Round-11: q21 and q9 — the two
+    // TPC-H members whose round-10 story (a phantom q21 regression the
+    // archive could not disambiguate) motivated the BASELINE.md gate.
     val headline = Seq(
       "q1_pricing", "q3_shipping_priority", "q5_local_volume",
       "q8_market_share", "q18_large_orders", "inverted_index",
@@ -357,7 +359,7 @@ object Bench {
       "curated_corpus", "decontaminate", "window_top_orders",
       "upsert_snapshot", "top_words", "rank_corr", "ann_topk",
       "semantic_dedup", "pca_top_component", "abtt_debias",
-      "pca_components")
+      "pca_components", "q21_waiting_suppliers", "q9_profit")
     val byName = results.toMap
     // a renamed/removed registry entry silently shrinking the headline map
     // would go unnoticed — surface it
