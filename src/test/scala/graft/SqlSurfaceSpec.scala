@@ -107,6 +107,10 @@ class SqlSurfaceSpec extends SparkTestBase {
         "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
         .collect().head.getDouble(0)
       assert(got === 11.0)
+      val acl = s2.sql(
+        "SELECT array_count_less(array(1.0D, 2.0D, 3.0D), 2.5D) AS c")
+        .collect().head.getInt(0)
+      assert(acl === 2)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

@@ -268,6 +268,26 @@ class StreamingSpec extends SparkTestBase {
     assert(got.sameElements(want))
   }
 
+  test("streaming curation ingest: an empty micro-batch leaves the snapshot unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("curated_empty")
+      .resolve("snapshot").toString
+    val input = MemoryStream[EventStreams.CDoc]
+    val q = EventStreams.curatedIngest(input.toDF(), dir)
+    try {
+      input.addData(
+        EventStreams.CDoc(1L, "en",
+          "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
+      q.processAllAvailable()
+      val before = spark.read.parquet(dir).collect().toSet
+      // an idle trigger with no new data must not corrupt or shrink
+      // the committed snapshot (production streams idle constantly)
+      q.processAllAvailable()
+      val after = spark.read.parquet(dir).collect().toSet
+      assert(after === before)
+    } finally q.stop()
+  }
+
   test("streaming curation ingest converges to the batch pipeline under an adversarial batch split") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("curated_ingest")
