@@ -361,12 +361,18 @@ object EventStreams {
             // LOWEST doc_id seen so far. A replaced keeper forfeits its
             // flags (min_by takes the whole winner row): the
             // replacement's `out` is recomputed fresh below, since as a
-            // new doc all its pairs are scored this batch.
+            // new doc all its pairs are scored this batch. The
+            // tiebreaker's second key handles at-least-once delivery: a
+            // REDELIVERED doc (same doc_id already in the snapshot,
+            // possibly tombstoned) arrives with out=false, and an
+            // arbitrary pick between the two copies could resurrect the
+            // tombstone — `!out` orders the out=true copy first, so the
+            // snapshot's knowledge wins on equal ids (false < true).
             snapshot.unionByName(batchKeepers)
               .groupBy(col("fp"))
               .agg(min_by(
                 struct(col("doc_id"), col("lang"), col("text"), col("out")),
-                col("doc_id")).as("r"))
+                struct(col("doc_id"), !col("out"))).as("r"))
               .select(col("r.doc_id"), col("r.lang"), col("r.text"),
                 col("fp"), col("r.out"))
         }

@@ -288,6 +288,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming curation ingest: redelivering a tombstoned doc cannot resurrect it") {
+    // at-least-once delivery: a doc near-dup-knocked-out in an earlier
+    // batch arrives AGAIN (source replay). The exact-dedup merge sees
+    // two copies of the same doc_id — snapshot's (out=true) and the
+    // batch's (out=false) — and must keep the tombstone; it is not a
+    // new doc, so no pair recompute will re-knock it.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("curated_replay")
+      .resolve("snapshot").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = EventStreams.CDoc(9L, "en", base.replace("sigma", "sygma"))
+    val input = MemoryStream[EventStreams.CDoc]
+    val q = EventStreams.curatedIngest(input.toDF(), dir)
+    try {
+      input.addData(nearDup)
+      q.processAllAvailable()
+      // the lower-id original arrives: 9 gets tombstoned
+      input.addData(EventStreams.CDoc(1L, "en", base))
+      q.processAllAvailable()
+      val out9 = spark.read.parquet(dir)
+        .filter(col("doc_id") === 9L).select("out").collect()
+      assert(out9.map(_.getBoolean(0)).toSeq === Seq(true),
+        "doc 9 must be tombstoned after its lower-id near-dup arrived")
+      // doc 9 is redelivered — the tombstone must survive the merge
+      input.addData(nearDup)
+      q.processAllAvailable()
+      val after = spark.read.parquet(dir)
+        .filter(col("doc_id") === 9L).select("out").collect()
+      assert(after.map(_.getBoolean(0)).toSeq === Seq(true),
+        "redelivery resurrected a tombstoned doc")
+    } finally q.stop()
+  }
+
   test("streaming curation ingest converges to the batch pipeline under an adversarial batch split") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("curated_ingest")
