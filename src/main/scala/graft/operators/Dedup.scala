@@ -104,7 +104,7 @@ object Dedup {
   /** (doc_id, ng, n_ng) — n-gram hashes annotated with their doc's set
     * size via a window (no second aggregation pass over the corpus).
     */
-  private def ngramsWithSize(docs: DataFrame, n: Int): DataFrame =
+  private[graft] def ngramsWithSize(docs: DataFrame, n: Int): DataFrame =
     docNgrams(docs, n)
       .withColumn("n_ng",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
@@ -179,10 +179,21 @@ object Dedup {
     * exactly its self-join pair set.
     */
   def ngramJaccardAgainst(base: DataFrame, probe: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame =
+    ngramJaccardAgainstGrams(
+      ngramsWithSize(base, n), ngramsWithSize(probe, n), threshold)
+
+  /** The join/score half of ngramJaccardAgainst, over PRE-COMPUTED gram
+    * tables ((doc_id, ng, n_ng), e.g. a persisted posting-list table a
+    * delta ingest appends to per batch) — history is scanned, never
+    * re-tokenized. Same contract: the base grams must contain the probe
+    * docs' grams.
+    */
+  def ngramJaccardAgainstGrams(baseGrams: DataFrame, probeGrams: DataFrame,
       threshold: Double = 0.5): DataFrame = {
-    val bg = ngramsWithSize(base, n)
+    val bg = baseGrams
       .select(col("doc_id").as("doc_id_b"), col("ng"), col("n_ng").as("nb"))
-    val pg = ngramsWithSize(probe, n)
+    val pg = probeGrams
       .select(col("doc_id").as("doc_id_p"), col("ng"), col("n_ng").as("np"))
     bg.join(broadcast(pg), Seq("ng"))
       .filter(col("doc_id_b") =!= col("doc_id_p"))

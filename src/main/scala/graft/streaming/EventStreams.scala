@@ -312,23 +312,42 @@ object EventStreams {
     *    later arrivals. `out` is monotone (the keeper set only grows),
     *    so tombstones never resurrect.
     *
-    * Per batch the new docs probe the accumulated corpus through
-    * Dedup.ngramJaccardAgainst — the batch side broadcasts, history
-    * pays a linear scan, never a self-join. Quality gates (token
-    * floor, language) are applied at READ time (curatedSnapshot), as
-    * in the batch pipeline: a low-quality doc still participates in
-    * near-dup knockouts, so filtering it at admission would change
-    * the result.
+    * Per batch the new docs probe the accumulated corpus through an
+    * APPEND-ONLY posting-list table (`<path>_postings`, one
+    * `batch=<id>` partition per micro-batch holding the batch's new
+    * docs' (doc_id, ng, n_ng) grams): the batch side is tokenized
+    * once and broadcasts, history is a posting SCAN — never
+    * re-tokenized, never self-joined. Postings are never compacted or
+    * deleted inline: an exact-dup eviction leaves its postings
+    * behind, which is SAFE — the evicted doc's replacement has
+    * identical grams and a strictly lower id, so every knockout a
+    * stale posting row produces is also produced by the
+    * replacement's own postings, and a stale id on the losing side
+    * just fails the snapshot join (offline compaction is hygiene,
+    * not correctness). Tombstoned docs' postings are load-bearing and
+    * must never be compacted away.
     *
-    * Snapshot writes follow upsertSink's commit discipline (_SUCCESS
-    * marker; a committed snapshot is never overwritten from a batch
-    * alone; an uncommitted partial is rebuilt with a warning).
+    * Quality gates (token floor, language) are applied at READ time
+    * (curatedSnapshot), as in the batch pipeline: a low-quality doc
+    * still participates in near-dup knockouts, so filtering it at
+    * admission would change the result.
+    *
+    * Crash/replay discipline: uncommitted (crashed-partial) posting
+    * partitions are swept before each batch reads history; committed
+    * partitions are never deleted — a batchId collision (replay, or a
+    * restart without a checkpointed id sequence) writes to the next
+    * free index instead, with duplicate posting rows collapsed by the
+    * pair-level distinct. Postings commit before the snapshot, so a
+    * crash in between replays the batch against intact evidence, and
+    * snapshot writes follow upsertSink's _SUCCESS rules (a committed
+    * snapshot is never overwritten from a batch alone; an uncommitted
+    * partial is rebuilt with a warning).
     */
   def curatedIngest(docs: DataFrame, path: String, n: Int = 3,
       threshold: Double = 0.5)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         // within-batch exact dedup: lowest doc_id per fingerprint
         val batchKeepers = batch
@@ -379,24 +398,102 @@ object EventStreams {
         val newDocs = snapshotOpt.fold(merged)(snapshot =>
           merged.join(snapshot.select(col("doc_id")), Seq("doc_id"),
             "left_anti"))
+        // Posting rows come from the batch's docs AS THEY SURVIVE in
+        // merged — not from newDocs. The distinction is replay: after
+        // a crash between the snapshot commit and the stream's own
+        // checkpoint, the batch is reprocessed with its docs already
+        // in the snapshot, so newDocs is empty — deriving postings
+        // from it would rewrite this batch's partition as empty and
+        // silently lose the docs' grams (missed knockouts forever).
+        // Keying on merged ∩ batch ids regenerates the same rows on
+        // replay; a REDELIVERED doc re-appends grams duplicating its
+        // original partition's, which the pair-level distinct
+        // collapses (same doc_id, same n_ng — a pure no-op).
+        // Tokenized ONCE, checkpointed: the gram table feeds the
+        // posting write and (filtered to newDocs) the probe join.
+        val postingGrams = graft.operators.Dedup
+          .ngramsWithSize(
+            merged.join(batch.select(col("doc_id")), Seq("doc_id"),
+              "left_semi").select(col("doc_id"), col("text")), n)
+          .localCheckpoint()
+        val newGrams = postingGrams
+          .join(newDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val postingsRoot = new org.apache.hadoop.fs.Path(path + "_postings")
+        // crash hygiene BEFORE reading history: partitions without a
+        // _SUCCESS marker are crashed partial writes — unreadable by
+        // definition and never part of any committed knockout (the
+        // snapshot commits strictly after its batch's postings), so
+        // their batch either replays (checkpointed stream) or never
+        // durably existed. Committed partitions are NEVER deleted.
+        if (fs.exists(postingsRoot))
+          fs.listStatus(postingsRoot)
+            .filter(s => s.isDirectory &&
+              !fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+            .foreach(s => fs.delete(s.getPath, true))
+        // partition pick: batch=<batchId> normally; if that dir exists
+        // it is COMMITTED (partials were just swept) — either a true
+        // replay of this batch (checkpointed stream, identical rows)
+        // or an id collision from a restart WITHOUT a checkpointed id
+        // sequence, whose dir holds a DIFFERENT batch's evidence. Both
+        // resolve the same way: keep the committed dir, write to the
+        // next free index — the worst case is duplicated posting rows
+        // for replayed docs, which the pair-level distinct collapses.
+        val primary = new org.apache.hadoop.fs.Path(postingsRoot,
+          s"batch=$batchId")
+        val batchDir =
+          if (!fs.exists(primary)) primary
+          else {
+            val maxIdx = fs.listStatus(postingsRoot)
+              .map(_.getPath.getName)
+              .collect { case s if s.startsWith("batch=") =>
+                s.substring("batch=".length).toLong }
+              .max
+            new org.apache.hadoop.fs.Path(postingsRoot,
+              s"batch=${maxIdx + 1}")
+          }
+        val history: Option[DataFrame] =
+          if (fs.exists(postingsRoot) &&
+              fs.listStatus(postingsRoot).nonEmpty)
+            Some(spark.read.parquet(postingsRoot.toString))
+          else None
+        val baseGrams = history.fold(postingGrams)(h =>
+          h.select(col("doc_id"), col("ng"), col("n_ng"))
+            .unionByName(postingGrams.select(
+              col("doc_id"), col("ng"), col("n_ng"))))
         // blanket knockout: any doc on the HIGHER side of a new pair
         // goes out — including previously admitted snapshot docs (a
-        // lower-id near-dup just arrived) and docs already out (no-op)
-        val newlyOut = graft.operators.Dedup.ngramJaccardAgainst(
-            merged.select(col("doc_id"), col("text")),
-            newDocs.select(col("doc_id"), col("text")), n, threshold)
+        // lower-id near-dup just arrived) and docs already out (no-op).
+        // Stale postings of evicted exact-dup keepers may sit in
+        // history; their knockouts are subsumed by their lower-id
+        // replacements' postings and their own ids fail the join below
+        // (see the operator doc).
+        val newlyOut = graft.operators.Dedup
+          .ngramJaccardAgainstGrams(baseGrams, newGrams, threshold)
           .select(col("doc_id_2").as("doc_id")).distinct()
           .withColumn("hit", lit(true))
+        // postings commit BEFORE the snapshot: a crash in between
+        // replays the batch against intact history (idempotent batch
+        // partition rewrite), whereas the reverse order could commit
+        // knockouts whose evidence was never persisted. Empty batches
+        // write nothing — every existing partition holds real files,
+        // so the root read above never sees a file-less dataset.
+        if (!postingGrams.isEmpty)
+          postingGrams.select(col("doc_id"), col("ng"), col("n_ng"))
+            .write.mode("overwrite").parquet(batchDir.toString)
         val updated = merged
           .join(newlyOut, Seq("doc_id"), "left_outer")
           .withColumn("out", col("out") || coalesce(col("hit"), lit(false)))
           .drop("hit")
           .localCheckpoint()
         updated.write.mode("overwrite").parquet(path)
-        val checkpointed = updated.queryExecution.analyzed.collectFirst {
-          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        // drop BOTH per-batch checkpoints (merge result + gram table):
+        // a stream runs unboundedly many batches, and blocks left to
+        // the ContextCleaner accumulate in the meantime
+        Seq(updated, postingGrams).foreach { df =>
+          df.queryExecution.analyzed.collectFirst {
+            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+          }.foreach(_.unpersist(blocking = false))
         }
-        checkpointed.foreach(_.unpersist(blocking = false))
         ()
       }
       .outputMode("update")

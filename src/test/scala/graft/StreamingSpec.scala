@@ -322,6 +322,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming curation ingest: posting history survives a stream restart") {
+    // a NEW query on the same snapshot path (fresh batchIds, fresh
+    // stream state) must still knock out near-dups against docs
+    // ingested by the PREVIOUS query — the pair evidence lives in the
+    // on-disk posting partitions, not in any in-memory stream state
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("curated_restart")
+      .resolve("snapshot").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val input1 = MemoryStream[EventStreams.CDoc]
+    val q1 = EventStreams.curatedIngest(input1.toDF(), dir)
+    try {
+      input1.addData(EventStreams.CDoc(9L, "en",
+        base.replace("sigma", "sygma")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val input2 = MemoryStream[EventStreams.CDoc]
+    val q2 = EventStreams.curatedIngest(input2.toDF(), dir)
+    try {
+      input2.addData(EventStreams.CDoc(1L, "en", base))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out = spark.read.parquet(dir)
+      .select("doc_id", "out").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out === Map(1L -> false, 9L -> true),
+      s"restart lost the posting history: $out")
+  }
+
   test("streaming curation ingest converges to the batch pipeline under an adversarial batch split") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("curated_ingest")
