@@ -332,6 +332,14 @@ object EventStreams {
     * still participates in near-dup knockouts, so filtering it at
     * admission would change the result.
     *
+    * Per-batch COMPUTE is batch-sized, not corpus-sized: the exact
+    * merge routes only conflicting fingerprints through the argmin
+    * (the rest of the snapshot rides an untouched broadcast
+    * anti-join, as in upsertSink), and near-dup evidence comes from
+    * the posting scan. The snapshot WRITE is still a full rewrite —
+    * plain parquet has no merge; against a transactional table format
+    * the same callback issues a real MERGE instead.
+    *
     * Crash/replay discipline: uncommitted (crashed-partial) posting
     * partitions are swept before each batch reads history; committed
     * partitions are never deleted — a batchId collision (replay, or a
@@ -377,7 +385,12 @@ object EventStreams {
           case None => batchKeepers
           case Some(snapshot) =>
             // cross-batch exact dedup: keeper per fingerprint is the
-            // LOWEST doc_id seen so far. A replaced keeper forfeits its
+            // LOWEST doc_id seen so far. Plan shape per batch follows
+            // upsertSink: only the snapshot rows whose fingerprints
+            // CONFLICT with the batch enter the argmin (batch-sized
+            // work); the rest of the snapshot — which grows unboundedly
+            // — rides through an untouched broadcast anti-join, never
+            // shuffled or aggregated. A replaced keeper forfeits its
             // flags (min_by takes the whole winner row): the
             // replacement's `out` is recomputed fresh below, since as a
             // new doc all its pairs are scored this batch. The
@@ -387,13 +400,19 @@ object EventStreams {
             // arbitrary pick between the two copies could resurrect the
             // tombstone — `!out` orders the out=true copy first, so the
             // snapshot's knowledge wins on equal ids (false < true).
-            snapshot.unionByName(batchKeepers)
-              .groupBy(col("fp"))
-              .agg(min_by(
-                struct(col("doc_id"), col("lang"), col("text"), col("out")),
-                struct(col("doc_id"), !col("out"))).as("r"))
-              .select(col("r.doc_id"), col("r.lang"), col("r.text"),
-                col("fp"), col("r.out"))
+            val batchFps = batchKeepers.select(col("fp"))
+            val untouched = snapshot
+              .join(broadcast(batchFps), Seq("fp"), "left_anti")
+            val conflicts = snapshot
+              .join(broadcast(batchFps), Seq("fp"), "left_semi")
+            untouched.unionByName(
+              conflicts.unionByName(batchKeepers)
+                .groupBy(col("fp"))
+                .agg(min_by(
+                  struct(col("doc_id"), col("lang"), col("text"), col("out")),
+                  struct(col("doc_id"), !col("out"))).as("r"))
+                .select(col("fp"), col("r.doc_id"), col("r.lang"),
+                  col("r.text"), col("r.out")))
         }
         val newDocs = snapshotOpt.fold(merged)(snapshot =>
           merged.join(snapshot.select(col("doc_id")), Seq("doc_id"),
