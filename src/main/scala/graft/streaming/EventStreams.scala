@@ -118,7 +118,9 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Micro-batch upsert sink via foreachBatch: each batch merges into
-    * a parquet snapshot keyed by event_id. foreachBatch is the
+    * a parquet snapshot keyed by event_id, committed atomically
+    * through [[SnapshotStore]] generation dirs (a crash mid-rewrite
+    * can never lose previously merged keys). foreachBatch is the
     * engine's escape hatch to ANY batch sink with exactly-once-per-
     * batch semantics (batchId is provided for idempotence
     * bookkeeping); against a transactional table format the same
@@ -139,9 +141,11 @@ object EventStreams {
     * sorted, which a single window over snapshot-union-batch would do
     * on every batch.
     *
-    * The localCheckpoint materializes the merge BEFORE the overwrite —
-    * Spark reads lazily, so overwriting the directory the plan still
-    * needs to read would otherwise lose the old rows. The checkpoint's
+    * The localCheckpoint materializes the merge before the commit;
+    * with generation dirs the new write no longer deletes the data the
+    * plan reads (that hazard was the old in-place overwrite), but the
+    * checkpoint still bounds the per-batch plan and lets the
+    * generation prune proceed without a live reader. The checkpoint's
     * own RDD (and only it — a shared SparkContext can hold OTHER jobs'
     * persisted blocks, which must not be touched) is dropped after the
     * write: a stream runs unboundedly many batches, and per-batch
@@ -161,41 +165,16 @@ object EventStreams {
             .as("r"))
           .select(col("r.*"))
         val keyed = best(batch) // within-batch dedup, batch-sized
-        // snapshot existence must go through the Hadoop FileSystem for
-        // the path's own scheme — java.io.File is local-only, so on
-        // hdfs:// or s3a:// (or even a file:/ URI) it would always say
-        // "absent" and every batch would overwrite the snapshot with
-        // just itself, silently dropping all previously merged keys
-        val hPath = new org.apache.hadoop.fs.Path(path)
-        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // bare exists() is true for a partially-written snapshot (a crash
-        // mid-overwrite leaves a directory without the job-commit marker,
-        // possibly with a subset of task files that would read "fine" but
-        // silently miss rows). Recovery decision tree:
-        //  - no directory: first batch, start fresh;
-        //  - directory without _SUCCESS: the previous overwrite died
-        //    mid-write, and mode("overwrite") had already deleted the
-        //    old snapshot — nothing recoverable exists, rebuild from the
-        //    batch (WARNed);
-        //  - directory WITH _SUCCESS: a committed snapshot. Read errors
-        //    here (transient S3/HDFS failures, not crash damage) must
-        //    FAIL the batch so the stream retries — mapping them to
-        //    "absent" would overwrite the committed snapshot with just
-        //    this batch and silently destroy every previously merged key.
-        // Note the sink therefore requires its own _SUCCESS markers:
-        // importing a snapshot written with marksuccessfuljobs=false
-        // is treated as incomplete.
-        val snapshotOpt: Option[DataFrame] =
-          if (fs.exists(hPath) &&
-              fs.exists(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS"))) {
-            Some(spark.read.parquet(path))
-          } else {
-            if (fs.exists(hPath))
-              org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                s"upsertSink: snapshot at $path has no _SUCCESS marker " +
-                  "(incomplete write); rebuilding from the current batch")
-            None
-          }
+        // the snapshot lives in SnapshotStore's generation layout: the
+        // current version is the highest gen=<k> dir with a _SUCCESS
+        // job-commit marker, and a new version is written BESIDE it —
+        // never over it — so no crash window can destroy previously
+        // merged keys (mode("overwrite") deletes the committed data
+        // before the rewrite starts). All path handling goes through
+        // the Hadoop FileSystem for the path's own scheme; read errors
+        // on a committed generation (transient S3/HDFS failures, not
+        // crash damage) FAIL the batch so the stream retries.
+        val snapshotOpt: Option[DataFrame] = SnapshotStore.read(spark, path)
         val merged =
           (if (snapshotOpt.isDefined) {
             val snapshot = snapshotOpt.get
@@ -208,7 +187,7 @@ object EventStreams {
             untouched.unionByName(best(conflicts))
           } else keyed)
             .localCheckpoint()
-        merged.write.mode("overwrite").parquet(path)
+        SnapshotStore.commit(merged, path)
         val checkpointed = merged.queryExecution.analyzed.collectFirst {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
         }
@@ -346,10 +325,14 @@ object EventStreams {
     * restart without a checkpointed id sequence) writes to the next
     * free index instead, with duplicate posting rows collapsed by the
     * pair-level distinct. Postings commit before the snapshot, so a
-    * crash in between replays the batch against intact evidence, and
-    * snapshot writes follow upsertSink's _SUCCESS rules (a committed
-    * snapshot is never overwritten from a batch alone; an uncommitted
-    * partial is rebuilt with a warning).
+    * crash in between replays the batch against intact evidence.
+    * Snapshot commits go through [[SnapshotStore]] (generation dirs):
+    * a committed snapshot is never deleted before its successor is
+    * durable, so no crash window can truncate the accumulated corpus;
+    * the only state in which no snapshot exists but postings do is a
+    * replay of the FIRST batch, which the sink verifies (any posting
+    * doc outside the batch fails the batch rather than silently
+    * rebuilding the corpus from the batch alone).
     */
   def curatedIngest(docs: DataFrame, path: String, n: Int = 3,
       threshold: Double = 0.5)
@@ -370,53 +353,64 @@ object EventStreams {
             lit(false).as("out"))
         val hPath = new org.apache.hadoop.fs.Path(path)
         val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val snapshotOpt: Option[DataFrame] =
-          if (fs.exists(hPath) &&
-              fs.exists(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS"))) {
-            Some(spark.read.parquet(path))
-          } else {
-            if (fs.exists(hPath))
-              org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                s"curatedIngest: snapshot at $path has no _SUCCESS marker " +
-                  "(incomplete write); rebuilding from the current batch")
-            None
-          }
-        val merged = snapshotOpt match {
-          case None => batchKeepers
+        // generation-layout snapshot (SnapshotStore): a committed
+        // version is never deleted before its successor is durable, so
+        // "absent" here can only mean no snapshot was EVER committed —
+        // either the true first batch, or a replay of it after a crash
+        // between the posting commit and the first snapshot commit
+        // (the guard below distinguishes that from external data loss).
+        val snapshotOpt: Option[DataFrame] = SnapshotStore.read(spark, path)
+        // cross-batch exact dedup: keeper per fingerprint is the
+        // LOWEST doc_id seen so far. Plan shape per batch follows
+        // upsertSink: only the snapshot rows whose fingerprints
+        // CONFLICT with the batch enter the argmin (batch-sized
+        // work); the rest of the snapshot — which grows unboundedly
+        // — rides through an untouched broadcast anti-join, never
+        // shuffled or aggregated. A replaced keeper forfeits its
+        // flags (min_by takes the whole winner row): the
+        // replacement's `out` is recomputed fresh below, since as a
+        // new doc all its pairs are scored this batch. The
+        // tiebreaker's second key handles at-least-once delivery: a
+        // REDELIVERED doc (same doc_id already in the snapshot,
+        // possibly tombstoned) arrives with out=false, and an
+        // arbitrary pick between the two copies could resurrect the
+        // tombstone — `!out` orders the out=true copy first, so the
+        // snapshot's knowledge wins on equal ids (false < true).
+        val (merged, seenIds) = snapshotOpt match {
+          case None => (batchKeepers, None)
           case Some(snapshot) =>
-            // cross-batch exact dedup: keeper per fingerprint is the
-            // LOWEST doc_id seen so far. Plan shape per batch follows
-            // upsertSink: only the snapshot rows whose fingerprints
-            // CONFLICT with the batch enter the argmin (batch-sized
-            // work); the rest of the snapshot — which grows unboundedly
-            // — rides through an untouched broadcast anti-join, never
-            // shuffled or aggregated. A replaced keeper forfeits its
-            // flags (min_by takes the whole winner row): the
-            // replacement's `out` is recomputed fresh below, since as a
-            // new doc all its pairs are scored this batch. The
-            // tiebreaker's second key handles at-least-once delivery: a
-            // REDELIVERED doc (same doc_id already in the snapshot,
-            // possibly tombstoned) arrives with out=false, and an
-            // arbitrary pick between the two copies could resurrect the
-            // tombstone — `!out` orders the out=true copy first, so the
-            // snapshot's knowledge wins on equal ids (false < true).
             val batchFps = batchKeepers.select(col("fp"))
             val untouched = snapshot
               .join(broadcast(batchFps), Seq("fp"), "left_anti")
             val conflicts = snapshot
               .join(broadcast(batchFps), Seq("fp"), "left_semi")
-            untouched.unionByName(
+            (untouched.unionByName(
               conflicts.unionByName(batchKeepers)
                 .groupBy(col("fp"))
                 .agg(min_by(
                   struct(col("doc_id"), col("lang"), col("text"), col("out")),
                   struct(col("doc_id"), !col("out"))).as("r"))
                 .select(col("fp"), col("r.doc_id"), col("r.lang"),
-                  col("r.text"), col("r.out")))
+                  col("r.text"), col("r.out"))),
+              Some(conflicts.select(col("doc_id"))))
         }
-        val newDocs = snapshotOpt.fold(merged)(snapshot =>
-          merged.join(snapshot.select(col("doc_id")), Seq("doc_id"),
-            "left_anti"))
+        // newDocs stays BATCH-sized end to end: only a batch doc can be
+        // new, and the only snapshot ids a batch doc can collide with
+        // are those sharing a batch fingerprint — exactly `conflicts`,
+        // already computed and batch-sized. The corpus-sized `merged`
+        // is streamed through two broadcast joins (narrow, no corpus
+        // shuffle) rather than anti-joined against the full snapshot id
+        // set, which would shuffle the corpus once the id set outgrew
+        // the broadcast threshold. Corner: a doc_id redelivered with
+        // DIFFERENT text (different fp) is classified new and
+        // re-probed; ids are stable per document in this model, and a
+        // re-probe is idempotent anyway (knockouts are distinct-ed and
+        // `out` is monotone).
+        val newDocs = seenIds.fold(merged)(ids =>
+          merged
+            .join(broadcast(batchKeepers.select(col("doc_id"))),
+              Seq("doc_id"), "left_semi")
+            .join(broadcast(ids), Seq("doc_id"), "left_anti"))
         // Posting rows come from the batch's docs AS THEY SURVIVE in
         // merged — not from newDocs. The distinction is replay: after
         // a crash between the snapshot commit and the stream's own
@@ -462,10 +456,20 @@ object EventStreams {
         val batchDir =
           if (!fs.exists(primary)) primary
           else {
-            val maxIdx = fs.listStatus(postingsRoot)
+            // numeric-only parse with an overflow guard: a foreign dir
+            // under the postings root that merely starts with batch=
+            // must be skipped, not throw and fail every future batch.
+            // In-place rewrite of batch=<batchId> is deliberately NOT
+            // done: the committed dir may hold a DIFFERENT batch's
+            // evidence (restart without a checkpointed id sequence),
+            // and overwriting would destroy it — next-free-index is
+            // safe for both that case and a true replay (duplicate
+            // posting rows collapse in the pair-level distinct).
+            val maxIdx = (fs.listStatus(postingsRoot)
               .map(_.getPath.getName)
               .collect { case s if s.startsWith("batch=") =>
-                s.substring("batch=".length).toLong }
+                scala.util.Try(s.substring("batch=".length).toLong).toOption }
+              .flatten :+ batchId)
               .max
             new org.apache.hadoop.fs.Path(postingsRoot,
               s"batch=${maxIdx + 1}")
@@ -475,6 +479,23 @@ object EventStreams {
               fs.listStatus(postingsRoot).nonEmpty)
             Some(spark.read.parquet(postingsRoot.toString))
           else None
+        // no committed snapshot + posting history: legitimate ONLY as a
+        // replay of the very first batch (postings commit before the
+        // snapshot), in which case every posting doc is a doc of THIS
+        // batch. A posting doc outside the batch proves a committed
+        // corpus existed and was lost externally — rebuilding from the
+        // batch would silently truncate it, so fail the batch instead.
+        if (snapshotOpt.isEmpty) history.foreach { h =>
+          val foreign = h
+            .select(col("doc_id"))
+            .join(broadcast(batch.select(col("doc_id")).distinct()),
+              Seq("doc_id"), "left_anti")
+          if (!foreign.isEmpty)
+            throw new IllegalStateException(
+              s"curatedIngest: posting history at $postingsRoot holds " +
+                "docs from batches whose snapshot is gone — refusing to " +
+                "rebuild the corpus from the current batch alone")
+        }
         val baseGrams = history.fold(postingGrams)(h =>
           h.select(col("doc_id"), col("ng"), col("n_ng"))
             .unionByName(postingGrams.select(
@@ -504,7 +525,7 @@ object EventStreams {
           .withColumn("out", col("out") || coalesce(col("hit"), lit(false)))
           .drop("hit")
           .localCheckpoint()
-        updated.write.mode("overwrite").parquet(path)
+        SnapshotStore.commit(updated, path)
         // drop BOTH per-batch checkpoints (merge result + gram table):
         // a stream runs unboundedly many batches, and blocks left to
         // the ContextCleaner accumulate in the meantime
@@ -518,13 +539,22 @@ object EventStreams {
       .outputMode("update")
       .start()
 
+  /** The current committed snapshot of a SnapshotStore-backed sink
+    * (upsertSink / curatedIngest), raw — including tombstones. Throws
+    * if no generation was ever committed.
+    */
+  def readSnapshot(spark: SparkSession, path: String): DataFrame =
+    SnapshotStore.read(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot at $path"))
+
   /** The curated corpus as of the last committed batch: tombstones
     * dropped, then the batch pipeline's quality gates — same output
     * schema and ordering as Pipeline.curatedCorpus.
     */
   def curatedSnapshot(spark: SparkSession, path: String,
       minTokens: Int = 10): DataFrame =
-    spark.read.parquet(path)
+    readSnapshot(spark, path)
       .filter(!col("out"))
       .withColumn("n_tokens",
         graft.functions.TextOps.tokenCount(col("text")).cast("long"))

@@ -205,7 +205,7 @@ class StreamingSpec extends SparkTestBase {
       input.addData(Ev(1L, 10L, 90L))
       q.processAllAvailable()
     } finally q.stop()
-    val snap = spark.read.parquet(dir)
+    val snap = EventStreams.readSnapshot(spark, dir)
       .select("event_id", "sec").as[(Long, Long)].collect().toMap
     assert(snap === Map(10L -> 150L, 20L -> 200L, 30L -> 300L),
       s"snapshot after two merges: $snap")
@@ -229,7 +229,7 @@ class StreamingSpec extends SparkTestBase {
       input.addData(Ev(1L, 10L, 100L), Ev(2L, 20L, 200L))
       q.processAllAvailable()
     } finally q.stop()
-    val snap = spark.read.parquet(dir.toString)
+    val snap = EventStreams.readSnapshot(spark, dir.toString)
       .select("event_id", "sec").as[(Long, Long)].collect().toMap
     assert(snap === Map(10L -> 100L, 20L -> 200L),
       s"snapshot rebuilt from the batch after a partial write: $snap")
@@ -279,11 +279,11 @@ class StreamingSpec extends SparkTestBase {
         EventStreams.CDoc(1L, "en",
           "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
       q.processAllAvailable()
-      val before = spark.read.parquet(dir).collect().toSet
+      val before = EventStreams.readSnapshot(spark, dir).collect().toSet
       // an idle trigger with no new data must not corrupt or shrink
       // the committed snapshot (production streams idle constantly)
       q.processAllAvailable()
-      val after = spark.read.parquet(dir).collect().toSet
+      val after = EventStreams.readSnapshot(spark, dir).collect().toSet
       assert(after === before)
     } finally q.stop()
   }
@@ -308,14 +308,14 @@ class StreamingSpec extends SparkTestBase {
       // the lower-id original arrives: 9 gets tombstoned
       input.addData(EventStreams.CDoc(1L, "en", base))
       q.processAllAvailable()
-      val out9 = spark.read.parquet(dir)
+      val out9 = EventStreams.readSnapshot(spark, dir)
         .filter(col("doc_id") === 9L).select("out").collect()
       assert(out9.map(_.getBoolean(0)).toSeq === Seq(true),
         "doc 9 must be tombstoned after its lower-id near-dup arrived")
       // doc 9 is redelivered — the tombstone must survive the merge
       input.addData(nearDup)
       q.processAllAvailable()
-      val after = spark.read.parquet(dir)
+      val after = EventStreams.readSnapshot(spark, dir)
         .filter(col("doc_id") === 9L).select("out").collect()
       assert(after.map(_.getBoolean(0)).toSeq === Seq(true),
         "redelivery resurrected a tombstoned doc")
@@ -345,7 +345,7 @@ class StreamingSpec extends SparkTestBase {
       input2.addData(EventStreams.CDoc(1L, "en", base))
       q2.processAllAvailable()
     } finally q2.stop()
-    val out = spark.read.parquet(dir)
+    val out = EventStreams.readSnapshot(spark, dir)
       .select("doc_id", "out").collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(out === Map(1L -> false, 9L -> true),
@@ -380,5 +380,125 @@ class StreamingSpec extends SparkTestBase {
     assert(want.nonEmpty, "batch pipeline produced no rows")
     assert(got.sameElements(want),
       s"stream ${got.length} rows vs batch ${want.length} rows")
+  }
+
+  test("SnapshotStore: max committed generation wins and commit prunes predecessors") {
+    // simulate the crash-after-write-before-prune window: two
+    // committed generations on disk — the reader must pick the newer,
+    // and the next commit must leave exactly one generation behind
+    val root = java.nio.file.Files.createTempDirectory("snapstore")
+      .resolve("snapshot").toString
+    Seq((1L, "old")).toDF("k", "v").write.parquet(s"$root/gen=0")
+    Seq((1L, "new")).toDF("k", "v").write.parquet(s"$root/gen=3")
+    val cur = graft.streaming.SnapshotStore.read(spark, root).get
+    assert(cur.select("v").as[String].collect().toSeq === Seq("new"))
+    graft.streaming.SnapshotStore.commit(
+      Seq((1L, "newer")).toDF("k", "v"), root)
+    val dirs = new java.io.File(root).listFiles().map(_.getName).sorted
+    assert(dirs.toSeq === Seq("gen=4"), s"prune left: ${dirs.toSeq}")
+    val after = graft.streaming.SnapshotStore.read(spark, root).get
+    assert(after.select("v").as[String].collect().toSeq === Seq("newer"))
+  }
+
+  test("upsert sink survives a crashed generation rewrite without losing merged keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert_crashgen")
+      .resolve("snapshot")
+    val input1 = MemoryStream[Ev]
+    val q1 = EventStreams.upsertSink(
+      input1.toDS().select(col("event_id"), col("user_id"), col("sec")),
+      dir.toString)
+    try {
+      input1.addData(Ev(1L, 10L, 100L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // simulate a crash MID-rewrite of the next generation: a partial
+    // gen dir with a garbage task file and no _SUCCESS. The old
+    // in-place overwrite had already deleted the committed snapshot at
+    // this point; the generation layout must still have gen=0 intact.
+    val partial = dir.resolve("gen=1")
+    java.nio.file.Files.createDirectories(partial)
+    java.nio.file.Files.write(partial.resolve("part-00000.parquet"),
+      "not a parquet file".getBytes)
+    val input2 = MemoryStream[Ev]
+    val q2 = EventStreams.upsertSink(
+      input2.toDS().select(col("event_id"), col("user_id"), col("sec")),
+      dir.toString)
+    try {
+      input2.addData(Ev(2L, 20L, 200L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val snap = EventStreams.readSnapshot(spark, dir.toString)
+      .select("event_id", "sec").as[(Long, Long)].collect().toMap
+    assert(snap === Map(10L -> 100L, 20L -> 200L),
+      s"crashed rewrite lost committed keys: $snap")
+  }
+
+  test("curated ingest refuses to rebuild the corpus when postings outlive the snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("curated_lost")
+    val dir = base.resolve("snapshot").toString
+    val input1 = MemoryStream[EventStreams.CDoc]
+    val q1 = EventStreams.curatedIngest(input1.toDF(), dir)
+    try {
+      input1.addData(EventStreams.CDoc(9L, "en",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // externally destroy the snapshot but keep the posting history —
+    // the sink must FAIL the next batch, not silently truncate the
+    // corpus to that batch
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+    val input2 = MemoryStream[EventStreams.CDoc]
+    val q2 = EventStreams.curatedIngest(input2.toDF(), dir)
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        input2.addData(EventStreams.CDoc(1L, "en",
+          "totally different words one two three four five six seven eight"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    assert(causes(thrown).exists(_.isInstanceOf[IllegalStateException]),
+      s"expected IllegalStateException in: ${causes(thrown).map(_.getClass)}")
+  }
+
+  test("posting root tolerates foreign batch= directories on replay collisions") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("curated_foreign")
+      .resolve("snapshot").toString
+    val baseTxt = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val input1 = MemoryStream[EventStreams.CDoc]
+    val q1 = EventStreams.curatedIngest(input1.toDF(), dir)
+    try {
+      input1.addData(EventStreams.CDoc(9L, "en",
+        baseTxt.replace("sigma", "sygma")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // a hand-placed committed dir whose batch= suffix overflows Long —
+    // a bare .toLong here used to throw and fail every future batch
+    val foreign = java.nio.file.Paths.get(
+      dir + "_postings", "batch=99999999999999999999999")
+    java.nio.file.Files.createDirectories(foreign)
+    java.nio.file.Files.write(foreign.resolve("_SUCCESS"), Array.empty[Byte])
+    // fresh query: its batchId=0 collides with committed batch=0, so
+    // the next-free-index scan runs across the foreign name
+    val input2 = MemoryStream[EventStreams.CDoc]
+    val q2 = EventStreams.curatedIngest(input2.toDF(), dir)
+    try {
+      input2.addData(EventStreams.CDoc(1L, "en", baseTxt))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out = EventStreams.readSnapshot(spark, dir)
+      .select("doc_id", "out").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out === Map(1L -> false, 9L -> true),
+      s"foreign postings dir broke the ingest: $out")
   }
 }
