@@ -2,12 +2,12 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Native Catalyst expression: how many elements of a SORTED
   * (ascending, null-free) double array are strictly less than v — the
@@ -40,13 +40,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   *    null probe -> 0.
   */
 case class ArrayCountLess(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = IntegerType
 
   override def nullable: Boolean = left.nullable
 
   private def isDouble: Boolean = right.dataType == DoubleType
+
+  /** Implicit input coercion, matching the HOF this replaces: the HOF's
+    * lambda comparison promoted mixed numeric operands, so SQL like
+    * `array_count_less(array(0.5D), 1)` (int literal probe) must keep
+    * analyzing. Element type is keyed off the RESOLVED operand types:
+    * integral array + integral probe stays exact in long; anything
+    * else — fractional on either side, or unresolved — promotes both
+    * sides to double, exactly the lambda's `s < v` promotion.
+    */
+  override def inputTypes: Seq[DataType] = {
+    val elem =
+      if (!left.resolved || !right.resolved) DoubleType
+      else (left.dataType, right.dataType) match {
+        case (ArrayType(ByteType | ShortType | IntegerType | LongType, _),
+              ByteType | ShortType | IntegerType | LongType) => LongType
+        case _ => DoubleType
+      }
+    Seq(ArrayType(elem), elem)
+  }
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {

@@ -51,6 +51,24 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(viaSql.getInt(1) === 2)
   }
 
+  test("array_count_less coerces mixed numeric inputs like the HOF it replaced") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT array_count_less(array(0.25D, 0.5D, 0.75D), 1) AS int_probe,
+        |       array_count_less(array(10, 20, 30), 25L) AS int_array,
+        |       array_count_less(array(10L, 20L, 30L), 25.5D) AS frac_probe,
+        |       array_count_less(array(CAST(1.5 AS FLOAT)), 2) AS float_arr
+        |""".stripMargin).collect().head
+    // int literal probe against array<double>: probe promotes to double
+    assert(r.getInt(0) === 3)
+    // array<int> against a long probe: array promotes to array<bigint>
+    assert(r.getInt(1) === 2)
+    // fractional probe against an integral array: BOTH promote to
+    // double (the lambda's `s < v` promotion), not probe-truncation
+    assert(r.getInt(2) === 2)
+    assert(r.getInt(3) === 1)
+  }
+
   test("vec_cosine in SQL matches the Column-API cosine bit-for-bit") {
     graft.functions.GraftFunctions.register(spark)
     graft.sources.Tables.embeddings(spark, sf("sf0.001"))
