@@ -18,11 +18,13 @@ import graft.sources.Tables
   *  - The exact Jaccard join NEVER cross-joins: candidates are pairs
   *    sharing at least one n-gram (inverted-index join), which is the
   *    PHiDJ-style pruning — pairs sharing nothing have similarity 0 and
-  *    are provably below any positive threshold. Hot n-grams are capped
-  *    (opt-in `maxDocFreq`) to stop the sum-of-df^2 blowup a
-  *    corpus-common n-gram would cause — prefix-filtering from the
-  *    similarity-join literature; capped scores are a documented lower
-  *    bound (see ngramJaccardPairs).
+  *    are provably below any positive threshold. The DEFAULT exact
+  *    path (ngramJaccardPairsPrefix) additionally applies LOSSLESS
+  *    prefix filtering: only each doc's rarest grams generate
+  *    candidates, so the sum-of-df^2 blowup a corpus-common n-gram
+  *    causes in the naive posting self-join (ngramJaccardPairs) never
+  *    enters the plan. The naive join keeps an opt-in `maxDocFreq`
+  *    cap whose scores are a documented lower bound.
   *  - MinHash+LSH replaces the candidate join's n-gram fanout with
   *    b=32 constant-size band keys per doc: shuffle volume per doc is
   *    O(b), independent of doc length — the 100 TB path. Band
@@ -101,6 +103,32 @@ object Dedup {
       .distinct()
   }
 
+  /** (doc_id, ngs) — each doc's DISTINCT n-gram hash set as one array
+    * row. Same extraction as docNgrams, but the dedup happens in a
+    * collect_set aggregation that reuses the lead-window's doc_id
+    * partitioning — no standalone distinct exchange over the gram
+    * table.
+    */
+  private def docNgramSets(docs: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), TextOps.TokenSplitRe))
+          .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        TextOps.normalize(col("tok")).as("w0"))
+      .filter(length(col("w0")) > 0)
+    val leads = (1 until n).map(i => lead(col("w0"), i).over(w).as(s"w$i"))
+    words
+      .select(col("doc_id") +: col("w0") +: leads: _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*))
+          .as("ng"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("ng")).as("ngs"))
+  }
+
   /** (doc_id, ng, n_ng) — n-gram hashes annotated with their doc's set
     * size via a window (no second aggregation pass over the corpus).
     */
@@ -158,8 +186,98 @@ object Dedup {
       .orderBy(col("doc_id_1"), col("doc_id_2"))
   }
 
+  /** Exact n-gram Jaccard join with PREFIX FILTERING (the PPJoin
+    * family, Xiao et al., WWW'08): same output as ngramJaccardPairs,
+    * but the candidate-generating self-join runs only over each doc's
+    * PREFIX — its grams ordered by ascending corpus document frequency
+    * (ties on the gram hash), truncated to n_ng - ceil(t * n_ng) + 1.
+    *
+    * Why that is lossless: J(x,y) >= t implies the overlap is at least
+    * ceil(t * |x|), and an overlap of o with any set must touch the
+    * first |x| - o + 1 elements of x under ANY fixed global order —
+    * so two qualifying docs always share a gram inside both prefixes.
+    * A doc-frequency-ascending order makes those prefixes the RARE
+    * grams: the df distribution's stop-word head (df in the millions
+    * at corpus scale, d^2 join rows per gram in the naive self-join)
+    * sorts to the ends of the docs and never enters the join unless a
+    * doc consists mostly of boilerplate — in which case its matches
+    * are true near-dups and the output itself is that large. This is
+    * what makes the EXACT operator survive a 100x scale-up; the
+    * uncapped posting self-join (ngramJaccardPairs) is quadratic in
+    * the head gram's df regardless of how few pairs qualify.
+    *
+    * A symmetric length filter (t*n1 <= n2 <= n1/t) prunes candidates
+    * before the exact verification, which re-joins only the CANDIDATE
+    * pairs against the full gram table to count true intersections —
+    * work proportional to candidates x doc size, never df^2.
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    // One pass builds everything per doc: its grams SORTED by (df, ng)
+    // as an array. The array is the verification structure (set
+    // intersection per candidate pair — no re-join against the gram
+    // table, no aggregation) and its slice is the prefix. Docs are
+    // bounded (documents, not whole files), so a per-doc array is
+    // executor-safe at any corpus size.
+    //
+    // Exchange accounting (each is a full pass over the gram table, so
+    // they are rationed): per-doc dedup rides the extraction window's
+    // doc_id partitioning (collect_set, NO new exchange, unlike
+    // docNgrams' standalone distinct); df is a hash aggregate + an
+    // aligned join on ng (partial aggregation and no sort, unlike a
+    // count-over-window which sorts the whole table); the array
+    // rebuild is the one unavoidable shuffle back to doc_id.
+    val grams = docNgramSets(docs, n)
+      .select(col("doc_id"), explode(col("ngs")).as("ng"))
+    val dfTab = grams.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+    val arrays = grams
+      .join(dfTab, Seq("ng"))
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("df"), col("ng")))),
+        x => x("ng")).as("grams"))
+      .withColumn("n_ng", size(col("grams")))
+      // the 1e-9 slack biases float slop DOWNWARD: a ceil one too high
+      // would shorten the prefix and silently miss pairs, one too low
+      // only admits extra candidates for the exact verify to reject
+      .withColumn("prefix", slice(col("grams"), lit(1),
+        (col("n_ng") - ceil(lit(threshold) * col("n_ng") - lit(1e-9)) + 1)
+          .cast("int")))
+      .localCheckpoint()
+    val prefixes = arrays
+      .select(col("doc_id"), col("n_ng"), explode(col("prefix")).as("ng"))
+    val cand = prefixes
+      .select(col("doc_id").as("doc_id_1"), col("ng"), col("n_ng").as("n1"))
+      .join(prefixes
+        .select(col("doc_id").as("doc_id_2"), col("ng"),
+          col("n_ng").as("n2")), Seq("ng"))
+      .filter(col("doc_id_1") < col("doc_id_2"))
+      // J >= t forces min(n1,n2) >= t*max(n1,n2); same downward slack
+      .filter(col("n1") * lit(threshold) - lit(1e-9) <= col("n2") &&
+        col("n2") * lit(threshold) - lit(1e-9) <= col("n1"))
+      .select(col("doc_id_1"), col("doc_id_2"), col("n1"), col("n2"))
+      .distinct()
+    // exact verify: candidate-pair-sized work only. Both joins stream
+    // the small candidate side against the checkpointed per-doc
+    // arrays; n_common is a per-row array intersection (codegen), so
+    // total verify cost is candidates x doc size — never df^2.
+    cand
+      .join(arrays.select(col("doc_id").as("doc_id_1"),
+        col("grams").as("g1")), Seq("doc_id_1"))
+      .join(arrays.select(col("doc_id").as("doc_id_2"),
+        col("grams").as("g2")), Seq("doc_id_2"))
+      .withColumn("n_common", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_1"), col("doc_id_2"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+  }
+
   def ngramJaccardDedup(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(Tables.documents(spark, dir))
+    ngramJaccardPairsPrefix(Tables.documents(spark, dir))
       .orderBy(col("doc_id_1"), col("doc_id_2"))
 
   /** Asymmetric n-gram Jaccard: every pair (doc_id_1 < doc_id_2) at or

@@ -79,6 +79,38 @@ class DedupSpec extends SparkTestBase {
     assert(got.sameElements(expected))
   }
 
+  test("prefix-filtered jaccard equals the brute-force join across thresholds") {
+    // the PPJoin-style candidate pruning must be LOSSLESS: same pair
+    // set and bit-identical scores as the uncapped posting self-join,
+    // at thresholds that exercise fractional prefix lengths
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val brute = Dedup.ngramJaccardPairs(docs, threshold = t).collect()
+      val pref = Dedup.ngramJaccardPairsPrefix(docs, threshold = t).collect()
+      assert(brute.nonEmpty, s"threshold $t produced no pairs")
+      assert(pref.sameElements(brute), s"threshold $t mismatch")
+    }
+  }
+
+  test("prefix-filtered jaccard stays exact on a boilerplate-heavy corpus") {
+    // adversarial shape for the naive self-join: every doc shares a
+    // large boilerplate block (corpus-wide df grams — the quadratic
+    // head), only some are true near-dups through their tails. The
+    // prefix join must (a) keep boilerplate grams out of candidate
+    // generation and (b) still find exactly the true pairs
+    val boiler = (1 to 30).map(i => s"common$i").mkString(" ")
+    val docs = (1L to 40L).map { i =>
+      val k = if (i % 2 == 0) i - 1 else i
+      val tail = (1 to 40).map(j => s"tail${k}w$j").mkString(" ")
+      (i, s"$boiler $tail")
+    }.toDF("doc_id", "text")
+    val brute = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
+    val pref = Dedup.ngramJaccardPairsPrefix(docs, threshold = 0.5).collect()
+    assert(brute.nonEmpty)
+    assert(pref.sameElements(brute))
+  }
+
   test("minhash LSH output equals the exact jaccard join on sf0.001") {
     val exact = Dedup.ngramJaccardDedup(spark, sf("sf0.001")).collect()
     val lsh = Dedup.minhashLshDedup(spark, sf("sf0.001")).collect()
