@@ -154,6 +154,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshDedup(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashDedup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "dedup_clusters_star" -> ((s, d) => Dedup.nearDupClustersStar(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     // -- similarity search -----------------------------------------------
@@ -301,6 +302,38 @@ object SparkEntry {
       |  END AS dup_frac
       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Transitive closure of the exact >= 0.5 Jaccard pair graph —
+    * shared by `dedup_clusters` (label propagation) and
+    * `dedup_clusters_star` (large-star/small-star): the two
+    * formulations must produce identical components.
+    */
+  private val DedupClustersOracle: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
+      |  FROM documents),
+      |ng AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
+      |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i)
+      |  WHERE len(ws) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |  FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      |  WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM p
+      |  UNION ALL SELECT d2, d1 FROM p),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
   private val NgramJaccardOracle: String =
     """WITH words AS (
@@ -947,32 +980,10 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
-    "dedup_clusters" ->
-      """WITH RECURSIVE words AS (
-        |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
-        |  FROM documents),
-        |ng AS (
-        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
-        |  FROM words, unnest(range(1, len(ws) - 1)) AS t(i)
-        |  WHERE len(ws) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-        |  FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |p AS (
-        |  SELECT d1, d2 FROM inter
-        |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-        |  WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5),
-        |edges AS (
-        |  SELECT d1 AS src, d2 AS dst FROM p
-        |  UNION ALL SELECT d2, d1 FROM p),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> DedupClustersOracle,
+    // same pair graph, same transitive closure — the star formulation
+    // must be output-identical to label propagation
+    "dedup_clusters_star" -> DedupClustersOracle,
     "cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

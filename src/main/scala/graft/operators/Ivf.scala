@@ -80,9 +80,176 @@ object Ivf {
       .groupBy(col("vec_id"))
       .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cell"))
 
-  /** k deterministic Lloyd iterations. Init = the first k vectors by
-    * id (deterministic; at scale you'd use k-means|| with a fixed
-    * seed — same plan shape).
+  /** Driver-side cosine distance for the tiny candidate reduction —
+    * candidates are O(k log n) rows, never data-sized. */
+  private def localCosDist(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 1.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** k-means||-style scalable init (Bahmani et al., "Scalable
+    * k-means++", VLDB'12), made fully deterministic: the per-point
+    * coin flip is a fixed xxhash64 of (round, vec_id) mapped to
+    * [0, 1), so the sample — and therefore the whole init — is
+    * bit-identical under any partitioning, task order, or cluster
+    * size (the determinism contract every graft build step carries).
+    *
+    * Why not first-k-by-id: the first k vectors say nothing about the
+    * data's geometry — adjacent ids are often near-identical (the
+    * driver testdata's replicated doc embeddings, any corpus sorted
+    * by ingest time), which seeds duplicate centroids and leaves
+    * whole regions probed by no cell. k-means|| seeds proportionally
+    * to residual cost, the same guarantee k-means++ gives, in
+    * O(rounds) scans instead of k sequential ones.
+    *
+    * Shape per round (all corpus passes are DataFrame ops):
+    *   1. distance-to-candidate-set: one broadcast crossJoin + a
+    *      map-side-combined min aggregate (narrow (vec_id, d) rows);
+    *   2. one scalar cost aggregate (phi);
+    *   3. an independent coin per point: sample iff
+    *      u(round, vec_id) < l * d(x) / phi, l = overFactor * k.
+    * Expected l candidates per round — the candidate table stays
+    * k-sized, broadcastable, and the collect()s here are all
+    * candidate-sized or scalar (same driver-residency argument as
+    * the centroid table itself).
+    *
+    * The ~l*rounds weighted candidates reduce to exactly
+    * min(k, corpus) driver-side by greedy weighted farthest-first
+    * (max w(c) * dist-to-chosen, ties toward smaller id) — the
+    * deterministic variant of the weighted k-means++ reclustering
+    * the paper prescribes. If sampling under-fills (degenerate
+    * corpora: all points identical -> phi = 0 after round one), the
+    * remainder tops up from the smallest unchosen vec_ids, so the
+    * contract "exactly min(k, n) centroids" always holds.
+    */
+  def scalableInitCentroids(emb: DataFrame, k: Int,
+      rounds: Int = 4, overFactor: Int = 2): Seq[(Int, Seq[Float])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.filter(size(col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding"))
+    val seed = vecs.orderBy(col("vec_id")).limit(1)
+      .as[(Long, Seq[Float])].collect()
+    if (seed.isEmpty) return Seq.empty
+    val l = math.max(1, overFactor * k)
+    var cands = scala.collection.mutable.LinkedHashMap(
+      seed.head._1 -> seed.head._2)
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val candDf = broadcast(
+        cands.toSeq.map(_._2).toDF("cvec"))
+      val dists = vecs.crossJoin(candDf)
+        .select(col("vec_id"), col("embedding"),
+          (lit(1.0) - cosine(col("embedding"), col("cvec"))).as("dc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dc")).as("d"), first(col("embedding")).as("embedding"))
+      val phi = dists.agg(sum(col("d"))).as[Option[Double]].head().getOrElse(0.0)
+      if (phi <= 0) exhausted = true // every point IS a candidate
+      else {
+        // u in [0,1): 2^40 buckets of a fixed-seed hash — far below
+        // any meaningful sampling-probability resolution
+        val buckets = 1L << 40
+        val u = pmod(xxhash64(lit(round), col("vec_id")), lit(buckets))
+          .cast("double") / lit(buckets.toDouble)
+        val picked = dists
+          .filter(u < least(lit(1.0), lit(l.toDouble) * col("d") / lit(phi)))
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Seq[Float])].collect()
+        // collect() row order varies with partitioning; candidate
+        // ORDER feeds the greedy reduction, so pin it by id
+        picked.sortBy(_._1).foreach { case (id, v) =>
+          if (!cands.contains(id)) cands += id -> v
+        }
+      }
+      round += 1
+    }
+    // weights: corpus points per nearest candidate (ties toward the
+    // smaller candidate POSITION, matching assign()'s cid tie-break)
+    val ordered = cands.toVector
+    val posDf = broadcast(ordered.zipWithIndex
+      .map { case ((_, v), i) => (i, v) }.toDF("pos", "cvec"))
+    val weights = vecs.crossJoin(posDf)
+      .select(col("vec_id"), col("pos"),
+        (lit(1.0) - cosine(col("embedding"), col("cvec"))).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("pos"), struct(col("dc"), col("pos"))).as("pos"))
+      .groupBy(col("pos")).agg(count(lit(1)).as("w"))
+      .as[(Int, Long)].collect().toMap
+    // greedy weighted farthest-first down to k
+    val target = math.min(k, ordered.size)
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])]()
+    val remaining = scala.collection.mutable.ArrayBuffer(
+      ordered.zipWithIndex.map { case ((id, v), i) =>
+        (id, v, weights.getOrElse(i, 0L)) }: _*)
+    val first0 = remaining.zipWithIndex
+      .minBy { case ((id, _, w), _) => (-w, id) }._2
+    chosen += ((remaining(first0)._1, remaining(first0)._2))
+    remaining.remove(first0)
+    while (chosen.size < target && remaining.nonEmpty) {
+      val next = remaining.zipWithIndex.minBy { case ((id, v, w), _) =>
+        val d = chosen.iterator.map(c => localCosDist(v, c._2)).min
+        (-(w.toDouble * d), id)
+      }._2
+      chosen += ((remaining(next)._1, remaining(next)._2))
+      remaining.remove(next)
+    }
+    // degenerate top-up: smallest unchosen ids until min(k, n)
+    if (chosen.size < k) {
+      val have = chosen.map(_._1).toSet
+      val extra = vecs.filter(!col("vec_id").isin(have.toSeq: _*))
+        .orderBy(col("vec_id")).limit(k - chosen.size)
+        .as[(Long, Seq[Float])].collect()
+      chosen ++= extra
+    }
+    // weighted Lloyd refinement over the candidate set (the paper's
+    // "recluster the weighted candidates" step): candidates with
+    // their corpus weights stand in for the data distribution, so a
+    // few driver-side iterations move the k greedy picks to the
+    // weighted candidate centroid — all O(|cands| * k) per round on
+    // candidate-sized arrays, deterministic (ties toward the smaller
+    // center index), no corpus pass
+    val wcands = ordered.zipWithIndex
+      .map { case ((_, v), i) => (v, weights.getOrElse(i, 0L).toDouble) }
+    var centers = chosen.toVector.map(_._2)
+    var moved = true
+    var refineIt = 0
+    while (moved && refineIt < 20) {
+      val sums = Array.fill(centers.size)(
+        new Array[Double](centers.head.length))
+      val wsum = new Array[Double](centers.size)
+      wcands.foreach { case (v, w) =>
+        if (w > 0) {
+          var best = 0; var bestD = Double.MaxValue
+          var i = 0
+          while (i < centers.size) {
+            val d0 = localCosDist(v, centers(i))
+            if (d0 < bestD) { bestD = d0; best = i }
+            i += 1
+          }
+          var j = 0
+          while (j < v.length) { sums(best)(j) += w * v(j); j += 1 }
+          wsum(best) += w
+        }
+      }
+      val next = centers.indices.map { i =>
+        if (wsum(i) == 0) centers(i) // empty center keeps its seed
+        else sums(i).map(s => (s / wsum(i)).toFloat).toSeq
+      }.toVector
+      moved = next != centers
+      centers = next
+      refineIt += 1
+    }
+    centers.zipWithIndex.map { case (v, i) => (i, v) }
+  }
+
+  /** k deterministic Lloyd iterations. Init = k-means|| with a fixed
+    * hash-seed ([[scalableInitCentroids]]); `init = "first-k"` keeps
+    * the first-k-vectors-by-id seeding (the pre-r12 behavior, still
+    * useful as the comparison arm in specs).
     *
     * Each iteration is exactly TWO exchanges: the assignment argmin
     * (carrying the vector through as a first() — constant per group)
@@ -100,7 +267,9 @@ object Ivf {
     * knows better.
     */
   def buildCentroids(emb: DataFrame, k: Int, iters: Int,
-      dim: Int = 0): DataFrame = {
+      dim: Int = 0, init: String = "scalable"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val d = if (dim > 0) dim
       else {
         // skip NULL/empty vectors; an empty table builds an empty
@@ -109,9 +278,14 @@ object Ivf {
           .filter(col("d") > 0).limit(1).collect()
         if (probe.isEmpty) 1 else probe.head.getInt(0)
       }
-    var centroids = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"),
-        col("embedding").as("cvec"))
+    var centroids = init match {
+      case "first-k" =>
+        emb.filter(col("vec_id") < k)
+          .select(col("vec_id").cast("int").as("cid"),
+            col("embedding").as("cvec"))
+      case _ =>
+        scalableInitCentroids(emb, k).toDF("cid", "cvec")
+    }
     val sums = (0 until d).map(i =>
       sum(element_at(col("embedding"), i + 1).cast("decimal(28,12)"))
         .as(s"s$i"))

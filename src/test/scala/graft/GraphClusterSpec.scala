@@ -74,6 +74,58 @@ class GraphClusterSpec extends SparkTestBase {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("large-star/small-star matches union-find on seeded random graphs") {
+    graphs.foreach { edges =>
+      val got = Dedup.connectedComponentsStar(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      val want = unionFind(edges)
+      assert(got === want, s"edges: $edges")
+    }
+  }
+
+  test("large-star/small-star == label propagation on every seeded graph") {
+    // the two formulations must be interchangeable: same (node, rep)
+    // map, not merely the same partition of nodes
+    graphs.foreach { edges =>
+      val star = Dedup.connectedComponentsStar(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      val prop = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(star === prop, s"edges: $edges")
+    }
+  }
+
+  test("large-star/small-star: adversarial 120-node chain converges in few rounds") {
+    // chains are the case the formulation exists for: edge-table
+    // contraction makes rounds O(log^2 n); maxIters=10 would throw if
+    // the contraction regressed to one-hop behavior
+    val chain = (0L until 120L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponentsStar(chain.toDF("a", "b"), maxIters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet === Set(0L))
+    assert(got.keySet === (0L to 120L).toSet)
+  }
+
+  test("large-star/small-star: descending-id chain (worst-case orientation)") {
+    // ids ordered AGAINST the chain direction — the min lives at the
+    // far end from every high-id node, the orientation that defeats
+    // naive min-propagation shortcuts
+    val chain = (0L until 60L).map(i => (60L - i, 60L - i - 1))
+    val got = Dedup.connectedComponentsStar(chain.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet === Set(0L))
+    assert(got.keySet === (0L to 60L).toSet)
+  }
+
+  test("large-star/small-star: non-convergence throws") {
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponentsStar(chain.toDF("a", "b"), maxIters = 1)
+        .collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("winnowing guarantee: docs sharing a 6-word run share a fingerprint") {
     val dir = java.nio.file.Files.createTempDirectory("winnow").toString
     val shared = "alpha beta gamma delta epsilon zeta"
