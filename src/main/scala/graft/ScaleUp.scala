@@ -52,33 +52,58 @@ object ScaleUp {
   }
 
   /** Replica i > 0 of documents: keys offset AND every token suffixed
-    * with `_r<i>` so replicas share no vocabulary (see point 2 above).
-    * `n_chars` is recomputed to stay consistent with the new text.
+    * with a replica tag so replicas share no vocabulary (see point 2
+    * above). The tag must be LETTERS ONLY ("qx" + 'a'+i): the text
+    * operators normalize tokens by stripping non-letters, so a
+    * digit/punct tag (`_r3`) would collapse to the same suffix for
+    * every replica — making replicas 1..9 byte-identical after
+    * normalization and recreating exactly the cross-replica duplicate
+    * cliques the tag exists to prevent (the first sf1 cut hit this:
+    * 68x ngram-jaccard at 10x data). `n_chars` is recomputed to stay
+    * consistent with the new text.
     */
   private def documentsReplica(df: DataFrame, rep: Int): DataFrame = {
     val base = replica(df, Seq("doc_id"), rep)
     if (rep == 0) base
-    else base
-      .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1_r" + rep))
-      .withColumn("n_chars", length(col("text")).cast("long"))
+    else {
+      val tag = "qx" + ('a' + rep).toChar
+      base
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1" + tag))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
   }
 
-  /** Replica i > 0 of embeddings: keys offset AND each component
-    * jittered by `1e-3 * rep * sin(31 * vec_id + j)` — deterministic,
-    * O(1e-3) in magnitude (the sf0.1 vectors are unit-scale), so
-    * within-replica geometry is preserved while cross-replica twins
-    * separate by ~ sqrt(dim) * 1e-3 * rep in L2, outside the near-dup
-    * thresholds the dedup operators use.
+  /** Replica i > 0 of embeddings: keys offset AND the vector replaced
+    * by a deterministic hash-noise draw matched to the source's
+    * component distribution (mean + uniform of equal variance).
+    *
+    * Why replace instead of jitter: the corpus vectors are near-random
+    * (top neighbor cosines ~0.37, below the 0.4 near-dup threshold),
+    * so REAL 10x data means 10x independent draws. Any small jitter
+    * leaves cross-replica twins at cosine ~1, which hands every
+    * vector ~factor near-dups and inflates all pair ops by factor^2 —
+    * a synthetic quadratic cliff the first sf1 cut measured directly
+    * (cosine_near_dup 27x at 10x data; fixed by this).
     */
-  private def embeddingsReplica(df: DataFrame, rep: Int): DataFrame = {
+  private def embeddingsReplica(df: DataFrame, rep: Int,
+      mean: Double, std: Double): DataFrame = {
     val base = replica(df, Seq("vec_id"), rep)
     if (rep == 0) base
-    else base.withColumn(
-      "embedding",
-      transform(
-        col("embedding"),
-        (x, j) => (x + lit(0.001 * rep) *
-          sin(lit(31.0) * col("vec_id") + j.cast("double"))).cast("float")))
+    else {
+      // u in [0,1) from a fixed hash of (rep, vec_id, j); uniform on
+      // mean +- sqrt(3)*std matches the source component variance
+      val buckets = 1L << 40
+      base.withColumn(
+        "embedding",
+        transform(
+          col("embedding"),
+          (_, j) => {
+            val u = pmod(xxhash64(lit(rep), col("vec_id"), j), lit(buckets))
+              .cast("double") / lit(buckets.toDouble)
+            (lit(mean) + lit(math.sqrt(3.0) * std) * (u * 2.0 - 1.0))
+              .cast("float")
+          }))
+    }
   }
 
   /** Key columns per scaled table (every column in ANY key domain —
@@ -132,8 +157,13 @@ object ScaleUp {
     }
     locally {
       val df = spark.read.parquet(s"$src/embeddings.parquet")
+      val Array(mean, std) = df
+        .select(explode(col("embedding")).as("x"))
+        .agg(avg(col("x")), stddev_pop(col("x")))
+        .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
       write("embeddings",
-        (0 until factor).map(embeddingsReplica(df, _)).reduce(_ union _), 8)
+        (0 until factor).map(embeddingsReplica(df, _, mean, std))
+          .reduce(_ union _), 8)
     }
     spark.stop()
   }

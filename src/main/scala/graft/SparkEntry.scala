@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
@@ -55,10 +55,12 @@ object SparkEntry {
     // has no MurmurHash3); the oracle rebuilds the whole grid from the
     // token stream and takes the min-estimate independently
     "cms_cells" -> ((s, d) => {
-      val cellU = udf((x: String, i: Int) =>
-        graft.functions.CountMinAggregator.cell(x, i, 1024))
+      // pure-expression cell index: pmod(xxhash64(row, word), w) —
+      // the CountMinAggregator.cell seeding contract
+      def cellE(x: Column, i: Int): Column =
+        pmod(xxhash64(lit(i), x), lit(1024L)).cast("int")
       val rows = (0 until 4).map(i =>
-        struct(lit(i).as("row_i"), cellU(col("word"), lit(i)).as("cell")))
+        struct(lit(i).as("row_i"), cellE(col("word"), i).as("cell")))
       TextOps.explodedWords(Tables.documents(s, d))
         .select(col("word")).distinct()
         .select(col("word"), explode(array(rows: _*)).as("rc"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
@@ -300,8 +300,8 @@ object TextAnalysis {
     val sketch = words.agg(cms(col("word")).as("sk"))
     val exact = words.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("word")).limit(k)
-    val est = udf((sk: Seq[Long], x: String) =>
-      graft.functions.CountMinAggregator.estimate(sk, x, d, w))
+    def est(sk: Column, x: Column): Column =
+      graft.functions.CountMinAggregator.estimateExpr(sk, x, d, w)
     exact.crossJoin(broadcast(sketch))
       .select(col("word"), col("n_exact"),
         est(col("sk"), col("word")).as("n_est"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -86,8 +86,8 @@ object EventStreams {
   def hourlyTypeSketch(events: DataFrame, d: Int = 4, w: Int = 1024)
       : DataFrame = {
     val cms = udaf(new graft.functions.CountMinAggregator(d, w))
-    val est = udf((sk: Seq[Long], x: String) =>
-      graft.functions.CountMinAggregator.estimate(sk, x, d, w))
+    def est(sk: Column, x: Column): Column =
+      graft.functions.CountMinAggregator.estimateExpr(sk, x, d, w)
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"))

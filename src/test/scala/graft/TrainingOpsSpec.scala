@@ -157,6 +157,30 @@ class TrainingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("cms: estimateExpr is bit-identical to the JVM estimate") {
+    // the codegen'd expression path (element_at over xxhash64 cell
+    // indices) and the JVM path (XxHash64Function via cell()) must
+    // read the same cells — the seeding contract CountMinAggregator
+    // documents. Probes include keys never inserted (pure-collision
+    // reads) and non-ASCII.
+    import graft.functions.CountMinAggregator
+    import spark.implicits._
+    val (d, w) = (4, 32) // tiny grid: every probe collides somewhere
+    val inserted = Seq("alpha", "beta", "gamma", "Straße", "名前", "x")
+    val agg = new CountMinAggregator(d, w)
+    val sketch = inserted.foldLeft(agg.zero)(agg.reduce)
+    val probes = inserted ++ Seq("never", "inserted", "ß", "")
+    val got = probes.toDF("x")
+      .withColumn("sk", typedLit(sketch.toSeq))
+      .select(col("x"),
+        CountMinAggregator.estimateExpr(col("sk"), col("x"), d, w).as("e"))
+      .as[(String, Long)].collect().toMap
+    probes.foreach { x =>
+      assert(got(x) === CountMinAggregator.estimate(sketch.toSeq, x, d, w),
+        s"expression/JVM estimate diverge for '$x'")
+    }
+  }
+
   test("weighted sample: keys recompute from content, membership is the k smallest") {
     val out = Analytics.weightedSample(spark, dir).collect()
     assert(out.length === 20)
