@@ -179,6 +179,8 @@ object SparkEntry {
     "asof_join" -> ((s, d) => Temporal.purchaseAsofClick(s, d)),
     "asof_join_native" -> ((s, d) => Temporal.purchaseAsofClickNative(s, d)),
     "asof_join_forward" -> ((s, d) => Temporal.errorNextPurchase(s, d)),
+    "asof_join_forward_native" ->
+      ((s, d) => Temporal.errorNextPurchaseNative(s, d)),
     "range_join" -> ((s, d) => Temporal.purchaseThenError(s, d)),
     // -- multimodal ------------------------------------------------------
     "media_stats" -> ((s, d) => Multimodal.mediaStats(s, d)),
@@ -336,6 +338,20 @@ object SparkEntry {
       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** Shared by asof_join_forward (window formulation) and
+    * asof_join_forward_native (AsOfMergeJoinExec, forward direction).
+    */
+  private val AsOfForwardOracle: String =
+    """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      |     r AS (SELECT user_id, ts, MIN(value) AS value FROM events
+      |           WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT l.event_id, l.user_id,
+      |       CAST(epoch_ns(l.ts) // 1000000000 AS BIGINT) AS error_sec,
+      |       CAST(epoch_ns(r.ts) // 1000000000 AS BIGINT) AS purchase_sec,
+      |       r.value AS purchase_value
+      |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+      |ORDER BY event_id""".stripMargin
 
   private val NgramJaccardOracle: String =
     """WITH words AS (
@@ -812,16 +828,10 @@ object SparkEntry {
         |       r.value AS click_value
         |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
-    "asof_join_forward" ->
-      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
-        |     r AS (SELECT user_id, ts, MIN(value) AS value FROM events
-        |           WHERE event_type = 'purchase' GROUP BY 1, 2)
-        |SELECT l.event_id, l.user_id,
-        |       CAST(epoch_ns(l.ts) // 1000000000 AS BIGINT) AS error_sec,
-        |       CAST(epoch_ns(r.ts) // 1000000000 AS BIGINT) AS purchase_sec,
-        |       r.value AS purchase_value
-        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
-        |ORDER BY event_id""".stripMargin,
+    "asof_join_forward" -> AsOfForwardOracle,
+    // native forward merge: same rows as the window formulation by the
+    // AsOfMergeJoinExec direction contract (bit-equality spec'd)
+    "asof_join_forward_native" -> AsOfForwardOracle,
     "range_join" ->
       """SELECT a.event_id AS purchase_id, b.event_id AS error_id,
         |       a.user_id AS user_id,

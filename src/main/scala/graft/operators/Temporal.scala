@@ -88,8 +88,8 @@ object Temporal {
     * as out of the operator's contract.
     */
   def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
-      time: String, leftCols: Seq[String], rightCols: Seq[String])
-      : DataFrame = {
+      time: String, leftCols: Seq[String], rightCols: Seq[String],
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(
         graft.plans.AsOfJoinStrategy))
@@ -122,7 +122,7 @@ object Temporal {
     val l = prep(left, "k", "t", "lpay", leftCols)
     val r = prep(right, "rk", "rt", "rpay", rightCols)
     val joinedPlan = graft.plans.AsOfJoinPlan(
-      l.queryExecution.analyzed, r.queryExecution.analyzed)
+      l.queryExecution.analyzed, r.queryExecution.analyzed, forward)
     org.apache.spark.sql.graft.PlanBridge.ofRows(spark, joinedPlan)
       .select(Seq(col("k").as(key), col("t")) ++
         leftCols.map(c => col(s"lpay.$c").as(c)) ++
@@ -165,7 +165,7 @@ object Temporal {
     * oracle, different physical plan (AsOfMergeJoinExec).
     */
   def purchaseAsofClickNative(spark: SparkSession, dir: String): DataFrame =
-    purchaseAsofClickWith(spark, dir)(asofJoinNative)
+    purchaseAsofClickWith(spark, dir)(asofJoinNative(_, _, _, _, _, _))
 
   /** Forward as-of join: for each left row, the EARLIEST right row
     * with rightTime >= leftTime on the same key (the time-reversed
@@ -208,15 +208,17 @@ object Temporal {
     * tie unspecified — collapsing ties before the join makes both
     * engines' pick a function of the data, not of engine internals.
     */
-  def errorNextPurchase(spark: SparkSession, dir: String): DataFrame = {
+  private def errorNextPurchaseWith(spark: SparkSession, dir: String)(
+      join: (DataFrame, DataFrame, String, String, Seq[String], Seq[String])
+        => DataFrame): DataFrame = {
     val ev = rawEvents(spark, dir)
     val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts"), col("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts"))
       .agg(min(col("value")).as("value"))
-    asofJoinForward(errors, purchases, "user_id", "ts",
-      leftCols = Seq("event_id"), rightCols = Seq("ts", "value"))
+    join(errors, purchases, "user_id", "ts",
+      Seq("event_id"), Seq("ts", "value"))
       .select(
         col("event_id"),
         col("user_id"),
@@ -225,6 +227,16 @@ object Temporal {
         col("r_value").as("purchase_value"))
       .orderBy(col("event_id"))
   }
+
+  def errorNextPurchase(spark: SparkSession, dir: String): DataFrame =
+    errorNextPurchaseWith(spark, dir)(asofJoinForward)
+
+  /** errorNextPurchase on the native merge operator's forward
+    * direction — same rows, same oracle, AsOfMergeJoinExec plan.
+    */
+  def errorNextPurchaseNative(spark: SparkSession, dir: String): DataFrame =
+    errorNextPurchaseWith(spark, dir)(
+      asofJoinNative(_, _, _, _, _, _, forward = true))
 
   /** Generic bounded range self/pair join: (a, b) on the same key with
     * b.t in (a.t, a.t + windowNs]. Bucketed equi-join, constant fanout.

@@ -36,8 +36,8 @@ import org.apache.spark.sql.types.LongType
   * `spark.experimental.extraStrategies` (done lazily by
   * `Temporal.asofJoinNative`).
   */
-case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan)
-    extends BinaryNode {
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] = left.output :+ right.output.last
   // the operator consumes every child column positionally (key, t,
   // payload); without this, ColumnPruning sees no expressions on the
@@ -54,14 +54,24 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan)
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r) =>
-      AsOfMergeJoinExec(planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, fwd) =>
+      AsOfMergeJoinExec(planLater(l), planLater(r), fwd) :: Nil
     case _ => Nil
   }
 }
 
-case class AsOfMergeJoinExec(left: SparkPlan, right: SparkPlan)
-    extends BinaryExecNode {
+/** `forward = false`: per left row, the LATEST right row with
+  * `rt <= lt` (ties -> greatest payload). `forward = true`: the
+  * EARLIEST right row with `rt >= lt` (ties -> least payload). Both
+  * tie-breaks are exactly their window formulations' (`last` over the
+  * preceding frame / `first` over the following frame, right side
+  * ordered `(t, payload)` ascending) — and both fall out of the SAME
+  * required right-child ordering: the backward merge overwrites its
+  * match through equal-t rows so the last (greatest) survives, the
+  * forward merge stops at the first qualifying row (least).
+  */
+case class AsOfMergeJoinExec(left: SparkPlan, right: SparkPlan,
+    forward: Boolean = false) extends BinaryExecNode {
 
   private def checkShape(p: SparkPlan, side: String): Unit = {
     require(p.output.length == 3 &&
@@ -106,10 +116,10 @@ case class AsOfMergeJoinExec(left: SparkPlan, right: SparkPlan)
         private var curKey: Long = 0L
         private var nextOut: InternalRow = null
 
-        /** Consume right rows up to (k, t): rows on earlier keys can
-          * never match again (left keys ascend); rows on key k with
-          * rt <= t each overwrite the current match, so the last —
-          * greatest (t, payload) — wins.
+        /** Backward: consume right rows up to (k, t) — rows on earlier
+          * keys can never match again (left keys ascend); rows on key
+          * k with rt <= t each overwrite the current match, so the
+          * last — greatest (t, payload) — wins.
           */
         private def advanceRight(k: Long, t: Long): Unit = {
           while (rRow != null && (rRow.getLong(0) < k ||
@@ -119,14 +129,35 @@ case class AsOfMergeJoinExec(left: SparkPlan, right: SparkPlan)
           }
         }
 
+        /** Forward: DISCARD right rows strictly before (k, t) — they
+          * cannot match this or any later left row (left (k, t)
+          * ascends) — then the head, if on key k, is the match: first
+          * in (k, rt, payload) order = earliest rt, least payload.
+          * The head is NOT consumed; it may serve later left rows.
+          */
+        private def advanceRightFwd(k: Long, t: Long): Unit = {
+          while (rRow != null && (rRow.getLong(0) < k ||
+              (rRow.getLong(0) == k && rRow.getLong(1) < t))) {
+            rRow = if (rIt.hasNext) rIt.next() else null
+          }
+        }
+
         private def findNext(): InternalRow = {
           while (lIt.hasNext) {
             val l = lIt.next()
             val k = l.getLong(0)
-            advanceRight(k, l.getLong(1))
-            if (curMatch != null && curKey == k) {
-              numOutputRows += 1
-              return proj(joined(l, curMatch))
+            if (forward) {
+              advanceRightFwd(k, l.getLong(1))
+              if (rRow != null && rRow.getLong(0) == k) {
+                numOutputRows += 1
+                return proj(joined(l, rRow))
+              }
+            } else {
+              advanceRight(k, l.getLong(1))
+              if (curMatch != null && curKey == k) {
+                numOutputRows += 1
+                return proj(joined(l, curMatch))
+              }
             }
           }
           null

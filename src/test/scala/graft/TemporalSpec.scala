@@ -86,6 +86,46 @@ class TemporalSpec extends SparkTestBase {
     assert(r === Map("p1" -> "r1", "p2" -> "z2", "p3" -> "exact"))
   }
 
+  test("native FORWARD merge as-of: plans AsOfMergeJoinExec and matches the window formulation") {
+    val native = Temporal.errorNextPurchaseNative(spark, sf("sf0.001"))
+    val window = Temporal.errorNextPurchase(spark, sf("sf0.001"))
+    val n = native.collect().map(_.toSeq).toSet
+    val w = window.collect().map(_.toSeq).toSet
+    assert(n.nonEmpty)
+    assert(n === w, "native forward as-of must reproduce the window rows")
+    assert(native.queryExecution.executedPlan.toString
+      .contains("AsOfMergeJoin"),
+      "expected AsOfMergeJoinExec in the physical plan:\n" +
+        native.queryExecution.executedPlan)
+  }
+
+  test("native forward as-of: unit semantics (earliest-at-or-after, >=, least-payload tie)") {
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"),
+      (3L, 10L, "p4")).toDF("k", "t", "lp")
+    val right = Seq((1L, 150L, "r2"), (1L, 150L, "z2"), (1L, 90L, "early"),
+      (2L, 50L, "exact"), (9L, 1L, "other")).toDF("k", "t", "rp")
+    val r = Temporal.asofJoinNative(left, right, "k", "t",
+      leftCols = Seq("lp"), rightCols = Seq("rp"), forward = true)
+      .select("lp", "r_rp").as[(String, String)].collect().toMap
+    // p1: the t=150 tie resolves to the LEAST payload (r2 < z2), and
+    // the t=90 row is strictly before so invisible; p2: nothing at or
+    // after 200 on key 1 -> dropped; p3: exact simultaneous match;
+    // p4: no right row on key 3 -> dropped
+    assert(r === Map("p1" -> "r2", "p3" -> "exact"))
+  }
+
+  test("native forward as-of: one right row serves multiple left rows") {
+    // the forward merge must NOT consume its match: three left rows at
+    // ascending times all resolve to the same later right row
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"))
+      .toDF("k", "t", "lp")
+    val right = Seq((1L, 30L, "hit")).toDF("k", "t", "rp")
+    val r = Temporal.asofJoinNative(left, right, "k", "t",
+      leftCols = Seq("lp"), rightCols = Seq("rp"), forward = true)
+      .select("lp", "r_rp").as[(String, String)].collect().toMap
+    assert(r === Map("a" -> "hit", "b" -> "hit", "c" -> "hit"))
+  }
+
   test("range join honors the (a.t, a.t + window] bound across bucket edges") {
     val a = Seq((1L, 1000L, 10L), (1L, 3_600_000_000_000L - 1000L, 11L))
       .toDF("user_id", "ts", "event_id")
