@@ -306,12 +306,56 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val registry = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
+    // WRITE-PATH benchmarks: the two real sinks (partitioned letter
+    // sink, streaming curation ingest) are correctness-gated but were
+    // never timed — a sink regression (say, an accidental extra
+    // pre-write shuffle) was invisible to every gate. They run under
+    // the same measure/flag/rerun machinery as queries: each runner
+    // does a full fresh write to its own temp dir per invocation, so
+    // reruns measure the same work. Values archived in SECONDS like
+    // every entry (the gate compares like with like); rows/s goes to
+    // stderr for humans.
+    val writeRunners: Seq[(String, String => Long)] = Seq(
+      "write_letter_sink" -> { dir =>
+        val docs = graft.sources.Tables.documents(spark, dir)
+        val idx = graft.operators.InvertedIndex(docs)
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_bench_letters").toString
+        graft.sources.LetterSink.writePartitioned(idx, out)
+        spark.read.text(out).count()
+      },
+      "write_curated_ingest" -> { dir =>
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val docs = graft.sources.Tables.documents(spark, dir)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("lang"),
+            org.apache.spark.sql.functions.col("text"))
+          .as[graft.streaming.EventStreams.CDoc].collect()
+        val nBatches = 4
+        val batches = (0 until nBatches).map(i =>
+          docs.filter(_.doc_id % nBatches == i).sortBy(-_.doc_id))
+        val snap = java.nio.file.Files
+          .createTempDirectory("graft_bench_ingest")
+          .resolve("snapshot").toString
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[graft.streaming.EventStreams.CDoc]
+        val q = graft.streaming.EventStreams.curatedIngest(input.toDF(), snap)
+        try {
+          batches.foreach { b =>
+            input.addData(b.toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        docs.length.toLong
+      })
+    val writeRunnerMap = writeRunners.toMap
     // Warmup is INTERLEAVED per query (warm q at sf0.001, then time q at
     // the target SF), not a separate all-queries warmup pass: codegen
     // cache or not, the JVM's own JIT state for a query's generated
     // classes is freshest immediately after the warmup run, and an
     // up-front pass puts 122 other queries between warm and measure.
-    val results = registry.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queryResults = registry.toSeq.sortBy(_._1).map { case (name, fn) =>
       warmDir.foreach { wd =>
         try {
           fn(spark, wd).write.format("noop").mode("overwrite").save()
@@ -330,6 +374,34 @@ object Bench {
       Cleanup.fullRelease(spark)
       name -> dt
     }
+    // write paths: same interleaved warm-then-measure discipline; the
+    // returned row count turns the archived seconds into rows/s on
+    // stderr (the sf-independent number a sink regression moves)
+    val writeResults = (if (only.isEmpty) writeRunners
+      else writeRunners.filter(w => only.exists(_.contains(w._1))))
+      .map { case (name, run) =>
+        warmDir.foreach { wd =>
+          try { run(wd); Cleanup.dropPersisted(spark) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+          }
+        }
+        val t0 = System.nanoTime()
+        val rows =
+          try run(sfDir)
+          catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1L
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        Cleanup.fullRelease(spark)
+        if (rows >= 0)
+          System.err.println(
+            f"[bench] $name: $rows rows in $dt%.2f s = ${rows / dt}%.0f rows/s")
+        name -> dt
+      }
+    val results = queryResults ++ writeResults
     // Locale-pinned: the f-interpolator uses the default JVM locale, which
     // on a comma-decimal locale (de_DE) would emit "1,234" and break the
     // driver's JSON parse.
@@ -359,7 +431,9 @@ object Bench {
       "curated_corpus", "decontaminate", "window_top_orders",
       "upsert_snapshot", "top_words", "rank_corr", "ann_topk",
       "semantic_dedup", "pca_top_component", "abtt_debias",
-      "pca_components", "q21_waiting_suppliers", "q9_profit")
+      "pca_components", "q21_waiting_suppliers", "q9_profit",
+      // round-12: the two write paths, timed for the first time
+      "write_letter_sink", "write_curated_ingest")
     val byName = results.toMap
     // a renamed/removed registry entry silently shrinking the headline map
     // would go unnoticed — surface it
@@ -402,8 +476,11 @@ object Bench {
         val t0 = System.nanoTime()
         val ok =
           try {
-            SparkEntry.queries(k)(spark, sfDir)
-              .write.format("noop").mode("overwrite").save()
+            writeRunnerMap.get(k) match {
+              case Some(run) => run(sfDir)
+              case None => SparkEntry.queries(k)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save()
+            }
             true
           } catch { case e: Throwable =>
             System.err.println(s"[bench] rerun $k failed: ${e.getMessage}")
