@@ -72,25 +72,29 @@ object Bench {
     val f = new java.io.File(dir, "BASELINE.md")
     if (!f.isFile) return Map.empty
     val text = readLines(f).mkString("\n")
-    val fence = """(?s)```json\s*(\{.*?\})\s*```""".r
-    fence.findFirstMatchIn(text).map(_.group(1)) match {
-      case None => Map.empty
-      case Some(json) =>
-        try {
-          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-          val root = mapper.readTree(json)
-          if (root.path("sf").asText() != sfDir) Map.empty
-          else {
-            val qs = root.path("queries")
-            import scala.jdk.CollectionConverters._
-            qs.properties().asScala
-              .map(e => e.getKey -> e.getValue.asDouble()).toMap
-          }
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] BASELINE.md unreadable: ${e.getMessage}")
-          Map.empty
+    // [^`] keeps a match inside ONE fenced block: with dotall-`.` a
+    // malformed first block (no closing brace) would swallow the next
+    // fence wholesale and hide a valid later block.
+    val fence = """(?s)```json\s*(\{[^`]*\})\s*```""".r
+    // The file may carry one block per scale factor (sf0.1 + sf1.0);
+    // the first block whose "sf" matches the bench target wins, so a
+    // bench at either SF gets its own committed medians.
+    fence.findAllMatchIn(text).map(_.group(1)).flatMap { json =>
+      try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(json)
+        if (root.path("sf").asText() != sfDir) None
+        else {
+          val qs = root.path("queries")
+          import scala.jdk.CollectionConverters._
+          Some(qs.properties().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap)
         }
-    }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] BASELINE.md block unreadable: ${e.getMessage}")
+        None
+      }
+    }.nextOption().getOrElse(Map.empty)
   }
 
   /** Per-query minima over the newest `BaselineLookback` run-log lines

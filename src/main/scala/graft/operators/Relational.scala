@@ -29,6 +29,27 @@ object Relational {
   private def decSum(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** decSum for totals that can outgrow double precision. The decimal
+    * sums themselves are exact in every engine; the FINAL decimal→double
+    * cast diverges by 1 ulp across engines once the total has more than
+    * ~16 significant digits, because Spark correctly-rounds the full
+    * decimal while DuckDB converts the scaled integer and divides — two
+    * roundings (first seen at sf1: q1's global scale-6 charge total hit
+    * 17 digits and the hash check caught the ulp). Rounding the total to
+    * cents first keeps the scaled integer under 2^53 (exact in double)
+    * for totals up to ~9e13, i.e. sf ~3000, and both engines convert it
+    * identically. Grouped sums elsewhere sit orders of magnitude below
+    * the threshold and keep full scale.
+    *
+    * Oracle parity: the matching DuckDB SQL must use round(total, 2) —
+    * a bare CAST(x AS DECIMAL(38,2)) TRUNCATES in DuckDB (1.345→1.34,
+    * even 1.0370→1.03) while Spark's decimal cast rounds HALF_UP;
+    * round() is half-away-from-zero, which equals HALF_UP for the
+    * positive money totals here.
+    */
+  private def decSumMoney(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("decimal(38,2)").cast("double")
+
   /** TPC-H Q1: pricing summary. One scan, one shuffle (partial+final
     * hash agg), 6 groups.
     */
@@ -39,9 +60,9 @@ object Relational {
       .agg(
         decSum(col("l_quantity"), 2).as("sum_qty"),
         decSum(col("l_extendedprice"), 2).as("sum_base_price"),
-        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        decSumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
           .as("sum_disc_price"),
-        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        decSumMoney(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
           * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
         (decSum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
         (decSum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),

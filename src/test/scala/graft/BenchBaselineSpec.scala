@@ -141,6 +141,34 @@ class BenchBaselineSpec extends AnyFunSuite {
       "/sf0.1") === Map.empty[String, Double])
   }
 
+  test("BASELINE.md with one block per sf serves each bench target its own") {
+    val dir = fixture(
+      "BASELINE.md" ->
+        """# Baseline
+          |```json
+          |{"sf":"/sf0.1","queries":{"a":1.5}}
+          |```
+          |sf1 medians:
+          |```json
+          |{"sf":"/data/sf1.0","queries":{"a":12.0,"b":7.0}}
+          |```""".stripMargin)
+    assert(Bench.fileBaseline(dir, "/sf0.1") === Map("a" -> 1.5))
+    assert(Bench.fileBaseline(dir, "/data/sf1.0")
+      === Map("a" -> 12.0, "b" -> 7.0))
+    // an sf with no block of its own: empty, never another sf's numbers
+    assert(Bench.fileBaseline(dir, "/sf0.01") === Map.empty[String, Double])
+    // one malformed block must not hide a later matching one
+    val dir2 = fixture(
+      "BASELINE.md" ->
+        """```json
+          |{broken
+          |```
+          |```json
+          |{"sf":"/sf0.1","queries":{"a":2.0}}
+          |```""".stripMargin)
+    assert(Bench.fileBaseline(dir2, "/sf0.1") === Map("a" -> 2.0))
+  }
+
   test("flag selection: failed and baseline-less queries are never flagged") {
     val results = Seq("ok_fast" -> 0.5, "ok_slow" -> 5.0,
       "boom" -> 9.0, "new_query" -> 9.0)

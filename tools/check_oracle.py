@@ -44,17 +44,34 @@ def main():
             sys.exit(1)
 
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = {s.strip() for s in a[len("--only="):].split(",") if s.strip()}
+    if only is not None:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     con = duckdb.connect()
+    # big-SF runs: insertion-order preservation forces full
+    # materialization of giant intermediates (the sf1 pagerank CTE chain
+    # spilled >79 GB of temp and died on disk); row order is irrelevant
+    # here — the compare sorts rows itself
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        # driver testdata ships single files; ScaleUp output (data/sf1.0)
+        # is Spark-style directories of part files — glob those
+        path = Path(SF) / f"{t}.parquet"
+        src = f"{path}/*.parquet" if path.is_dir() else str(path)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     results = {}
+    import time
     for name, sql in sorted(oracle.items()):
         out_dir = OUT / name
         if not out_dir.exists():
             results[name] = "MISSING_SPARK_OUTPUT"
             continue
+        t0 = time.time()
         try:
             got_tbl = pq.read_table(str(out_dir))
             got, got_cols = table_rows(got_tbl)
@@ -63,6 +80,12 @@ def main():
         except Exception as e:
             results[name] = f"ERROR: {e}"
             continue
+        finally:
+            # progress line per oracle (stderr, flushed): a big-SF run
+            # spends minutes inside single DuckDB queries and the
+            # buffered final report gives no sign of life
+            print(f"[oracle] {name}: {time.time() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
         if got_cols != want_cols:
             results[name] = f"SCHEMA: spark={got_cols} duck={want_cols}"
         elif len(got) != len(want):
@@ -75,6 +98,8 @@ def main():
 
     # queries without oracle: just check rows exist
     for d in sorted(OUT.iterdir()):
+        if only is not None and d.name not in only:
+            continue
         if d.is_dir() and d.name not in oracle:
             try:
                 n = pq.read_table(str(d)).num_rows
