@@ -1908,7 +1908,7 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY tf.doc_id
         |        ORDER BY tf * ln(CAST(n AS DOUBLE) / df) DESC, tf.word) AS rn
         |    FROM tf JOIN df USING (word) CROSS JOIN nd
-        |    WHERE df * 8 <= n)
+        |    WHERE df * 8 <= n AND df <= 1000)
         |  WHERE rn <= 8),
         |norms AS (
         |  SELECT doc_id,
@@ -1990,7 +1990,7 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY tf.doc_id
         |        ORDER BY tf * ln(CAST(n AS DOUBLE) / df) DESC, tf.word) AS rn
         |    FROM tf JOIN df USING (word) CROSS JOIN nd
-        |    WHERE df * 8 <= n)
+        |    WHERE df * 8 <= n AND df <= 1000)
         |  WHERE rn <= 8),
         |norms AS (
         |  SELECT doc_id,

@@ -328,8 +328,9 @@ object TextAnalysis {
     * feeds the norm aggregate and both self-join sides.
     */
   def tfidfCosinePairs(spark: SparkSession, dir: String,
-      m: Int = 8, threshold: Double = 0.7, dfCapDenom: Int = 8): DataFrame =
-    tfidfCosineCore(spark, dir, m, threshold, dfCapDenom)
+      m: Int = 8, threshold: Double = 0.7, dfCapDenom: Int = 8,
+      maxPosting: Int = 1000): DataFrame =
+    tfidfCosineCore(spark, dir, m, threshold, dfCapDenom, maxPosting)
       .select(col("doc_id_1"), col("doc_id_2"),
         round(col("cosine"), 6).as("cosine"))
       .orderBy(col("doc_id_1"), col("doc_id_2"))
@@ -340,7 +341,8 @@ object TextAnalysis {
     * exchange just to discard the order.
     */
   private[operators] def tfidfCosineCore(spark: SparkSession, dir: String,
-      m: Int = 8, threshold: Double = 0.7, dfCapDenom: Int = 8): DataFrame = {
+      m: Int = 8, threshold: Double = 0.7, dfCapDenom: Int = 8,
+      maxPosting: Int = 1000): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tf = TextOps.explodedWords(docs, col("doc_id"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
@@ -349,14 +351,23 @@ object TextAnalysis {
     val wTop = Window.partitionBy(col("doc_id"))
       .orderBy(col("w").desc, col("word"))
     // eligibility floor BEFORE the top-m cut: only terms in at most
-    // N/dfCapDenom docs can enter a signature (integer comparison — no
-    // float threshold). This hard-bounds every posting list at
-    // N/dfCapDenom regardless of corpus shape; idf alone de-ranks
-    // common terms but cannot bound the worst-case fanout when the
-    // whole corpus shares a mid-frequency vocabulary.
+    // min(N/dfCapDenom, maxPosting) docs can enter a signature
+    // (integer comparisons — no float threshold). The relative part
+    // keeps corpus-common terms out of signatures at any scale; the
+    // ABSOLUTE part is the scale guard: candidate generation does
+    // df^2 work per term, so a bound that grows with N (N/dfCapDenom)
+    // makes total join fanout quadratic in corpus size — measured
+    // directly at the 10x scale-up, where sharded-vocabulary dfs sat
+    // under the loosened relative floor and fanout went 62.5k -> 562M
+    // rows (pagerank_neardup 2.6 s -> 12.5 min). With df <= maxPosting
+    // the fanout is <= maxPosting * sum(df) <= maxPosting * m * N —
+    // linear in N. At the committed SFs (<= sf0.1) the relative floor
+    // is the binding one (N/8 <= 625 < 1000), so outputs are
+    // unchanged there; the cap only engages past N = 8 * maxPosting.
     val vec = tf.join(broadcast(df_), Seq("word"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df") * dfCapDenom <= col("n"))
+      .filter(col("df") * dfCapDenom <= col("n") &&
+        col("df") <= lit(maxPosting))
       .withColumn("w", col("tf") * log(col("n").cast("double") / col("df")))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= m)

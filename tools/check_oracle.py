@@ -66,6 +66,26 @@ def main():
 
     results = {}
     import time
+    # Above this row count the detailed Python compare (to_pylist +
+    # sort) is skipped: it holds every row as a tuple of repr strings
+    # (a 51M-row levenshtein_pairs at sf1 would need ~50 GB). The
+    # in-DuckDB digest below is the gate at any size; the Python path
+    # only runs to produce a row-level diff on small mismatches.
+    DETAIL_MAX = 2_000_000
+
+    def digest(src_sql, cols):
+        """(count, sum-of-row-hashes) with every column cast to VARCHAR
+        in sorted-column order — order-independent, multiset-exact up
+        to hash collisions, O(1) memory. NULL is tagged distinctly from
+        any string value."""
+        expr = ", ".join(
+            f"coalesce(CAST(\"{c}\" AS VARCHAR), chr(1) || 'NULL')"
+            for c in cols)
+        row = con.execute(
+            f"SELECT count(*), sum(hash(concat_ws(chr(31), {expr}))) "
+            f"FROM ({src_sql})").fetchone()
+        return row[0], row[1]
+
     for name, sql in sorted(oracle.items()):
         out_dir = OUT / name
         if not out_dir.exists():
@@ -73,10 +93,37 @@ def main():
             continue
         t0 = time.time()
         try:
-            got_tbl = pq.read_table(str(out_dir))
-            got, got_cols = table_rows(got_tbl)
-            want_tbl = con.execute(sql).fetch_arrow_table()
-            want, want_cols = table_rows(want_tbl)
+            spark_src = f"SELECT * FROM read_parquet('{out_dir}/*.parquet')"
+            got_cols = sorted(pq.read_schema(
+                next(Path(out_dir).glob("*.parquet"))).names)
+            want_cols = sorted(
+                r[0] for r in con.execute(f"DESCRIBE {sql}").fetchall())
+            if got_cols != want_cols:
+                results[name] = f"SCHEMA: spark={got_cols} duck={want_cols}"
+                continue
+            got_n, got_h = digest(spark_src, got_cols)
+            want_n, want_h = digest(sql, want_cols)
+            if got_n != want_n:
+                results[name] = f"ROWS: spark={got_n} duck={want_n}"
+            elif got_h != want_h:
+                if got_n <= DETAIL_MAX:
+                    got, _ = table_rows(pq.read_table(str(out_dir)))
+                    want, _ = table_rows(con.execute(sql).fetch_arrow_table())
+                    bad = next((i for i, (a, b) in enumerate(zip(got, want))
+                                if a != b), None)
+                    if bad is None:
+                        # digest mismatch but reprs equal: varchar-cast
+                        # drift (e.g. decimal scale) — surface it
+                        results[name] = ("HASH differs but Python reprs "
+                                         "equal (cast drift)")
+                    else:
+                        results[name] = (f"VALUES differ at sorted-row {bad}:"
+                                         f"\n  spark={got[bad]}"
+                                         f"\n  duck ={want[bad]}")
+                else:
+                    results[name] = f"HASH: spark={got_h} duck={want_h} ({got_n} rows)"
+            else:
+                results[name] = f"OK ({got_n} rows)"
         except Exception as e:
             results[name] = f"ERROR: {e}"
             continue
@@ -86,15 +133,6 @@ def main():
             # buffered final report gives no sign of life
             print(f"[oracle] {name}: {time.time() - t0:.1f}s",
                   file=sys.stderr, flush=True)
-        if got_cols != want_cols:
-            results[name] = f"SCHEMA: spark={got_cols} duck={want_cols}"
-        elif len(got) != len(want):
-            results[name] = f"ROWS: spark={len(got)} duck={len(want)}"
-        elif got != want:
-            bad = next(i for i, (a, b) in enumerate(zip(got, want)) if a != b)
-            results[name] = f"VALUES differ at sorted-row {bad}:\n  spark={got[bad]}\n  duck ={want[bad]}"
-        else:
-            results[name] = f"OK ({len(got)} rows)"
 
     # queries without oracle: just check rows exist
     for d in sorted(OUT.iterdir()):
