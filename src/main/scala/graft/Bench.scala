@@ -164,13 +164,24 @@ object Bench {
         try {
           val root = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(f)
-          val qs = root.path("parsed").path("queries")
-          val it = qs.properties().iterator()
-          while (it.hasNext) {
-            val e = it.next()
-            if (e.getValue.isNumber) {
-              val v = e.getValue.asDouble()
-              acc(e.getKey) = acc.get(e.getKey).fold(v)(math.min(_, v))
+          // Archives record the sf dir they were measured at; a
+          // different-scale bench (the sf1 baseline cut) must not be
+          // gated against them — at 10x data every query would flag
+          // and re-measure 3x. Archives without the field (pre-r7)
+          // predate multi-SF benching and are all driver sf0.1 runs,
+          // so they match only the driver default.
+          val archSf = root.path("sf").asText("")
+          val effective =
+            if (archSf.nonEmpty) archSf else "/root/testdata/sf0.1"
+          if (sfDir.isEmpty || effective == sfDir) {
+            val qs = root.path("parsed").path("queries")
+            val it = qs.properties().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              if (e.getValue.isNumber) {
+                val v = e.getValue.asDouble()
+                acc(e.getKey) = acc.get(e.getKey).fold(v)(math.min(_, v))
+              }
             }
           }
         } catch { case e: Throwable =>

@@ -22,6 +22,11 @@ class BenchBaselineSpec extends AnyFunSuite {
     s"""{"n":1,"parsed":{"queries":{$m}}}"""
   }
 
+  private def roundAt(sf: String, qs: (String, Double)*): String = {
+    val m = qs.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    s"""{"n":1,"sf":"$sf","parsed":{"queries":{$m}}}"""
+  }
+
   test("baseline is the per-query min across ALL archived rounds") {
     val dir = fixture(
       "BENCH_r04.json" -> round("a" -> 1.0, "b" -> 9.0),
@@ -76,12 +81,27 @@ class BenchBaselineSpec extends AnyFunSuite {
     // non-headline "b" and holds a lower "a" — the merged baseline
     // takes the min for "a" and gains coverage of "b"
     val dir = fixture(
-      "BENCH_r06.json" -> round("a" -> 2.0),
+      "BENCH_r06.json" -> roundAt("/sf0.1", "a" -> 2.0),
       "BENCH_RUNS.jsonl" ->
         ("""{"sf":"/sf0.1","queries":{"a":1.2,"b":3.0}}""" + "\n" +
           """{"sf":"/sf0.1","queries":{"a":1.8,"b":2.5}}"""))
     assert(Bench.regressionBaseline(dir, "/sf0.1")
       === Map("a" -> 1.2, "b" -> 2.5))
+  }
+
+  test("archives from a different sf never gate a bench at another scale") {
+    // driver archives are sf0.1; an sf1 bench gated against them would
+    // flag every query (~10x data) and re-measure the whole registry
+    val dir = fixture(
+      "BENCH_r06.json" -> roundAt("/sf0.1", "a" -> 0.4),
+      "BENCH_r07.json" -> roundAt("/data/sf1", "a" -> 4.0),
+      // pre-r7 archives carry no sf field: they are driver sf0.1 runs
+      "BENCH_r05.json" -> round("a" -> 0.2))
+    assert(Bench.regressionBaseline(dir, "/data/sf1") === Map("a" -> 4.0))
+    assert(Bench.regressionBaseline(dir, "/root/testdata/sf0.1")
+      === Map("a" -> 0.2))
+    // no sf passed (unit-test/legacy path): everything merges
+    assert(Bench.regressionBaseline(dir) === Map("a" -> 0.2))
   }
 
   test("run-log lines from a different sf dir are ignored") {
