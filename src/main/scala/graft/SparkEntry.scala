@@ -111,6 +111,11 @@ object SparkEntry {
     */
   def prewarmIndexes(s: SparkSession, d: String): Unit = {
     Ivf.cachedCentroids(s, d, 16, 2)
+    // knn_graph's sqrt(N)-sized cell set (and its iters=0 16-cell
+    // sibling used by semantic_dedup) — a different cache key than
+    // the (16, 2) search index above
+    Ivf.cachedCentroids(s, d, 16, 0)
+    Ivf.cachedCentroids(s, d, Similarity.autoCells(s, d), 0)
     Pq.cachedCodebook(s, d, 8, 16, 1)
     // one k=2 fit serves the whole PCA family: cachedPcaFitK hands
     // smaller-k requests the prefix of this build

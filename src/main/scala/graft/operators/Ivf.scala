@@ -62,27 +62,40 @@ object Ivf {
     rows.toDF("cid", "cvec")
   }
 
-  /** Nearest-centroid assignment: broadcast the centroid array table,
-    * score each (vector, centroid) pair, keep the argmin by (dist,
-    * centroid id). Returns (vec_id, cell).
+  /** Nearest-centroid assignment via [[graft.plans.VecNearest]]: the
+    * centroid matrix travels as a LITERAL (k x dim floats — a few
+    * hundred KB at worst) and each vector resolves its argmax-cosine
+    * cell inside whole-stage codegen. Returns (vec_id, cell).
     *
-    * The argmin is a min_by hash aggregate over NARROW rows (vec_id,
-    * cid, d) — the previous row_number window sorted the k-way fanout
-    * with the full embedding and centroid arrays riding through the
-    * exchange. Same deterministic (dist, cid) tie-break, map-side
-    * combined to one row per vector before the shuffle.
+    * Two shapes preceded this one, each an order of magnitude apart:
+    * a row_number window over the k-way fanout WITH the arrays riding
+    * the exchange, then a min_by hash aggregate over narrow (vec_id,
+    * cid, d) rows — still n*k ROWS through a crossJoin + aggregate at
+    * ~us-scale pipeline cost per row (21 s for n=20k, k=142 at the
+    * 10x SF). This is n rows and ZERO exchanges: assignment is a map.
+    * Tie-break parity: VecNearest breaks cosine ties toward the
+    * smaller position, and positions are ordered by cid below —
+    * exactly min_by(cid, struct(-cos, cid)).
     */
-  def assign(emb: DataFrame, centroids: DataFrame): DataFrame =
-    emb
-      .crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("cid"),
-        (-cosine(col("embedding"), col("cvec"))).as("d"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cell"))
+  def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    // centroid tables are driver-resident by construction
+    // (cachedCentroids); k rows collect, ordered by cid so position
+    // == rank of cid (cids need not be contiguous)
+    val cands = centroids.select(col("cid"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val cidByPos = cands.map(_._1)
+    val candLit = typedLit(cands.map(_._2).toSeq)
+    val cidLit = typedLit(cidByPos.toSeq)
+    emb.select(col("vec_id"),
+      element_at(cidLit,
+        graft.plans.VecNearest(col("embedding"), candLit)
+          .getField("pos") + 1).as("cell"))
+  }
 
   /** Driver-side cosine distance for the tiny candidate reduction —
     * candidates are O(k log n) rows, never data-sized. */
-  private def localCosDist(a: Seq[Float], b: Seq[Float]): Double = {
+  private def localCosDist(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -140,13 +153,17 @@ object Ivf {
     var round = 1
     var exhausted = false
     while (round <= rounds && !exhausted) {
-      val candDf = broadcast(
-        cands.toSeq.map(_._2).toDF("cvec"))
-      val dists = vecs.crossJoin(candDf)
-        .select(col("vec_id"), col("embedding"),
-          (lit(1.0) - cosine(col("embedding"), col("cvec"))).as("dc"))
-        .groupBy(col("vec_id"))
-        .agg(min(col("dc")).as("d"), first(col("embedding")).as("embedding"))
+      // one VecNearest projection per round — n rows, no crossJoin,
+      // no aggregate, no exchange (the previous n x |cands| join +
+      // min-agg shape measured 383 s for the whole init at the 10x SF
+      // with k = 142; the cosine math is bit-identical). d = 1 - cos
+      // is exact-min-equivalent: 1 - x is weakly monotone, so the
+      // max-cos winner's 1 - cos IS min(1 - cos over candidates).
+      val candLit = typedLit(cands.toSeq.map(_._2))
+      val dists = vecs
+        .select(col("vec_id"),
+          (lit(1.0) - graft.plans.VecNearest(col("embedding"), candLit)
+            .getField("cos")).as("d"))
       val phi = dists.agg(sum(col("d"))).as[Option[Double]].head().getOrElse(0.0)
       if (phi <= 0) exhausted = true // every point IS a candidate
       else {
@@ -157,6 +174,8 @@ object Ivf {
           .cast("double") / lit(buckets.toDouble)
         val picked = dists
           .filter(u < least(lit(1.0), lit(l.toDouble) * col("d") / lit(phi)))
+          .select(col("vec_id"))
+          .join(vecs, "vec_id")
           .select(col("vec_id"), col("embedding"))
           .as[(Long, Seq[Float])].collect()
         // collect() row order varies with partitioning; candidate
@@ -170,32 +189,61 @@ object Ivf {
     // weights: corpus points per nearest candidate (ties toward the
     // smaller candidate POSITION, matching assign()'s cid tie-break)
     val ordered = cands.toVector
-    val posDf = broadcast(ordered.zipWithIndex
-      .map { case ((_, v), i) => (i, v) }.toDF("pos", "cvec"))
-    val weights = vecs.crossJoin(posDf)
-      .select(col("vec_id"), col("pos"),
-        (lit(1.0) - cosine(col("embedding"), col("cvec"))).as("dc"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("pos"), struct(col("dc"), col("pos"))).as("pos"))
+    // nearest-candidate position per corpus point, then a tiny count
+    // aggregate — same VecNearest projection as the rounds. Tie-break
+    // is max-cos-then-smaller-pos, which equals the previous
+    // min_by(pos, struct(1 - cos, pos)) except where two DISTINCT
+    // cosines collapse to one 1-cos double (sub-ulp corner): both
+    // orders are deterministic, and weights only steer the greedy
+    // reduction below.
+    val weights = vecs
+      .select(graft.plans.VecNearest(col("embedding"),
+        typedLit(ordered.map(_._2))).getField("pos").as("pos"))
       .groupBy(col("pos")).agg(count(lit(1)).as("w"))
       .as[(Int, Long)].collect().toMap
-    // greedy weighted farthest-first down to k
+    // greedy weighted farthest-first down to k. Candidate vectors are
+    // collect()-shaped Seq[Float] — LINKED lists, where v(i) is O(i)
+    // and a 64-dim distance costs O(dim^2) boxed hops; at |cands| ~
+    // 1.1k, k = 142 the old recompute-min-over-chosen-per-step loop
+    // spent minutes of pure List.apply (jstack-profiled). Primitive
+    // arrays + the classic incremental farthest-first cache (each
+    // candidate keeps min-dist-to-chosen, refreshed against only the
+    // NEWEST pick — fp min is exact, so values are bit-identical to
+    // the full recompute) make it O(|cands| * k) array distances.
     val target = math.min(k, ordered.size)
-    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])]()
+    val candArrs = ordered.map { case (id, v) => (id, v.toArray) }
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
     val remaining = scala.collection.mutable.ArrayBuffer(
-      ordered.zipWithIndex.map { case ((id, v), i) =>
+      candArrs.zipWithIndex.map { case ((id, v), i) =>
         (id, v, weights.getOrElse(i, 0L)) }: _*)
     val first0 = remaining.zipWithIndex
       .minBy { case ((id, _, w), _) => (-w, id) }._2
     chosen += ((remaining(first0)._1, remaining(first0)._2))
     remaining.remove(first0)
+    val minD = remaining.map(r => localCosDist(r._2, chosen.head._2))
     while (chosen.size < target && remaining.nonEmpty) {
-      val next = remaining.zipWithIndex.minBy { case ((id, v, w), _) =>
-        val d = chosen.iterator.map(c => localCosDist(v, c._2)).min
-        (-(w.toDouble * d), id)
-      }._2
-      chosen += ((remaining(next)._1, remaining(next)._2))
+      var next = 0
+      var bestKey = Double.MaxValue
+      var bestId = Long.MaxValue
+      var i = 0
+      while (i < remaining.size) {
+        val key = -(remaining(i)._3.toDouble * minD(i))
+        if (key < bestKey ||
+            (key == bestKey && remaining(i)._1 < bestId)) {
+          bestKey = key; bestId = remaining(i)._1; next = i
+        }
+        i += 1
+      }
+      val picked1 = remaining(next)
+      chosen += ((picked1._1, picked1._2))
       remaining.remove(next)
+      minD.remove(next)
+      var j = 0
+      while (j < remaining.size) {
+        val d = localCosDist(remaining(j)._2, picked1._2)
+        if (d < minD(j)) minD(j) = d
+        j += 1
+      }
     }
     // degenerate top-up: smallest unchosen ids until min(k, n)
     if (chosen.size < k) {
@@ -203,7 +251,7 @@ object Ivf {
       val extra = vecs.filter(!col("vec_id").isin(have.toSeq: _*))
         .orderBy(col("vec_id")).limit(k - chosen.size)
         .as[(Long, Seq[Float])].collect()
-      chosen ++= extra
+      chosen ++= extra.map { case (id, v) => (id, v.toArray) }
     }
     // weighted Lloyd refinement over the candidate set (the paper's
     // "recluster the weighted candidates" step): candidates with
@@ -212,7 +260,7 @@ object Ivf {
     // weighted candidate centroid — all O(|cands| * k) per round on
     // candidate-sized arrays, deterministic (ties toward the smaller
     // center index), no corpus pass
-    val wcands = ordered.zipWithIndex
+    val wcands = candArrs.zipWithIndex
       .map { case ((_, v), i) => (v, weights.getOrElse(i, 0L).toDouble) }
     var centers = chosen.toVector.map(_._2)
     var moved = true
@@ -237,13 +285,14 @@ object Ivf {
       }
       val next = centers.indices.map { i =>
         if (wsum(i) == 0) centers(i) // empty center keeps its seed
-        else sums(i).map(s => (s / wsum(i)).toFloat).toSeq
+        else sums(i).map(s => (s / wsum(i)).toFloat)
       }.toVector
-      moved = next != centers
+      moved = next.zip(centers)
+        .exists { case (a, b) => !java.util.Arrays.equals(a, b) }
       centers = next
       refineIt += 1
     }
-    centers.zipWithIndex.map { case (v, i) => (i, v) }
+    centers.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
   }
 
   /** k deterministic Lloyd iterations. Init = k-means|| with a fixed
@@ -290,13 +339,21 @@ object Ivf {
       sum(element_at(col("embedding"), i + 1).cast("decimal(28,12)"))
         .as(s"s$i"))
     (1 to iters).foreach { _ =>
-      val assigned = emb
-        .crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          (-cosine(col("embedding"), col("cvec"))).as("d"))
-        .groupBy(col("vec_id"))
-        .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cell"),
-          first(col("embedding")).as("embedding"))
+      // Lloyd assignment as a VecNearest map (see assign()): one
+      // projection + ONE aggregate keyed on cell, instead of a
+      // crossJoin + per-vector min_by that dragged the embedding
+      // array through an n-row shuffle just to regroup it. Centroid
+      // sets are k driver-resident rows per iteration by contract.
+      val cands = centroids.select(col("cid"), col("cvec")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1)))
+        .sortBy(_._1)
+      val cidLit = typedLit(cands.map(_._1).toSeq)
+      val candLit = typedLit(cands.map(_._2).toSeq)
+      val assigned = emb.select(
+        element_at(cidLit,
+          graft.plans.VecNearest(col("embedding"), candLit)
+            .getField("pos") + 1).as("cell"),
+        col("embedding"))
       centroids = assigned
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"), sums: _*)
