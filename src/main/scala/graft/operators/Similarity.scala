@@ -159,6 +159,37 @@ object Similarity {
     * hunts sit at ~66 degrees, where 4 sign bits discriminate weakly,
     * and the extra probe mass is what buys the recall. The
     * oracle-checked query uses the exact variant below.
+    *
+    * Why the plane count is FIXED rather than scaled with log2(N)
+    * (resolved design boundary, not deferred work): at the operating
+    * threshold cos = 0.4 (angle 66.4 deg), a random hyperplane agrees
+    * on a threshold pair with probability q1 = 1 - 66.4/180 = 0.631,
+    * and on a random isotropic pair with q2 = 0.5 — an LSH exponent
+    * rho = ln(q1)/ln(q2) = 0.66. The two scale-up shapes both fail on
+    * the constants that rho implies:
+    *
+    *  - Proportional multi-probe (planes ~ log2(N), maxFlips = n/2 to
+    *    hold recall): a random pair's Hamming distance is Bin(n, 1/2),
+    *    which concentrates at n/2, so the n/2-ball catches ~half of
+    *    ALL pairs as n grows — candidate mass converges to N^2/4, a
+    *    constant-factor saving over brute force, not a scale path
+    *    (and the probe-key fanout sum(C(n, f), f <= n/2) ~ 2^(n-1) is
+    *    itself exponential).
+    *  - Banded multi-table (Indyk-Motwani AND-OR): bands of
+    *    b = log2(N) bits suppress random collisions to 1/N, but a
+    *    threshold pair then collides per band with q1^b = N^-0.66, so
+    *    constant recall needs ~N^0.66 tables — ~720 full hash+shuffle
+    *    passes at N = 20k for recall 0.9, with the brute-force
+    *    crossover far above any corpus this op would be pointed at.
+    *
+    * So sign-bit LSH at 66 deg is inherently a moderate-N,
+    * constant-factor candidate reducer (measured here: ~11/16 of the
+    * pair space probed, recall >= 0.7 spec floor); the at-scale
+    * embedding-similarity paths are the IVF-cell family
+    * (`semanticDedup`, `knnGraph`, `Ivf.ivfTopK`), whose cell
+    * occupancy — unlike sign-bucket occupancy — is controlled by the
+    * index build (sqrt(N) cells), keeping in-cell quadratic terms
+    * linear overall.
     */
   def cosineNearDupLsh(spark: SparkSession, dir: String,
       threshold: Double = 0.4, nPlanes: Int = 4,
