@@ -1277,12 +1277,14 @@ object SparkEntry {
         |  upper(substr(p_name, 1, 5)) AS name_head,
         |  CAST(length(p_name) AS BIGINT) AS name_len
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // no ORDER BY: the Spark side deliberately returns the (quadratic
+    // -sized) pair multiset unsorted — see levenshteinPairs' Scaladoc;
+    // the compare is order-independent on both sides
     "levenshtein_pairs" ->
       """SELECT a.p_partkey AS partkey_1, b.p_partkey AS partkey_2, a.p_brand,
         |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
         |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        |WHERE levenshtein(a.p_name, b.p_name) <= 3
-        |ORDER BY partkey_1, partkey_2""".stripMargin,
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
     "array_agg_orders" ->
       """SELECT o_custkey,
         |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prios_csv,

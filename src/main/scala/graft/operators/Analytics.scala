@@ -368,6 +368,16 @@ object Analytics {
     * hard-capped p_partkey <= 1000 and still generated all
     * within-brand ROW pairs, which on this name distribution meant
     * 7.7M distance calls at sf0.1 where 2k suffice).
+    *
+    * The result is the pair MULTISET, deliberately NOT globally
+    * sorted: the output is quadratic in catalog size (51M rows at
+    * sf1), and a trailing orderBy range-shuffles and sorts all of it
+    * for presentation only — measured at sf1 as ~60% of the whole
+    * query (sorted 123-151 s vs unsorted 45-61 s, 3 runs each). Both
+    * correctness gates (the DuckDB oracle digest and the determinism
+    * matrix) compare order-independently, and the multiset itself is
+    * deterministic. Callers who need a total order pay for it
+    * explicitly at their own scale.
     */
   def levenshteinPairs(spark: SparkSession, dir: String,
       maxDist: Int = 3): DataFrame = {
@@ -411,7 +421,6 @@ object Analytics {
       .filter(col("partkey_1") < col("partkey_2"))
       .select(col("partkey_1"), col("partkey_2"), col("p_brand"),
         col("edit_dist"))
-      .orderBy(col("partkey_1"), col("partkey_2"))
   }
 
   /** Array aggregation + array-function surface: each customer's
