@@ -265,6 +265,8 @@ object SparkEntry {
     "dup_span_coverage128" ->
       ((s, d) => Dedup.dupSpanCoverage(s, d, wideHash = true)),
     "top_dup_spans" -> ((s, d) => Dedup.topDupSpans(s, d)),
+    "dedup_span_removal" ->
+      ((s, d) => Dedup.dupSpanRemoval(Tables.documents(s, d))),
     "pagerank_neardup" -> ((s, d) => Dedup.pagerankNearDup(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "doc_perplexity" -> ((s, d) => TextAnalysis.docPerplexity(s, d)),
@@ -1833,6 +1835,43 @@ object SparkEntry {
         |FROM w CROSS JOIN tot ORDER BY source""".stripMargin,
     "dup_span_coverage" -> DupSpanCoverageOracle,
     "dup_span_coverage128" -> DupSpanCoverageOracle,
+    // same tokenization/window CTEs as DupSpanCoverageOracle, then the
+    // removal semantics replayed set-wise: a word position is covered
+    // iff a duplicated 8-word window starts within the 7 positions at
+    // or before it
+    "dedup_span_removal" ->
+      """WITH words0 AS (
+        |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i - 1 AS idx, ws[i] AS w
+        |  FROM words0, unnest(range(1, len(ws) + 1)) AS t(i)),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS s, array_to_string(ws[i:i+7], ' ') AS gram
+        |  FROM words0, unnest(range(1, len(ws) - 6)) AS t(i)
+        |  WHERE len(ws) >= 8),
+        |occ AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |dup AS (SELECT g.doc_id, g.s FROM g JOIN occ ON g.gram = occ.gram),
+        |cov AS (
+        |  SELECT w.doc_id, w.idx, any_value(w.w) AS w,
+        |         count(dup.s) AS nc
+        |  FROM w LEFT JOIN dup
+        |    ON dup.doc_id = w.doc_id AND dup.s BETWEEN w.idx - 7 AND w.idx
+        |  GROUP BY w.doc_id, w.idx),
+        |kept AS (
+        |  SELECT doc_id, string_agg(w, ' ' ORDER BY idx) AS clean_text,
+        |         CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM cov WHERE nc = 0 GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words
+        |        FROM w GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(kept.clean_text, '') AS clean_text,
+        |  COALESCE(tot.n_words, 0) AS n_words,
+        |  COALESCE(tot.n_words, 0) - COALESCE(kept.n_kept, 0) AS n_removed
+        |FROM documents d
+        |LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN kept ON d.doc_id = kept.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "bpe_pairs" ->
       """WITH toks AS (
         |  SELECT lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word

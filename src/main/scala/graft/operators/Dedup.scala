@@ -802,6 +802,100 @@ object Dedup {
       .limit(topK)
   }
 
+  /** Duplicated-span REMOVAL — the corpus rewrite that
+    * [[dupSpanCoverage]] only measures (after Lee et al.'s
+    * exact-substring dedup / C4-style boilerplate stripping): every
+    * k-word window of the normalized word stream whose content occurs
+    * more than once in the CORPUS (cross-doc or repeated in-doc) is
+    * cut from every document carrying it, and the retained words are
+    * re-joined into the cleaned text. Output per document:
+    * (doc_id, clean_text, n_words, n_removed), where clean_text is
+    * the space-joined retained NORMALIZED word stream (the original
+    * byte layout is not reconstructible once windows are defined over
+    * the normalized stream — the same contract as the coverage op)
+    * and n_removed counts dropped word positions. The drop-all-copies
+    * policy is deliberate: duplicated spans are boilerplate evidence,
+    * and keep-one-canonical is a policy layer a caller composes on
+    * top (e.g. route the spans through [[exactClusters]] keepers).
+    *
+    * Scale shape — three exchanges total on the fact stream:
+    *  1. words shuffle once on doc_id (position numbering; the k-1
+    *     lead windows and the final re-join aggregate reuse it);
+    *  2. span rows — (doc_id, start, 64-bit xxhash key), never the
+    *     gram string — shuffle once on the key, where the corpus-wide
+    *     occurrence count is an unordered WINDOW count (no posting
+    *     self-join, no second derivation of the span table);
+    *  3. the surviving duplicated starts collapse to ONE sorted long
+    *     array per touched document and ride a doc_id exchange back,
+    *     joining words on doc_id alone — so the join reuses exchange
+    *     1's partitioning instead of forcing a (doc_id, idx)
+    *     repartition of the whole word table.
+    * Coverage is then pure per-row compute: a position p is covered
+    * iff some duplicated start lies in [p-k+1, p], counted by two
+    * [[graft.plans.ArrayCountLess]] binary searches against the
+    * per-doc array — codegen'd, O(log dups) per word, no explosion of
+    * each start into its k positions and no extra window pass.
+    * Per-doc state bounds: the starts array holds at most n_words
+    * longs for a wholly-duplicated document — the same order as the
+    * final collect_list the rewrite itself requires. A gram
+    * duplicated d times puts d rows in one key partition of exchange
+    * 2 (count only, nothing quadratic). Same 64-bit collision caveat
+    * as dupSpanCoverage (a collision marks a clean span duplicated);
+    * past ~10^9 distinct grams key on the 128-bit pair instead (same
+    * plan shape).
+    */
+  def dupSpanRemoval(docs: DataFrame, k: Int = 8): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), TextOps.TokenSplitRe))
+          .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        TextOps.normalize(col("tok")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"),
+        (row_number().over(byPos) - 1).as("idx"), col("w"))
+    val byIdx = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    val leads = (1 until k).map(i => lead(col("w"), i).over(byIdx).as(s"w$i"))
+    val spans = words
+      .select(col("doc_id") +: col("idx") +: col("w").as("w0") +: leads: _*)
+      .filter(col(s"w${k - 1}").isNotNull)
+      .select(col("doc_id"), col("idx"),
+        xxhash64(concat_ws(" ", (0 until k).map(i => col(s"w$i")): _*))
+          .as("h"))
+    val dupStarts = spans
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("n_occ") > 1)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx").cast("long"))).as("starts"))
+    // covered(p) = #starts < p+1 minus #starts < p-k+1; starts is null
+    // for untouched docs (left join), where ArrayCountLess yields null
+    val nCovering =
+      graft.plans.ArrayCountLess(col("starts"),
+        (col("idx") + 1).cast("long")) -
+      graft.plans.ArrayCountLess(col("starts"),
+        (col("idx") - (k - 1)).cast("long"))
+    val perDoc = words
+      .join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("keep", coalesce(nCovering, lit(0)) === 0)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("idx"), col("w"))))),
+          x => x.getField("w"))).as("clean_text"),
+        count(lit(1)).as("n_words"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        (coalesce(col("n_words"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PageRank over the near-dup similarity graph (symmetrized tf-idf
     * APSS pairs): which documents sit at the CENTER of duplication
     * clusters — the doc a dedup pipeline should keep as the canonical

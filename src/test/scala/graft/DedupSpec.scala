@@ -144,4 +144,61 @@ class DedupSpec extends SparkTestBase {
     assert(want.nonEmpty)
     assert(got === want)
   }
+
+  test("span removal cuts exactly the cross-doc duplicated window") {
+    val docs = Seq(
+      (1L, "one two a b c d e f g h three four"),
+      (2L, "x y a b c d e f g h z w"),
+      (3L, "hello world"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dupSpanRemoval(docs).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(r === Array(
+      (1L, "one two three four", 12L, 8L),
+      (2L, "x y z w", 12L, 8L),
+      (3L, "hello world", 2L, 0L)))
+  }
+
+  test("span removal handles whole-doc dups and within-doc repeats") {
+    val docs = Seq(
+      // 4 and 5 are byte-identical 8-word docs: the single window is
+      // duplicated, so both collapse to empty
+      (4L, "p q r s t u v w"),
+      (5L, "p q r s t u v w"),
+      // 6 repeats its own 8-word prefix: windows at starts 0 and 8
+      // share content, covering every position
+      (6L, "m n o p q r s t m n o p q r s t"),
+      // 7 is unique and stays intact
+      (7L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dupSpanRemoval(docs).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(r === Array(
+      (4L, "", 8L, 8L),
+      (5L, "", 8L, 8L),
+      (6L, "", 16L, 16L),
+      (7L, "alpha beta gamma delta epsilon zeta eta theta iota", 9L, 0L)))
+  }
+
+  test("span removal agrees with span coverage on what is touched") {
+    // a doc loses words iff the coverage op sees duplicated grams in
+    // it, and the interval arithmetic bounds hold: with d duplicated
+    // k-gram starts forming m >= 1 maximal runs, removed positions =
+    // d + m*(k-1), so d + (k-1) <= removed <= d*k
+    val rem = Dedup.dupSpanRemoval(
+      graft.sources.Tables.documents(spark, sf("sf0.001")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val cov = Dedup.dupSpanCoverage(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rem.keySet === cov.keySet)
+    assert(rem.values.exists(_._2 > 0), "corpus should contain dups")
+    rem.foreach { case (id, (_, removed)) =>
+      val dupGrams = cov(id)
+      assert((removed > 0) === (dupGrams > 0), s"doc $id touch mismatch")
+      if (dupGrams > 0) {
+        assert(removed >= dupGrams + 7, s"doc $id removed < starts+k-1")
+        assert(removed <= dupGrams * 8, s"doc $id removed > starts*k")
+      }
+    }
+  }
 }
