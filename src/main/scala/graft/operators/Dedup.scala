@@ -227,6 +227,12 @@ object Dedup {
     // aligned join on ng (partial aggregation and no sort, unlike a
     // count-over-window which sorts the whole table); the array
     // rebuild is the one unavoidable shuffle back to doc_id.
+    // NOT checkpointed (measured at sf1): the exploded gram table is
+    // larger than its own lineage is expensive — materializing it for
+    // the df aggregate + join-probe pair ran slightly SLOWER than
+    // letting the docNgramSets pass recompute (6.4-8.7 s vs 5.4-6.3 s
+    // steady), unlike the narrow combined tables checkpointed in
+    // dupSpanCoverage/tfidf/pmi where the saved pass dominates
     val grams = docNgramSets(docs, n)
       .select(col("doc_id"), explode(col("ngs")).as("ng"))
     val dfTab = grams.groupBy(col("ng")).agg(count(lit(1)).as("df"))
@@ -696,11 +702,13 @@ object Dedup {
     *
     * Scale shape: grams travel as 64-bit xxhash keys, never strings —
     * the shuffle carries (doc_id, hash, tf) after a map-side combine
-    * per (doc, gram). Occurrence totals are a second hash aggregate on
-    * the gram key; the membership join back is an equi-join on that
-    * same key, so the whole operator is explode -> two narrow hash
-    * aggs -> one equi-join -> per-doc agg. Nothing is driver-bound and
-    * no corpus text moves after the explode projection. The oracle
+    * per (doc, gram), and that combined table is checkpointed so the
+    * corpus is exploded exactly once. Occurrence totals are a second
+    * hash aggregate on the gram key; the membership join back is an
+    * AQE-skew-splittable equi-join on that same key, so the whole
+    * operator is explode -> narrow hash agg -> tiny agg -> one
+    * equi-join -> per-doc agg. Nothing is driver-bound and no corpus
+    * text moves after the explode projection. The oracle
     * groups the literal gram strings; hashed grouping matches it
     * unless xxhash64 collides (~1e-9 at 1e5 grams). Collision odds
     * grow QUADRATICALLY with distinct grams (birthday bound m^2/2^65):
@@ -749,10 +757,22 @@ object Dedup {
       if (wideHash) struct(xxhash64(col("span")).as("h1"),
         xxhash64(lit(0x9E3779B9L), col("span")).as("h2"))
       else struct(xxhash64(col("span")).as("h1"))
+    // checkpointed: perDocGram feeds BOTH the occurrence aggregate and
+    // the membership join probe — without it each consumer recomputes
+    // the whole explode-and-lead-window lineage (a second full corpus
+    // pass, measured as the dominant cost of the operator: 8.0 s ->
+    // ~2 s steady at sf1). An unordered window-sum over gh would also
+    // dedup the derivation WITHOUT materializing, but it parks every
+    // combined row of a hot gram on one reducer with no map-side
+    // combine and no AQE skew-split — and high-occurrence grams are
+    // this operator's SIGNAL, so the skew-safe agg+join keeps the
+    // 100 TB posture and the checkpoint pays one (doc_id, hash, tf)
+    // materialization instead of a corpus re-scan.
     val perDocGram = docSpans(docs, k)
       .select(col("doc_id"), gh.as("gh"))
       .groupBy(col("doc_id"), col("gh"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val occ = perDocGram.groupBy(col("gh"))
       .agg(sum(col("tf")).as("n_occ"))
     val per = perDocGram
@@ -818,13 +838,15 @@ object Dedup {
     * and keep-one-canonical is a policy layer a caller composes on
     * top (e.g. route the spans through [[exactClusters]] keepers).
     *
-    * Scale shape — three exchanges total on the fact stream:
+    * Scale shape — one corpus pass, four exchanges on the fact stream:
     *  1. words shuffle once on doc_id (position numbering; the k-1
     *     lead windows and the final re-join aggregate reuse it);
     *  2. span rows — (doc_id, start, 64-bit xxhash key), never the
-    *     gram string — shuffle once on the key, where the corpus-wide
-    *     occurrence count is an unordered WINDOW count (no posting
-    *     self-join, no second derivation of the span table);
+    *     gram string — are checkpointed once and shuffle on the key
+    *     twice, as a map-side-combined occurrence aggregate and as the
+    *     probe of an AQE-skew-splittable membership join (no second
+    *     derivation of the span table, and no window-over-key, which
+    *     would park a hot gram's rows on one reducer);
     *  3. the surviving duplicated starts collapse to ONE sorted long
     *     array per touched document and ride a doc_id exchange back,
     *     joining words on doc_id alone — so the join reuses exchange
@@ -863,9 +885,15 @@ object Dedup {
       .select(col("doc_id"), col("idx"),
         xxhash64(concat_ws(" ", (0 until k).map(i => col(s"w$i")): _*))
           .as("h"))
-    val dupStarts = spans
-      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("n_occ") > 1)
+    // checkpointed for the same reason as dupSpanCoverage's combined
+    // table: spans feeds the occurrence aggregate AND the membership
+    // join probe, and a hot boilerplate gram must stay map-side
+    // combinable / AQE-splittable rather than collapsing onto one
+    // window reducer
+    val spansCk = spans.localCheckpoint(eager = false)
+    val occ = spansCk.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+    val dupStarts = spansCk
+      .join(occ.filter(col("n_occ") > 1), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("idx").cast("long"))).as("starts"))
     // covered(p) = #starts < p+1 minus #starts < p-k+1; starts is null

@@ -124,9 +124,14 @@ object TextAnalysis {
     */
   def tfidfTopTerm(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // checkpointed: tf feeds the df aggregate and the scored join
+    // probe; without it the df branch re-explodes the corpus — one
+    // (doc_id, word, tf) materialization buys back a full second
+    // corpus pass
     val tf = TextOps.explodedWords(docs, col("doc_id"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     // tf has exactly one row per (doc_id, word) and doc_id is unique in
     // documents, so both "distinct" counts are plain counts — skipping
     // the two-phase distinct aggregation (Expand + double shuffle)
@@ -237,12 +242,13 @@ object TextAnalysis {
     *   s(d,t)  = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
     *   score(d) = sum over query terms of s(d,t)
     *
-    * Scale shape: the term filter lands BEFORE the tf aggregate, so
-    * only rows for the |Q| query terms survive the explode (at 100 TB
-    * that is the difference between shuffling the corpus vocabulary
-    * and shuffling |Q| * n_docs scalar rows); doc length is its own
-    * narrow aggregate joined back on doc_id; df and the corpus
-    * constants are tiny broadcast sides. Determinism: tf/df/dl/N are
+    * Scale shape: ONE corpus explode feeding one doc-keyed aggregate
+    * that carries doc length AND the |Q| per-term tfs as conditional
+    * sums — nothing vocabulary-wide ever shuffles (the per-doc row is
+    * |Q|+1 counters wide), and neither the doc-length join of the
+    * former three-branch shape nor its per-branch corpus re-explosion
+    * exists; df and the corpus constants are tiny broadcast sides
+    * derived from the checkpointed per-doc table. Determinism: tf/df/dl/N are
     * exact integers, avgdl is ONE integer division; each per-term
     * score is rounded to a 12-dp DECIMAL before the per-doc sum, so
     * the sum is order-independent (float sums in shuffle order are
@@ -256,17 +262,28 @@ object TextAnalysis {
     // make `k1 + 1` a round-to-nearest event the SQL literal 2.2 need
     // not agree with
     val toks = TextOps.explodedWords(Tables.documents(spark, dir), col("doc_id"))
-    val dl = toks.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("dl"))
-    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+    // ONE corpus pass: |Q| is a small fixed list, so per-term tfs ride
+    // the same doc-length aggregate as conditional sums — the former
+    // dl/tf/df three-branch shape re-exploded the corpus once per
+    // branch (dl twice: corpus-stats input + join side). The result is
+    // n_docs rows wide by |Q|+1 columns, checkpointed because both the
+    // corpus-stats aggregate and the score stream consume it.
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$i")
+        }: _*)
+      .localCheckpoint(eager = false)
+    val corpus = perDoc.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = toks
-      .filter(col("word").isin(queryTerms.map(x => x: Any): _*))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = perDoc
+      .select(col("doc_id"), col("dl"),
+        explode(map(queryTerms.zipWithIndex.flatMap { case (t, i) =>
+          Seq(lit(t), col(s"tf_$i"))
+        }: _*)).as(Seq("word", "tf")))
+      .filter(col("tf") > 0)
     val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df_), Seq("word"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(corpus))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
@@ -344,8 +361,11 @@ object TextAnalysis {
       m: Int = 8, threshold: Double = 0.7, dfCapDenom: Int = 8,
       maxPosting: Int = 1000): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // checkpointed (like vec below): tf feeds df_ and the signature
+    // build — one materialization instead of a second corpus explode
     val tf = TextOps.explodedWords(docs, col("doc_id"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nDocs = docs.select(count(lit(1)).as("n"))
     val wTop = Window.partitionBy(col("doc_id"))
@@ -522,8 +542,12 @@ object TextAnalysis {
       dfDenom: Int = 10, pairDenom: Int = 20,
       k: Int = 50): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // checkpointed: dw feeds the df aggregate and BOTH self-join sides
+    // — three consumers, each of which would otherwise re-run the
+    // explode + distinct shuffle (three corpus passes for one)
     val dw = TextOps.explodedWords(docs, col("doc_id"))
       .select(col("doc_id"), col("word")).distinct()
+      .localCheckpoint(eager = false)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val df_ = dw.groupBy(col("word")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))

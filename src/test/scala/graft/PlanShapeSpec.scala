@@ -190,9 +190,25 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   }
 
   test("dup_span_coverage: every documents scan is pruned (no lang/source)") {
-    // two scans: the gram pipeline reads (doc_id, text); the zero-fill
+    // the gram pipeline sits behind the lazy checkpoint of the
+    // combined (doc_id, gh, tf) table, so it surfaces as an RDD leaf,
+    // not a parquet scan; the only parquet documents scan left is the
+    // zero-fill left-join base, which must read doc_id alone
+    val leaves = collectLeaves(planOf("dup_span_coverage")).map(_.toString)
+    val scans = leaves.filter(_.contains("documents"))
+    assert(scans.nonEmpty)
+    assert(leaves.exists(_.contains("ExistingRDD")),
+      "combined gram table should be checkpointed (one corpus pass)")
+    scans.foreach(s =>
+      assert(!s.contains("text") && !s.contains("lang") &&
+        !s.contains("source"),
+        s"scan reads pruned columns:\n$s"))
+  }
+
+  test("dedup_span_removal: documents scans read (doc_id, text) at most") {
+    // two scans: the word pipeline reads (doc_id, text); the zero-fill
     // left-join base reads doc_id alone — neither may read the rest
-    val scans = collectLeaves(planOf("dup_span_coverage"))
+    val scans = collectLeaves(planOf("dedup_span_removal"))
       .map(_.toString).filter(_.contains("documents"))
     assert(scans.nonEmpty)
     assert(scans.exists(s => s.contains("doc_id") && s.contains("text")))
