@@ -250,6 +250,9 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => TextQuality.docRepetition(s, d)),
     "doc_entropy" -> ((s, d) => TextQuality.docEntropy(s, d)),
     "pii_scrub" -> ((s, d) => TextQuality.piiScrub(s, d)),
+    "gopher_filter" -> ((s, d) => TextQuality.gopherQualityFilter(s, d)),
+    "dsir_weights" -> ((s, d) => Dsir.importanceWeights(s, d)),
+    "dsir_sample" -> ((s, d) => Dsir.gumbelTopK(s, d)),
     "label_centroids" -> ((s, d) => Vectors.labelCentroids(s, d)),
     "vec_quantize" -> ((s, d) => Vectors.vecQuantize(s, d)),
     "pca_top_component" -> ((s, d) => Vectors.pcaTopComponent(s, d)),
@@ -1741,6 +1744,87 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "gopher_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '[ \t\n]+'), t -> length(t) > 0) AS rt,
+        |    list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines,
+        |    list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(rt) AS BIGINT) AS n_words,
+        |    round(CASE WHEN len(rt) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(rt, t -> length(t))) AS DOUBLE) / len(rt) END, 4) AS mean_word_len,
+        |    round(CASE WHEN len(rt) = 0 THEN 0.0 ELSE CAST((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / len(rt) END, 4) AS symbol_ratio,
+        |    round(CASE WHEN len(lines) = 0 THEN 0.0 ELSE CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lines) END, 4) AS bullet_line_ratio,
+        |    round(CASE WHEN len(lines) = 0 THEN 0.0 ELSE CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '\.\.\.$'))) AS DOUBLE) / len(lines) END, 4) AS ellipsis_line_ratio,
+        |    round(CASE WHEN len(rt) = 0 THEN 0.0 ELSE CAST(len(list_filter(rt, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE) / len(rt) END, 4) AS alpha_word_ratio,
+        |    CAST((CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_hits
+        |  FROM base)
+        |SELECT *,
+        |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |  AND symbol_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+        |  AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+        |  AND n_stop_hits >= 2 AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
+    "dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 1024 AS b
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+        |    FROM documents) t
+        |  WHERE length(word) > 0),
+        |stats AS (
+        |  SELECT b, count(*) AS n_raw,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+        |  FROM toks GROUP BY b),
+        |totals AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM stats),
+        |ratios AS (
+        |  SELECT b,
+        |    CAST(round(ln((n_tgt + 1.0) / (t_tgt + 1024.0))
+        |             - ln((n_raw + 1.0) / (t_raw + 1024.0)), 12) AS DECIMAL(20,12)) AS lr
+        |  FROM stats, totals)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(lr) AS DOUBLE) AS log_weight
+        |FROM toks JOIN ratios USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dsir_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 1024 AS b
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+        |    FROM documents) t
+        |  WHERE length(word) > 0),
+        |stats AS (
+        |  SELECT b, count(*) AS n_raw,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+        |  FROM toks GROUP BY b),
+        |totals AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM stats),
+        |ratios AS (
+        |  SELECT b,
+        |    CAST(round(ln((n_tgt + 1.0) / (t_tgt + 1024.0))
+        |             - ln((n_raw + 1.0) / (t_raw + 1024.0)), 12) AS DECIMAL(20,12)) AS lr
+        |  FROM stats, totals),
+        |w AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(lr) AS DOUBLE) AS log_weight
+        |  FROM toks JOIN ratios USING (b) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, log_weight,
+        |  round(log_weight + (-ln(-ln(
+        |    (CAST(concat('0x', substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5) / 16777216.0))), 9) AS gumbel_key
+        |FROM w
+        |ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin,
     "label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |norms AS (

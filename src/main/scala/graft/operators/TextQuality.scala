@@ -110,6 +110,94 @@ object TextQuality {
   private[graft] val UrlRe = "https?://[^ \t\n]+"
   private[graft] val LongNumRe = "[0-9]{6,}"
 
+  // The Gopher rule battery's stop-word list (Rae et al. 2021,
+  // "Scaling Language Models: ... Gopher", Appendix A1.1) — distinct
+  // from TextOps.Stopwords, which is the quality-score ratio list.
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher document-quality rule battery (Rae et al. 2021,
+    * Appendix A1.1) — the published heuristic filter set a crawl-scale
+    * pipeline applies before dedup:
+    *
+    *  - word count in [50, 100000];
+    *  - mean word length in [3, 10];
+    *  - symbol-to-word ratio ('#' and '...') <= 0.1;
+    *  - <= 90% of lines bullet-started, <= 30% ellipsis-ended;
+    *  - >= 80% of words contain an alphabetic character;
+    *  - at least 2 of 8 designated English stop words present.
+    *
+    * Emits every signal plus per-rule verdict folded into `keep`, so
+    * downstream can re-threshold without recomputing. Words here are
+    * RAW whitespace tokens (the alphabetic-character and word-length
+    * rules are defined on surface forms, not normalized words); only
+    * the stop-word rule normalizes. Scale shape: single narrow
+    * projection — the token array is materialized once per row and
+    * every signal reads it (see docStats on CollapseProject), then the
+    * ~60-byte signal rows are cut from the text before the sort, so
+    * the corpus never rides the range exchange.
+    */
+  def gopherQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val rt = col("rt")
+    val nWords = size(rt).cast("long")
+    // sum of token lengths == length of the separator-free join —
+    // stays in codegen where an aggregate() HOF would be interpreted
+    val meanLen = length(array_join(rt, "")).cast("double") / nWords
+    // '#' count = chars removed by replace; '...' count = length delta / 3
+    val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+    val nEllipsis =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (nHash + nEllipsis).cast("double") / nWords
+    val lines = col("lines")
+    val nLines = size(lines)
+    val bulletRatio =
+      size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") /
+        nLines
+    val ellipsisRatio =
+      size(filter(lines, l => trim(l).rlike("\\.\\.\\.$"))).cast("double") /
+        nLines
+    val alphaRatio =
+      size(filter(rt, t => t.rlike("[a-zA-Z]"))).cast("double") / nWords
+    // each rule term references the word arrays by NAME so the
+    // interpreted array HOFs run once per row, not once per term
+    // (see docStats on CollapseProject)
+    val stopHits = GopherStops
+      .map(s => when(array_contains(col("ws"), s), 1).otherwise(0))
+      .reduce(_ + _)
+
+    Tables.documents(spark, dir)
+      .withColumn("rt",
+        filter(TextOps.tokenize(col("text")), t => length(t) > 0))
+      .withColumn("ws", TextOps.words(col("text")))
+      .withColumn("lines",
+        filter(split(col("text"), "\n"), l => length(trim(l)) > 0))
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        round(when(nWords === 0, 0.0).otherwise(meanLen), 4)
+          .as("mean_word_len"),
+        round(when(nWords === 0, 0.0).otherwise(symbolRatio), 4)
+          .as("symbol_ratio"),
+        round(when(nLines === 0, 0.0).otherwise(bulletRatio), 4)
+          .as("bullet_line_ratio"),
+        round(when(nLines === 0, 0.0).otherwise(ellipsisRatio), 4)
+          .as("ellipsis_line_ratio"),
+        round(when(nWords === 0, 0.0).otherwise(alphaRatio), 4)
+          .as("alpha_word_ratio"),
+        stopHits.cast("long").as("n_stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_line_ratio") <= 0.9 &&
+          col("ellipsis_line_ratio") <= 0.3 &&
+          col("alpha_word_ratio") >= 0.8 &&
+          col("n_stop_hits") >= 2L)
+      .localCheckpoint(eager = false)
+      .orderBy(col("doc_id"))
+  }
+
   /** PII scrubbing with audit counts: redact emails, URLs, and long
     * digit runs, and report per-doc match counts plus the hash of the
     * scrubbed text (the pipeline's provenance record). Single

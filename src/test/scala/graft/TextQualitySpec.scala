@@ -75,4 +75,43 @@ class TextQualitySpec extends SparkTestBase {
     assert(!capped.keySet.exists(p => p._1 <= 10 && p._2 <= 10),
       "hot boilerplate grams above the cap must not generate candidates")
   }
+
+  test("gopher rule battery: each rule rejects exactly its violator") {
+    val good = (("the and of that " * 15).trim)           // 60 words, stops, len 3
+    val rows = Seq(
+      (1L, good),                                          // passes all rules
+      (2L, "the and of words too few"),                    // word count < 50
+      (3L, ("hippopotamuses " * 60).trim + " the and"),    // mean len > 10
+      (4L, (("# " * 20).trim + " " + good)),               // symbol ratio > 0.1
+      (5L, (1 to 60).map(i => s"- b$i the and\n").mkString), // all lines bulleted
+      (6L, (1 to 60).map(i => s"c$i the and...\n").mkString), // all lines ...-ended
+      (7L, ("123 456 " * 30).trim + " the and"),           // alpha ratio < 0.8
+      (8L, ("word " * 60).trim))                           // < 2 stop words
+    val dir = docsDir(rows.map { case (i, t) => (i, t) })
+    val got = TextQuality.gopherQualityFilter(spark, dir)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got(1L), "the clean doc must pass")
+    (2L to 8L).foreach(i => assert(!got(i), s"doc $i must fail its rule"))
+
+    // spot-check the signal values on the clean doc
+    val sig = TextQuality.gopherQualityFilter(spark, dir)
+      .filter(col("doc_id") === 1L).collect().head
+    assert(sig.getAs[Long]("n_words") === 60L)
+    assert(sig.getAs[Double]("mean_word_len") === 3.0) // (3+3+2+4)/4
+    assert(sig.getAs[Double]("alpha_word_ratio") === 1.0)
+    assert(sig.getAs[Long]("n_stop_hits") === 4L)
+  }
+
+  test("gopher battery zero-fills empty and wordless docs without crashing") {
+    val dir = docsDir(Seq((1L, ""), (2L, "   "), (3L, good50)))
+    val got = TextQuality.gopherQualityFilter(spark, dir)
+      .as[(Long, Long, Double, Double, Double, Double, Double, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === 0L)
+    assert(!got(1L)._9, "empty doc cannot pass the word-count rule")
+    assert(got(2L)._2 === 0L)
+    assert(got(3L)._9)
+  }
+
+  private val good50 = ("the and of with " * 15).trim
 }
