@@ -40,6 +40,8 @@ class QueriesSpec extends SparkTestBase {
     // the build side is a single row, so the "nested loop" is one
     // comparison per streamed row — the intended plan
     "doc_entropy", "q22_dormant_rich",
+    // the B-row bucket-stats table against the 1-row totals scalar
+    "dsir_weights", "dsir_sample",
     "bm25_topk", "pmi_pairs", "data_mix", "doc_perplexity",
     "tfidf_cosine_pairs", "cms_heavy_hitters", "hard_negatives",
     "rank_corr", "pagerank_neardup", "zorder_key",
