@@ -251,6 +251,8 @@ object SparkEntry {
     "doc_entropy" -> ((s, d) => TextQuality.docEntropy(s, d)),
     "pii_scrub" -> ((s, d) => TextQuality.piiScrub(s, d)),
     "gopher_filter" -> ((s, d) => TextQuality.gopherQualityFilter(s, d)),
+    "c4_filter" -> ((s, d) => TextQuality.c4Filter(s, d)),
+    "ccnet_buckets" -> ((s, d) => TextQuality.ccnetBuckets(s, d)),
     "dsir_weights" -> ((s, d) => Dsir.importanceWeights(s, d)),
     "dsir_sample" -> ((s, d) => Dsir.gumbelTopK(s, d)),
     "label_centroids" -> ((s, d) => Vectors.labelCentroids(s, d)),
@@ -270,6 +272,12 @@ object SparkEntry {
     "top_dup_spans" -> ((s, d) => Dedup.topDupSpans(s, d)),
     "dedup_span_removal" ->
       ((s, d) => Dedup.dupSpanRemoval(Tables.documents(s, d))),
+    // over the re-lineated view: the raw corpus has no line structure
+    // (TextQuality.relineated Scaladoc), and the view's planted
+    // boilerplate line is exactly the cross-doc duplicate to find
+    "line_dedup" ->
+      ((s, d) => Dedup.lineDedup(
+        TextQuality.relineated(Tables.documents(s, d)))),
     "pagerank_neardup" -> ((s, d) => Dedup.pagerankNearDup(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "doc_perplexity" -> ((s, d) => TextAnalysis.docPerplexity(s, d)),
@@ -290,6 +298,36 @@ object SparkEntry {
     * and the 128-bit hash-keyed modes — the hash width is an engine-side
     * implementation detail the result must be independent of.
     */
+  /** Shared by c4_filter and line_dedup: the deterministic
+    * re-lineation of the flat synthetic corpus. Mirrors
+    * `TextQuality.relineated` — see its Scaladoc for why the line-rule
+    * operators cannot discriminate on the raw corpus (no newlines, no
+    * punctuation) and how each rule's violators are planted by integer
+    * arithmetic on (doc_id, line index).
+    */
+  private val RelineatedCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[ \t\n]+'), t -> length(t) > 0) AS tk
+      |  FROM documents),
+      |structured AS (
+      |  SELECT doc_id,
+      |    concat(
+      |      coalesce(array_to_string(list_transform(
+      |        range(0, CAST(floor((len(tk) + 7) / 8.0) AS BIGINT)), i ->
+      |          CASE WHEN (doc_id + i) % 11 = 0
+      |               THEN 'all rights reserved by the original author.'
+      |               ELSE array_to_string(tk[i*8+1 : i*8+8], ' ')
+      |                 || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END
+      |                 || CASE WHEN (doc_id + i) % 7 = 0 THEN ' javascript.' ELSE '' END
+      |          END),
+      |        chr(10)), ''),
+      |      CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'lorem ipsum here it comes.' ELSE '' END,
+      |      CASE WHEN doc_id % 29 = 0 THEN chr(10) || 'brace { line here.' ELSE '' END,
+      |      CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'visit our casino today now.' ELSE '' END
+      |    ) AS text
+      |  FROM tok)""".stripMargin
+
   private val DupSpanCoverageOracle: String =
     """WITH words AS (
       |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
@@ -1774,6 +1812,95 @@ object SparkEntry {
         |  AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
         |  AND n_stop_hits >= 2 AS keep
         |FROM sig ORDER BY doc_id""".stripMargin,
+    "c4_filter" ->
+      (RelineatedCte + """,
+        |base AS (
+        |  SELECT doc_id, text,
+        |    string_split(text, chr(10)) AS lines,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      regexp_matches(trim(l), '[.!?"]$')
+        |      AND len(list_filter(string_split_regex(trim(l), '[ \t]+'), w -> length(w) > 0)) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept,
+        |    list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
+        |  FROM structured),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |    round(CASE WHEN len(lines) = 0 THEN 0.0 ELSE CAST(len(kept) AS DOUBLE) / len(lines) END, 4) AS kept_ratio,
+        |    CAST(len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) AS BIGINT) AS n_sentences,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    contains(text, '{') AS has_brace,
+        |    (list_contains(ws, 'viagra') OR list_contains(ws, 'casino')
+        |      OR list_contains(ws, 'xxx')) AS has_blocked,
+        |    md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+        |  FROM base)
+        |SELECT *,
+        |  n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+        |    AND NOT has_blocked AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin),
+    "line_dedup" ->
+      (RelineatedCte + """,
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM structured),
+        |lines AS (
+        |  SELECT doc_id, i AS idx, trim(ls[i]) AS l
+        |  FROM ls, unnest(range(1, len(ls) + 1)) AS t(i)
+        |  WHERE length(trim(ls[i])) > 0),
+        |occ AS (SELECT l, CAST(count(*) AS BIGINT) AS n_occ FROM lines GROUP BY l),
+        |kept AS (
+        |  SELECT doc_id, idx, lines.l, n_occ < 3 AS keep
+        |  FROM lines JOIN occ USING (l)),
+        |per AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |    md5(coalesce(string_agg(CASE WHEN keep THEN l END, chr(10) ORDER BY idx), '')) AS clean_md5
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_lines, 0) AS n_lines,
+        |  coalesce(n_removed, 0) AS n_removed,
+        |  coalesce(clean_md5, md5('')) AS clean_md5
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+    "ccnet_buckets" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |uni AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS c1
+        |        FROM (SELECT unnest(ws) AS w FROM words) GROUP BY w),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bg AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg, ws[i] AS w1,
+        |         CAST(count(*) AS BIGINT) AS tf
+        |  FROM words, unnest(range(1, len(ws))) AS t(i)
+        |  WHERE len(ws) >= 2
+        |  GROUP BY 1, 2, 3),
+        |c2 AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c2 FROM bg GROUP BY bg),
+        |scored AS (
+        |  SELECT doc_id, tf,
+        |    CAST(round(tf * -ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 12) AS DECIMAL(28,12)) AS term
+        |  FROM bg JOIN c2 USING (bg)
+        |  JOIN uni ON bg.w1 = uni.word
+        |  CROSS JOIN v),
+        |per AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |         round(CAST(sum(term) AS DOUBLE) / sum(tf), 6) AS cross_entropy
+        |  FROM scored GROUP BY doc_id),
+        |sc AS (
+        |  SELECT d.doc_id, d.lang,
+        |    COALESCE(n_bigrams, 0) AS n_bigrams,
+        |    COALESCE(cross_entropy, 0.0) AS cross_entropy
+        |  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+        |ranked AS (
+        |  SELECT *, percent_rank() OVER (
+        |    PARTITION BY lang ORDER BY cross_entropy, doc_id) AS pct
+        |  FROM sc)
+        |SELECT doc_id, lang, n_bigrams, cross_entropy,
+        |  round(pct, 9) AS pct_rank,
+        |  CASE WHEN pct * 3.0 < 1.0 THEN 'head'
+        |       WHEN pct * 3.0 < 2.0 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ranked ORDER BY doc_id""".stripMargin,
     "dsir_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

@@ -924,6 +924,69 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Line-level exact dedup (the RefinedWeb / FineWeb "line dedup"
+    * rewrite): a line whose exact trimmed text occurs at least
+    * `maxOcc` times across the dump is boilerplate (nav bars,
+    * copyright footers, cookie banners) and is cut from every document
+    * that carries it; rarer lines survive everywhere. Distinct from
+    * [[dupSpanRemoval]], which keys on fixed-k word n-grams and
+    * removes only the REPEATED spans — line dedup keys on the
+    * document's own line structure and removes every occurrence once
+    * the corpus count crosses the threshold.
+    *
+    * Output is one row per input document: the count of non-empty
+    * lines, how many were removed, and the md5 of the kept lines
+    * rejoined with `\n` (the rewrite's provenance record — same
+    * contract as c4Filter's `clean_md5`).
+    *
+    * Scale shape — one corpus pass, narrow exchanges only:
+    *  1. (doc_id, idx, line) explodes once; the occurrence aggregate
+    *     shuffles the 64-bit xxhash line key alone (map-side combined;
+    *     a boilerplate line duplicated d times is d rows in one key
+    *     partition — count only, nothing quadratic);
+    *  2. the line rows probe the count table on the hash key (an
+    *     AQE-skew-splittable equi-join, never a window-over-key, which
+    *     would park all copies of a hot line on one reducer);
+    *  3. the per-doc rebuild aggregates on doc_id; line text rides
+    *     exactly one exchange (the rebuild), never the count shuffle.
+    * Same 64-bit collision caveat as dupSpanRemoval: a collision marks
+    * a clean line as boilerplate; past ~10^9 distinct lines key on the
+    * 128-bit (xxhash64, md5-half) pair — same plan shape.
+    */
+  def lineDedup(docs: DataFrame, maxOcc: Int = 3): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("idx", "raw")))
+      .select(col("doc_id"), col("idx"), trim(col("raw")).as("l"))
+      .filter(length(col("l")) > 0)
+      .withColumn("h", xxhash64(col("l")))
+      // feeds the occurrence aggregate AND the membership probe — the
+      // same two-consumer checkpoint rationale as dupSpanRemoval
+      .localCheckpoint(eager = false)
+    val occ = lines.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+    val perDoc = lines
+      .join(occ, Seq("h"))
+      .withColumn("keep", col("n_occ") < maxOcc)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(!col("keep"), lit(1L)).otherwise(lit(0L))).as("n_removed"),
+        // collect_list skips the nulls the when() leaves for dropped
+        // lines; array_sort orders the survivors by position
+        md5(concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("idx"), col("l"))))),
+            x => x.getField("l")))).as("clean_md5"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PageRank over the near-dup similarity graph (symmetrized tf-idf
     * APSS pairs): which documents sit at the CENTER of duplication
     * clusters — the doc a dedup pipeline should keep as the canonical

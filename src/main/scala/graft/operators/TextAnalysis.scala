@@ -463,8 +463,16 @@ object TextAnalysis {
     * hash join when the vocabulary outgrows that); V and the final
     * per-doc aggregate are narrow.
     */
-  def docPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def docPerplexity(spark: SparkSession, dir: String): DataFrame =
+    perplexityScores(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** The unsorted per-doc score table behind [[docPerplexity]] —
+    * (doc_id, n_bigrams, cross_entropy), one row per document with
+    * degenerate docs zero-filled. Exposed separately so composing
+    * operators (CCNet-style bucket partitioning) reuse the scoring
+    * pass without inheriting the presentation sort.
+    */
+  private[graft] def perplexityScores(docs: DataFrame): DataFrame = {
     val uni = TextOps.explodedWords(docs)
       .groupBy(col("word")).agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
@@ -514,7 +522,6 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("ce0").as("cross_entropy"))
-      .orderBy(col("doc_id"))
   }
 
   /** Pointwise mutual information over word co-occurrence — the

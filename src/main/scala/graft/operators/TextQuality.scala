@@ -198,6 +198,161 @@ object TextQuality {
       .orderBy(col("doc_id"))
   }
 
+  // The C4 page-level blocklist stand-in (Raffel et al. 2020 use the
+  // "List of Dirty, Naughty, Obscene..." wordlist; the mechanism is
+  // what matters here — exact normalized-word membership, not
+  // substring match, so "classic" never trips on a blocked "ass").
+  private val C4Blocklist = Seq("viagra", "casino", "xxx")
+
+  /** The C4 cleaning battery (Raffel et al. 2020, §2.2) — the other
+    * canonical published heuristic set next to Gopher, and unlike
+    * Gopher it REWRITES: line-level filtering first, page-level
+    * verdict second.
+    *
+    * Line rules (a line survives when ALL hold):
+    *  - ends in terminal punctuation (`.` `!` `?` `"` after trim);
+    *  - has at least 5 whitespace words;
+    *  - does not contain the word "javascript" (case-insensitive).
+    *
+    * Page rules (folded into `keep`):
+    *  - at least 3 sentences in the CLEANED text (sentence = terminal
+    *    `.`/`!`/`?` occurrence — the same proxy on both engines);
+    *  - no "lorem ipsum" phrase, no curly brace, no blocklisted word
+    *    (checked on the ORIGINAL page, as published: a dirty page is
+    *    dropped whole, not line-cleaned around the hit).
+    *
+    * Emits every signal plus `clean_md5` (the md5 of the kept lines
+    * rejoined with `\n`) as the rewrite's provenance record, so a
+    * downstream stage can verify it re-derived the same cleaned page.
+    *
+    * Scale shape: one narrow projection — the line array and word
+    * array materialize once per row (CollapseProject, see docStats),
+    * every signal reads them, and only ~70-byte signal rows reach the
+    * presentation sort; the corpus text never rides an exchange.
+    */
+  def c4Filter(spark: SparkSession, dir: String): DataFrame =
+    c4Filter(relineated(Tables.documents(spark, dir)))
+
+  /** Deterministic re-lineation of the flat synthetic corpus, so the
+    * line-level C4 rules have structure to act on: the driver's
+    * `documents` table carries no newlines and no punctuation, which
+    * would make every line rule vacuously false and the oracle unable
+    * to distinguish a correct implementation from one that returns
+    * constants. The view regroups each doc's whitespace tokens into
+    * 8-word lines, terminally punctuates lines where
+    * (doc_id + line) % 3 != 0, plants the word "javascript" on lines
+    * where (doc_id + line) % 7 == 0, REPLACES lines where
+    * (doc_id + line) % 11 == 0 with a fixed boilerplate sentence (the
+    * cross-document duplicate a line-level dedup must find), and
+    * appends a "lorem ipsum" / curly-brace / blocklist trailer line on
+    * doc_id % 23 / 29 / 31 — all pure integer arithmetic on (doc_id,
+    * line index), so DuckDB derives the byte-identical corpus and
+    * every rule is exercised at every scale factor. The operator under
+    * test is unchanged; only its registry input is this view.
+    */
+  private[graft] def relineated(docs: DataFrame): DataFrame = {
+    val tk = col("tk")
+    val nl = floor((size(tk) + lit(7)) / lit(8.0)).cast("int")
+    val lines = transform(sequence(lit(0), nl - 1), i =>
+      when(pmod(col("doc_id") + i, lit(11)) === 0,
+        "all rights reserved by the original author.")
+        .otherwise(concat(
+          array_join(slice(tk, i * 8 + 1, lit(8)), " "),
+          when(pmod(col("doc_id") + i, lit(3)) =!= 0, ".").otherwise(""),
+          when(pmod(col("doc_id") + i, lit(7)) === 0, " javascript.")
+            .otherwise(""))))
+    docs
+      .withColumn("tk",
+        filter(TextOps.tokenize(col("text")), t => length(t) > 0))
+      .select(col("doc_id"),
+        concat(
+          when(nl === 0, "").otherwise(array_join(lines, "\n")),
+          when(pmod(col("doc_id"), lit(23)) === 0,
+            "\nlorem ipsum here it comes.").otherwise(""),
+          when(pmod(col("doc_id"), lit(29)) === 0,
+            "\nbrace { line here.").otherwise(""),
+          when(pmod(col("doc_id"), lit(31)) === 0,
+            "\nvisit our casino today now.").otherwise("")).as("text"))
+  }
+
+  /** The battery over an arbitrary (doc_id, text) frame. */
+  def c4Filter(docs: DataFrame): DataFrame = {
+    val kept = col("kept")
+    val nLines = size(col("lines")).cast("long")
+    val nKept = size(kept).cast("long")
+    val clean = array_join(kept, "\n")
+    val nSentences = regexp_count(clean, lit("[.!?]")).cast("long")
+    val hasLorem = lower(col("text")).contains("lorem ipsum")
+    val hasBrace = col("text").contains("{")
+    val hasBlocked = C4Blocklist
+      .map(w => array_contains(col("ws"), w))
+      .reduce(_ || _)
+
+    docs
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("kept", filter(col("lines"), l =>
+        trim(l).rlike("[.!?\"]$") &&
+          size(filter(split(trim(l), "[ \t]+"), w => length(w) > 0)) >= 5 &&
+          !lower(l).contains("javascript")))
+      .withColumn("ws", TextOps.words(col("text")))
+      .select(
+        col("doc_id"),
+        nLines.as("n_lines"),
+        nKept.as("n_kept_lines"),
+        round(when(nLines === 0, 0.0)
+          .otherwise(nKept.cast("double") / nLines), 4).as("kept_ratio"),
+        nSentences.as("n_sentences"),
+        hasLorem.as("has_lorem"),
+        hasBrace.as("has_brace"),
+        hasBlocked.as("has_blocked"),
+        md5(clean).as("clean_md5"))
+      .withColumn("keep",
+        col("n_sentences") >= 3L &&
+          !col("has_lorem") && !col("has_brace") && !col("has_blocked"))
+      .localCheckpoint(eager = false)
+      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style perplexity-bucket partition (Wenzek et al. 2020): per
+    * language, rank documents by LM cross-entropy and split into
+    * head / middle / tail at the 1/3 and 2/3 percentile cuts — the
+    * published recipe for turning a raw crawl into quality tiers
+    * (RedPajama / LLaMA reproduce it verbatim, keeping head+middle).
+    *
+    * The LM score is [[TextAnalysis.perplexityScores]] — the same
+    * corpus-trained smoothed-bigram cross-entropy the `doc_perplexity`
+    * query emits, computed ONCE here (composition, not recompute).
+    * Rank is `percent_rank` over (cross_entropy, doc_id) within
+    * language: integer rank arithmetic, so bucket edges are
+    * engine-exact — no float-quantile drift.
+    *
+    * Scale shape: the scoring pass is the dominant cost and shuffles
+    * narrow keyed rows only (see perplexityScores); the window then
+    * sorts ~30-byte (doc_id, lang, ce) rows. Window-partition-by-lang
+    * parks each language on one reducer — acceptable while languages
+    * are plural; for a single-language corpus at 100 TB the switch is
+    * the histogram-rank machinery zorder_key already uses
+    * (equi-depth bucket counts + ArrayCountLess), which this op's
+    * contract (integer percent_rank) deliberately shares semantics
+    * with so the swap is invisible.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scores = graft.operators.TextAnalysis.perplexityScores(docs)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cross_entropy"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scores, Seq("doc_id"))
+      .withColumn("pct", percent_rank().over(w))
+      .select(
+        col("doc_id"), col("lang"), col("n_bigrams"), col("cross_entropy"),
+        round(col("pct"), 9).as("pct_rank"),
+        when(col("pct") * 3.0 < 1.0, "head")
+          .when(col("pct") * 3.0 < 2.0, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII scrubbing with audit counts: redact emails, URLs, and long
     * digit runs, and report per-doc match counts plus the hash of the
     * scrubbed text (the pipeline's provenance record). Single

@@ -201,4 +201,40 @@ class DedupSpec extends SparkTestBase {
       }
     }
   }
+
+  test("line dedup: threshold is corpus-wide, trim-keyed, all-occurrence") {
+    // "footer." appears in 3 docs (>= maxOcc 3) -> removed everywhere,
+    // including the doc where it appears with padding whitespace;
+    // "twice here." appears in only 2 docs -> kept in both
+    val docs = Seq(
+      (1L, "alpha one.\nfooter.\ntwice here."),
+      (2L, "beta two.\n  footer.  \ntwice here."),
+      (3L, "gamma three.\nfooter."),
+      (4L, ""),
+      (5L, "\n\n")) // whitespace-only lines: zero countable lines
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) === ((1L, 3L, 1L, md5hex("alpha one.\ntwice here."))))
+    assert(got(2L) === ((2L, 3L, 1L, md5hex("beta two.\ntwice here."))),
+      "padded footer must dedup against the trimmed key")
+    assert(got(3L) === ((3L, 2L, 1L, md5hex("gamma three."))))
+    assert(got(4L) === ((4L, 0L, 0L, md5hex(""))))
+    assert(got(5L) === ((5L, 0L, 0L, md5hex(""))))
+  }
+
+  test("line dedup: maxOcc boundary — exactly maxOcc occurrences remove") {
+    val docs = Seq(
+      (1L, "shared line text here."), (2L, "shared line text here."),
+      (3L, "unique one."), (4L, "unique two."))
+      .toDF("doc_id", "text")
+    // maxOcc = 2: a line occurring twice is already boilerplate
+    val got = Dedup.lineDedup(docs, maxOcc = 2)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    assert(got(1L) === 1L && got(2L) === 1L)
+    assert(got(3L) === 0L && got(4L) === 0L)
+  }
 }

@@ -42,7 +42,9 @@ class QueriesSpec extends SparkTestBase {
     "doc_entropy", "q22_dormant_rich",
     // the B-row bucket-stats table against the 1-row totals scalar
     "dsir_weights", "dsir_sample",
-    "bm25_topk", "pmi_pairs", "data_mix", "doc_perplexity",
+    // ccnet_buckets composes doc_perplexity's scoring pass and
+    // inherits its 1-row vocab scalar join
+    "bm25_topk", "pmi_pairs", "data_mix", "doc_perplexity", "ccnet_buckets",
     "tfidf_cosine_pairs", "cms_heavy_hitters", "hard_negatives",
     "rank_corr", "pagerank_neardup", "zorder_key",
     // day-table non-equi window pairing: the build side is the tiny

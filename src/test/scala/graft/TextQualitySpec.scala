@@ -114,4 +114,98 @@ class TextQualitySpec extends SparkTestBase {
   }
 
   private val good50 = ("the and of with " * 15).trim
+
+  test("c4 battery: line rules drop exactly their violators") {
+    // every doc is one page; lines separated by \n
+    val keepL = "alpha beta gamma delta epsilon."     // survives all rules
+    val rows = Seq(
+      (1L, s"$keepL\n$keepL\n$keepL"),                 // 3 sentences -> keep
+      (2L, s"$keepL\n$keepL\nno terminal punct here"), // line 3 dropped
+      (3L, s"$keepL\n$keepL\nfour words only here."),  // < 5 words dropped
+      (4L, s"$keepL\n$keepL\nthis line mentions JavaScript sadly."),
+      (5L, s"$keepL\n$keepL"),                         // 2 sentences -> drop
+      (6L, s"$keepL\n$keepL\n$keepL\nwe love lorem ipsum text."),
+      (7L, s"$keepL\n$keepL\n$keepL\ncurly {brace} inside a line."),
+      (8L, s"$keepL\n$keepL\n$keepL\nvisit our casino right now."))
+    val dir = docsDir(rows)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val got = TextQuality.c4Filter(docs)
+      .select("doc_id", "n_kept_lines", "n_sentences", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 3L, true)))
+    assert(got(2L) === ((2L, 2L, 2L, false)), "unpunctuated line must drop")
+    assert(got(3L) === ((3L, 2L, 2L, false)), "short line must drop")
+    assert(got(4L)._2 === 2L, "javascript line must drop (case-insensitive)")
+    assert(got(5L) === ((5L, 2L, 2L, false)), "< 3 sentences must drop page")
+    assert(!got(6L)._4 && got(6L)._2 === 4L,
+      "lorem ipsum drops the PAGE, not the line")
+    assert(!got(7L)._4, "curly brace drops the page")
+    assert(!got(8L)._4, "blocklisted word drops the page")
+
+    // clean_md5 is the md5 of exactly the kept lines rejoined
+    val md5s = TextQuality.c4Filter(docs)
+      .select("doc_id", "clean_md5").as[(Long, String)].collect().toMap
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(Seq(keepL, keepL).mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(md5s(2L) === want)
+  }
+
+  test("c4 battery: empty and single-line corners zero-fill") {
+    val dir = docsDir(Seq((1L, ""), (2L, "word."), (3L, "a b c d e.")))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val got = TextQuality.c4Filter(docs)
+      .select("doc_id", "n_lines", "n_kept_lines", "kept_ratio", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 1L, 0L, 0.0, false))) // "" splits to one empty line
+    assert(got(2L) === ((2L, 1L, 0L, 0.0, false))) // 1 word < 5
+    assert(got(3L) === ((3L, 1L, 1L, 1.0, false))) // kept but 1 sentence < 3
+  }
+
+  test("relineated view: deterministic, punctuated, and marker-planted") {
+    val dir = docsDir(Seq(
+      (23L, ("w " * 20).trim),   // 20 words -> 3 lines; 23 -> lorem trailer
+      (3L, ("x " * 4).trim),     // 1 short line; (3+0)%3==0 -> no period
+      (7L, ("y " * 8).trim)))    // (7+0)%7==0 -> javascript marker
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val v = TextQuality.relineated(docs)
+      .as[(Long, String)].collect().toMap
+    assert(v(23L).endsWith("\nlorem ipsum here it comes."))
+    assert(v(23L).split("\n").length === 4)
+    assert(v(3L) === "x x x x")  // no punct: (3+0)%3==0, no trailers
+    assert(v(7L) === "y y y y y y y y. javascript.")
+    // deterministic: two derivations byte-identical
+    val v2 = TextQuality.relineated(docs).as[(Long, String)].collect().toMap
+    assert(v === v2)
+  }
+
+  test("ccnet buckets: per-lang tertiles, exact edges, zero-filled docs") {
+    // lang A: 6 docs with strictly increasing rarity -> distinct ce;
+    // lang B: a single doc (percent_rank 0 -> head); doc 30 wordless
+    val common = "base base base base base base"
+    val rows = (1L to 6L).map(i =>
+      (i, s"$common rare$i " + ("rare" + i + " ") * i.toInt)) ++
+      Seq((20L, "solo doc words here")) ++ Seq((30L, "..."))
+    val dir = java.nio.file.Files.createTempDirectory("tq").toString
+    rows.map { case (id, t) =>
+      (id, t,
+        if (id == 20L) "xx" else if (id == 30L) "yy" else "en",
+        "src0", t.length.toLong) }
+      .toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQuality.ccnetBuckets(spark, dir)
+      .select("doc_id", "lang", "bucket", "pct_rank")
+      .as[(Long, String, String, Double)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    // every doc bucketed exactly once
+    assert(got.length === 8)
+    // 6-doc lang: percent_rank = (rank-1)/5 -> 0,.2 head | .4 middle | .6,.8,1 tail...
+    val en = got.filter(_._2 == "en").sortBy(_._4)
+    assert(en.map(_._3).toSeq ===
+      Seq("head", "head", "middle", "middle", "tail", "tail"))
+    assert(byId(20L)._3 === "head", "singleton lang ranks 0.0 -> head")
+    assert(byId(30L)._3 === "head", "wordless doc gets ce 0.0 -> ranks first")
+  }
 }
