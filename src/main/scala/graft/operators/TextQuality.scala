@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
@@ -313,6 +313,153 @@ object TextQuality {
       .orderBy(col("doc_id"))
   }
 
+  /** The Gopher REPETITION battery (Rae et al. 2021, Appendix A1.1) —
+    * the 13 within-document repetition signals published alongside the
+    * quality rules in [[gopherQualityFilter]], which catch looping
+    * generations and boilerplate stuffing that the quality rules miss:
+    *
+    *  - duplicate line / paragraph fraction (<= 0.30 / 0.30): share of
+    *    lines (paragraphs) that repeat an earlier one in the SAME doc;
+    *  - duplicate line / paragraph CHARACTER fraction (<= 0.20 /
+    *    0.20): share of line (paragraph) characters sitting in
+    *    occurrences beyond each distinct value's first;
+    *  - top 2/3/4-gram character fraction (<= 0.20 / 0.18 / 0.16):
+    *    the word n-gram with the largest character coverage
+    *    (occurrences x its own characters) as a share of all word
+    *    characters — max-by-coverage is the deterministic stand-in
+    *    for the paper's most-frequent-gram (frequency ties broken by
+    *    coverage, not hash order);
+    *  - duplicate 5..10-gram character fraction (<= 0.15, 0.14, 0.13,
+    *    0.12, 0.11, 0.10): characters in repeat occurrences of each
+    *    duplicated n-gram over all word characters, capped at 1.0
+    *    (overlapping grams multi-count; the published implementations
+    *    mark character positions instead — this proxy is documented,
+    *    monotone in the same behavior, and engine-exact).
+    *
+    * Paragraphs are fixed blocks of 4 lines (the synthetic relineated
+    * corpus carries no blank-line paragraph breaks; block grouping is
+    * pure arithmetic on the line index, so DuckDB derives it exactly).
+    *
+    * Scale shape — everything is keyed per doc, nothing widens:
+    * the line table aggregates on (doc_id, line) then doc_id; the
+    * n-gram pass explodes words ONCE, stitches all 9 gram sizes from
+    * one 9-lead window over (doc_id, pos) — doc-sized partitions, the
+    * same Dedup.docNgrams shape — and aggregates (doc_id, n, gram)
+    * with map-side combine; the final assembly joins four doc-keyed
+    * frames and sorts ~100-byte signal rows.
+    */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    gopherRepetition(relineated(Tables.documents(spark, dir)))
+
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("idx", "raw")))
+      .select(col("doc_id"), col("idx"), trim(col("raw")).as("l"))
+      .filter(length(col("l")) > 0)
+      // feeds the line aggregates AND the paragraph regroup
+      .localCheckpoint(eager = false)
+
+    def dupStats(units: DataFrame, unit: String): DataFrame =
+      units.groupBy(col("doc_id"), col("u"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("cnt")).as(s"n_$unit"),
+          sum(col("cnt") - 1).as(s"n_dup_$unit"),
+          sum((col("cnt") - 1) * length(col("u"))).as(s"dup_chars_$unit"),
+          sum(col("cnt") * length(col("u"))).as(s"chars_$unit"))
+
+    val lineStats = dupStats(lines.select(col("doc_id"), col("l").as("u")),
+      "line")
+    val paras = lines
+      .groupBy(col("doc_id"), (col("idx") / 4).cast("int").as("pidx"))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("idx"), col("l")))),
+          x => x.getField("l"))).as("u"))
+    val paraStats = dupStats(paras.select(col("doc_id"), col("u")), "para")
+
+    // one exploded word pass; positions are contiguous AFTER the
+    // empty-token filter so lead() stitches adjacent kept words
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(filter(
+          transform(TextOps.tokenize(col("text")), t => TextOps.normalize(t)),
+          w => length(w) > 0)).as(Seq("p", "w")))
+      .localCheckpoint(eager = false)
+    val wChars = words.groupBy(col("doc_id"))
+      .agg(sum(length(col("w"))).as("w_chars"))
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val leads = (1 to 9).map(k => lead(col("w"), k).over(wWin).as(s"w$k"))
+    val gramCols = (2 to 10).map { n =>
+      val parts = col("w") +: (1 until n).map(k => col(s"w$k"))
+      // a null lead means the gram runs off the doc end — emit null,
+      // filtered before the explode
+      when(col(s"w${n - 1}").isNotNull,
+        struct(lit(n).as("n"), concat_ws(" ", parts: _*).as("g")))
+    }
+    val grams = words
+      .select(Seq(col("doc_id"), col("w")) ++ leads: _*)
+      .select(col("doc_id"),
+        explode(filter(array(gramCols: _*), s => s.isNotNull)).as("s"))
+      .select(col("doc_id"), col("s.n").as("n"), col("s.g").as("g"),
+        // gram characters = word characters only (separators are an
+        // artifact of the join) — n-1 spaces removed
+        (length(col("s.g")) - (col("s.n") - 1)).as("glen"))
+    val gramAgg = grams.groupBy(col("doc_id"), col("n"), col("g"), col("glen"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(
+        max(col("cnt") * col("glen")).as("top_cov"),
+        sum((col("cnt") - 1) * col("glen")).as("dup_cov"))
+    def nCol(n: Int, src: Column): Column =
+      max(when(col("n") === n, src)).as(s"c$n")
+    val gramByDoc = gramAgg.groupBy(col("doc_id"))
+      .agg(
+        nCol(2, col("top_cov")), nCol(3, col("top_cov")),
+        nCol(4, col("top_cov")),
+        nCol(5, col("dup_cov")), nCol(6, col("dup_cov")),
+        nCol(7, col("dup_cov")), nCol(8, col("dup_cov")),
+        nCol(9, col("dup_cov")), nCol(10, col("dup_cov")))
+
+    def frac(num: Column, den: Column): Column =
+      round(when(coalesce(den, lit(0L)) === 0, 0.0)
+        .otherwise(least(lit(1.0),
+          coalesce(num, lit(0L)).cast("double") / den.cast("double"))), 6)
+
+    val topNames = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupNames = Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+    val sig = docs.select(col("doc_id"))
+      .join(lineStats, Seq("doc_id"), "left")
+      .join(paraStats, Seq("doc_id"), "left")
+      .join(wChars, Seq("doc_id"), "left")
+      .join(gramByDoc, Seq("doc_id"), "left")
+      .select(Seq(
+        col("doc_id"),
+        frac(col("n_dup_line"), col("n_line")).as("dup_line_frac"),
+        frac(col("dup_chars_line"), col("chars_line"))
+          .as("dup_line_char_frac"),
+        frac(col("n_dup_para"), col("n_para")).as("dup_para_frac"),
+        frac(col("dup_chars_para"), col("chars_para"))
+          .as("dup_para_char_frac")) ++
+        topNames.map { case (n, _) =>
+          frac(col(s"c$n"), col("w_chars")).as(s"top_${n}gram_char_frac") } ++
+        dupNames.map { case (n, _) =>
+          frac(col(s"c$n"), col("w_chars")).as(s"dup_${n}gram_char_frac") }: _*)
+    val keep =
+      (col("dup_line_frac") <= 0.30) && (col("dup_line_char_frac") <= 0.20) &&
+        (col("dup_para_frac") <= 0.30) &&
+        (col("dup_para_char_frac") <= 0.20) &&
+        topNames.map { case (n, t) => col(s"top_${n}gram_char_frac") <= t }
+          .reduce(_ && _) &&
+        dupNames.map { case (n, t) => col(s"dup_${n}gram_char_frac") <= t }
+          .reduce(_ && _)
+    sig.withColumn("keep", keep)
+      .localCheckpoint(eager = false)
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet-style perplexity-bucket partition (Wenzek et al. 2020): per
     * language, rank documents by LM cross-entropy and split into
     * head / middle / tail at the 1/3 and 2/3 percentile cuts — the
@@ -327,23 +474,21 @@ object TextQuality {
     * engine-exact — no float-quantile drift.
     *
     * Scale shape: the scoring pass is the dominant cost and shuffles
-    * narrow keyed rows only (see perplexityScores); the window then
-    * sorts ~30-byte (doc_id, lang, ce) rows. Window-partition-by-lang
-    * parks each language on one reducer — acceptable while languages
-    * are plural; for a single-language corpus at 100 TB the switch is
-    * the histogram-rank machinery zorder_key already uses
-    * (equi-depth bucket counts + ArrayCountLess), which this op's
-    * contract (integer percent_rank) deliberately shares semantics
-    * with so the swap is invisible.
+    * narrow keyed rows only (see perplexityScores); the rank is
+    * [[Ranks.percentRankByKey]] — the distributed prefix-sum
+    * formulation (equi-depth splits + ArrayCountLess buckets), NOT a
+    * `Window.partitionBy(lang)`, which would park each language on one
+    * reducer and make the dominant language's sort the whole job on a
+    * single-language 100 TB corpus. Bit-equality with the window
+    * formulation is spec-gated (RanksSpec), so the oracle's
+    * percent_rank still hash-matches.
     */
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val scores = graft.operators.TextAnalysis.perplexityScores(docs)
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("cross_entropy"), col("doc_id"))
-    docs.select(col("doc_id"), col("lang"))
-      .join(scores, Seq("doc_id"))
-      .withColumn("pct", percent_rank().over(w))
+    Ranks.percentRankByKey(
+      docs.select(col("doc_id"), col("lang")).join(scores, Seq("doc_id")),
+      col("lang"), col("cross_entropy"), col("doc_id"))
       .select(
         col("doc_id"), col("lang"), col("n_bigrams"), col("cross_entropy"),
         round(col("pct"), 9).as("pct_rank"),
