@@ -251,6 +251,10 @@ object SparkEntry {
     "doc_entropy" -> ((s, d) => TextQuality.docEntropy(s, d)),
     "pii_scrub" -> ((s, d) => TextQuality.piiScrub(s, d)),
     "gopher_filter" -> ((s, d) => TextQuality.gopherQualityFilter(s, d)),
+    // over the re-lineated view (see TextQuality.relineated): the
+    // line/paragraph repetition signals need line structure, and the
+    // view's planted boilerplate line is a real cross-line duplicate
+    "gopher_repetition" -> ((s, d) => TextQuality.gopherRepetition(s, d)),
     "c4_filter" -> ((s, d) => TextQuality.c4Filter(s, d)),
     "ccnet_buckets" -> ((s, d) => TextQuality.ccnetBuckets(s, d)),
     "dsir_weights" -> ((s, d) => Dsir.importanceWeights(s, d)),
@@ -1812,6 +1816,89 @@ object SparkEntry {
         |  AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
         |  AND n_stop_hits >= 2 AS keep
         |FROM sig ORDER BY doc_id""".stripMargin,
+    "gopher_repetition" ->
+      (RelineatedCte + """,
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM structured),
+        |lines AS (
+        |  SELECT doc_id, i - 1 AS idx, trim(ls[i]) AS l
+        |  FROM ls, unnest(range(1, len(ls) + 1)) AS t(i)
+        |  WHERE length(trim(ls[i])) > 0),
+        |linedup AS (SELECT doc_id, l, count(*) AS cnt FROM lines GROUP BY 1, 2),
+        |linestats AS (
+        |  SELECT doc_id, sum(cnt) AS n_line, sum(cnt - 1) AS n_dup_line,
+        |         sum((cnt - 1) * length(l)) AS dup_chars_line,
+        |         sum(cnt * length(l)) AS chars_line
+        |  FROM linedup GROUP BY doc_id),
+        |paras AS (
+        |  SELECT doc_id, idx // 4 AS pidx,
+        |         string_agg(l, chr(10) ORDER BY idx) AS u
+        |  FROM lines GROUP BY doc_id, idx // 4),
+        |paradup AS (SELECT doc_id, u, count(*) AS cnt FROM paras GROUP BY 1, 2),
+        |parastats AS (
+        |  SELECT doc_id, sum(cnt) AS n_para, sum(cnt - 1) AS n_dup_para,
+        |         sum((cnt - 1) * length(u)) AS dup_chars_para,
+        |         sum(cnt * length(u)) AS chars_para
+        |  FROM paradup GROUP BY doc_id),
+        |wordarr AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
+        |  FROM structured),
+        |wchars AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS w_chars
+        |  FROM wordarr),
+        |gr AS (
+        |  SELECT doc_id, n, g, length(g) - (n - 1) AS glen, count(*) AS cnt
+        |  FROM wordarr,
+        |       unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS tn(n),
+        |       unnest(list_transform(range(1, len(ws) - n + 2), i ->
+        |         array_to_string(ws[i : i + n - 1], ' '))) AS tg(g)
+        |  GROUP BY doc_id, n, g, glen),
+        |gramagg AS (
+        |  SELECT doc_id, n, max(cnt * glen) AS top_cov,
+        |         sum((cnt - 1) * glen) AS dup_cov
+        |  FROM gr GROUP BY doc_id, n),
+        |grambydoc AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN n = 2 THEN top_cov END) AS c2,
+        |    max(CASE WHEN n = 3 THEN top_cov END) AS c3,
+        |    max(CASE WHEN n = 4 THEN top_cov END) AS c4,
+        |    max(CASE WHEN n = 5 THEN dup_cov END) AS c5,
+        |    max(CASE WHEN n = 6 THEN dup_cov END) AS c6,
+        |    max(CASE WHEN n = 7 THEN dup_cov END) AS c7,
+        |    max(CASE WHEN n = 8 THEN dup_cov END) AS c8,
+        |    max(CASE WHEN n = 9 THEN dup_cov END) AS c9,
+        |    max(CASE WHEN n = 10 THEN dup_cov END) AS c10
+        |  FROM gramagg GROUP BY doc_id),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    round(CASE WHEN coalesce(n_line, 0) = 0 THEN 0.0 ELSE least(1.0, CAST(coalesce(n_dup_line, 0) AS DOUBLE) / n_line) END, 6) AS dup_line_frac,
+        |    round(CASE WHEN coalesce(chars_line, 0) = 0 THEN 0.0 ELSE least(1.0, CAST(coalesce(dup_chars_line, 0) AS DOUBLE) / chars_line) END, 6) AS dup_line_char_frac,
+        |    round(CASE WHEN coalesce(n_para, 0) = 0 THEN 0.0 ELSE least(1.0, CAST(coalesce(n_dup_para, 0) AS DOUBLE) / n_para) END, 6) AS dup_para_frac,
+        |    round(CASE WHEN coalesce(chars_para, 0) = 0 THEN 0.0 ELSE least(1.0, CAST(coalesce(dup_chars_para, 0) AS DOUBLE) / chars_para) END, 6) AS dup_para_char_frac,
+        |    round(CASE WHEN coalesce(w_chars, 0) = 0 THEN 0.0 ELSE least(1.0, CAST(coalesce(c2, 0) AS DOUBLE) / w_chars) END, 6) AS top_2gram_char_frac,
+        |    round(CASE WHEN coalesce(w_chars, 0) = 0 THEN 0.0 ELSE least(1.0, CAST(coalesce(c3, 0) AS DOUBLE) / w_chars) END, 6) AS top_3gram_char_frac,
+        |    round(CASE WHEN coalesce(w_chars, 0) = 0 THEN 0.0 ELSE least(1.0, CAST(coalesce(c4, 0) AS DOUBLE) / w_chars) END, 6) AS top_4gram_char_frac,
+        |    round(CASE WHEN coalesce(w_chars, 0) = 0 THEN 0.0 ELSE least(1.0, CAST(coalesce(c5, 0) AS DOUBLE) / w_chars) END, 6) AS dup_5gram_char_frac,
+        |    round(CASE WHEN coalesce(w_chars, 0) = 0 THEN 0.0 ELSE least(1.0, CAST(coalesce(c6, 0) AS DOUBLE) / w_chars) END, 6) AS dup_6gram_char_frac,
+        |    round(CASE WHEN coalesce(w_chars, 0) = 0 THEN 0.0 ELSE least(1.0, CAST(coalesce(c7, 0) AS DOUBLE) / w_chars) END, 6) AS dup_7gram_char_frac,
+        |    round(CASE WHEN coalesce(w_chars, 0) = 0 THEN 0.0 ELSE least(1.0, CAST(coalesce(c8, 0) AS DOUBLE) / w_chars) END, 6) AS dup_8gram_char_frac,
+        |    round(CASE WHEN coalesce(w_chars, 0) = 0 THEN 0.0 ELSE least(1.0, CAST(coalesce(c9, 0) AS DOUBLE) / w_chars) END, 6) AS dup_9gram_char_frac,
+        |    round(CASE WHEN coalesce(w_chars, 0) = 0 THEN 0.0 ELSE least(1.0, CAST(coalesce(c10, 0) AS DOUBLE) / w_chars) END, 6) AS dup_10gram_char_frac
+        |  FROM documents d
+        |  LEFT JOIN linestats USING (doc_id)
+        |  LEFT JOIN parastats USING (doc_id)
+        |  LEFT JOIN wchars USING (doc_id)
+        |  LEFT JOIN grambydoc USING (doc_id))
+        |SELECT *,
+        |  dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+        |  AND dup_para_frac <= 0.30 AND dup_para_char_frac <= 0.20
+        |  AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+        |  AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+        |  AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+        |  AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+        |  AND dup_10gram_char_frac <= 0.10 AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin),
     "c4_filter" ->
       (RelineatedCte + """,
         |base AS (

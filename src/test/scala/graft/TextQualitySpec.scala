@@ -208,4 +208,62 @@ class TextQualitySpec extends SparkTestBase {
     assert(byId(20L)._3 === "head", "singleton lang ranks 0.0 -> head")
     assert(byId(30L)._3 === "head", "wordless doc gets ce 0.0 -> ranks first")
   }
+
+  test("gopher repetition: line/para/n-gram signals are exact") {
+    val rows = Seq(
+      // one line repeated of three -> dup_line_frac 1/3; all three in
+      // one 4-line paragraph block -> no para dup
+      (1L, "aaa bbb ccc.\naaa bbb ccc.\nxxx yyy zzz."),
+      // degenerate loop: "x x x x" -> top 2-gram covers (3 occ x 2
+      // chars) / 4 word chars, capped at 1.0
+      (2L, "x x x x"),
+      // a repeated 5-word run -> dup 5-gram chars (2-1)*5 over 10
+      (3L, "a b c d e a b c d e"),
+      // paragraph blocks 0 and 1 byte-identical -> half the paras dup
+      (4L, (1 to 8).map(i => s"p q r s${(i - 1) / 4}").mkString("\n")
+        .replace("0", "").replace("1", "")),
+      (5L, ""))
+    val got = TextQuality
+      .gopherRepetition(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val d1 = got(1L)
+    assert(d1.getDouble(d1.fieldIndex("dup_line_frac")) === 0.333333)
+    assert(d1.getDouble(d1.fieldIndex("dup_line_char_frac")) === 0.333333)
+    assert(d1.getDouble(d1.fieldIndex("dup_para_frac")) === 0.0)
+
+    val d2 = got(2L)
+    assert(d2.getDouble(d2.fieldIndex("top_2gram_char_frac")) === 1.0,
+      "coverage caps at 1.0")
+    assert(!d2.getBoolean(d2.fieldIndex("keep")))
+
+    val d3 = got(3L)
+    assert(d3.getDouble(d3.fieldIndex("dup_5gram_char_frac")) === 0.5)
+    assert(!d3.getBoolean(d3.fieldIndex("keep")))
+
+    val d4 = got(4L)
+    assert(d4.getDouble(d4.fieldIndex("dup_para_frac")) === 0.5)
+    assert(d4.getDouble(d4.fieldIndex("dup_para_char_frac")) === 0.5)
+
+    val d5 = got(5L)
+    assert(d5.getDouble(d5.fieldIndex("dup_line_frac")) === 0.0)
+    assert(d5.getBoolean(d5.fieldIndex("keep")),
+      "empty doc trips no repetition rule")
+  }
+
+  test("gopher repetition: clean long text keeps; all docs present") {
+    // 60 distinct words -> top 2-gram coverage ~2/60 of chars, every
+    // dup signal 0 -> keep. Letter-distinct: normalize STRIPS digits,
+    // so "w1x w2x ..." would collapse to sixty copies of "wx".
+    val clean = (0 until 60)
+      .map(i => s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}q")
+      .mkString(" ")
+    val rows = Seq((1L, clean + ".\n" + "tail line of words here."))
+    val out = TextQuality.gopherRepetition(rows.toDF("doc_id", "text"))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getBoolean(r.fieldIndex("keep")))
+    assert(r.getDouble(r.fieldIndex("dup_5gram_char_frac")) === 0.0)
+  }
 }
