@@ -284,6 +284,8 @@ object SparkEntry {
         TextQuality.relineated(Tables.documents(s, d)))),
     "pagerank_neardup" -> ((s, d) => Dedup.pagerankNearDup(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
+    "bpe_train" -> ((s, d) => Bpe.train(s, d, BpeK)),
+    "bpe_tokenize" -> ((s, d) => Bpe.tokenizeDocs(s, d, BpeK)),
     "doc_perplexity" -> ((s, d) => TextAnalysis.docPerplexity(s, d)),
     "rank_corr" -> ((s, d) => Analytics.rankCorr(s, d)),
     "tfidf_cosine_pairs" -> ((s, d) => TextAnalysis.tfidfCosinePairs(s, d)),
@@ -331,6 +333,72 @@ object SparkEntry {
       |      CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'visit our casino today now.' ELSE '' END
       |    ) AS text
       |  FROM tok)""".stripMargin
+
+  /** Independent DuckDB replay of the BPE training loop
+    * ([[graft.operators.Bpe]]): k chained CTE triples (pair census →
+    * 1-row argmax → merge application). The segmentation travels as
+    * the same chr(31)-wrapped string the engine uses, so DuckDB's
+    * left-to-right non-overlapping `replace` reproduces the greedy
+    * merge pass exactly (see Bpe's representation Scaladoc for the
+    * proof sketch). The LEFT JOIN ON TRUE guard keeps v_t = v_{t-1}
+    * when a tiny corpus runs out of pairs before k merges.
+    */
+  private val BpeK = 20
+
+  private def bpeVocabCte(k: Int): String = {
+    val S = "chr(31)"
+    val SS = "chr(31) || chr(31)"
+    val sb = new StringBuilder
+    sb.append(
+      """WITH dtoks AS (
+        |  SELECT doc_id, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+        |  FROM documents),
+        |v0 AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n,
+        |    chr(31) || array_to_string(list_transform(range(1, length(word) + 1), i -> substring(word, CAST(i AS INTEGER), 1)), chr(31) || chr(31)) || chr(31) AS s
+        |  FROM dtoks WHERE length(word) >= 2 GROUP BY word)""".stripMargin)
+    for (t <- 1 to k) {
+      sb.append(s""",
+        |p$t AS (
+        |  SELECT syms[CAST(i AS INTEGER)] AS a, syms[CAST(i AS INTEGER) + 1] AS b, sum(n) AS cnt
+        |  FROM (SELECT n, string_split(s[2:-2], $SS) AS syms FROM v${t - 1}),
+        |       unnest(range(1, len(syms))) AS u$t(i)
+        |  GROUP BY 1, 2),
+        |best$t AS MATERIALIZED (SELECT a, b, cnt FROM p$t ORDER BY cnt DESC, a, b LIMIT 1),
+        |v$t AS MATERIALIZED (
+        |  SELECT word, n, CASE WHEN b.a IS NULL THEN v.s
+        |    ELSE replace(v.s, $S || b.a || $SS || b.b || $S, $S || b.a || b.b || $S) END AS s
+        |  FROM v${t - 1} v LEFT JOIN best$t b ON TRUE)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private val BpeTrainSql: String =
+    bpeVocabCte(BpeK) + "\n" +
+      (1 to BpeK).map(t =>
+        s"""SELECT CAST($t AS INTEGER) AS "rank", a AS lhs, b AS rhs, a || b AS merged, CAST(cnt AS BIGINT) AS n FROM best$t""")
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", s"""\n) ORDER BY "rank"""")
+
+  private val BpeTokenizeSql: String =
+    bpeVocabCte(BpeK) +
+      s""",
+        |tokc AS (
+        |  SELECT word, CAST(1 + (length(s) - length(replace(s, chr(31) || chr(31), ''))) // 2 AS BIGINT) AS tok FROM v$BpeK
+        |  UNION ALL
+        |  SELECT DISTINCT word, CAST(1 AS BIGINT) FROM dtoks WHERE length(word) = 1),
+        |dw AS (
+        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+        |  FROM dtoks WHERE length(word) > 0 GROUP BY doc_id, word),
+        |agg AS (
+        |  SELECT doc_id, sum(c) AS w, sum(c * tok) AS t, sum(c * length(word)) AS ch
+        |  FROM dw JOIN tokc USING (word) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.w, 0) AS BIGINT) AS n_words,
+        |  CAST(coalesce(a.t, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(a.ch, 0) AS BIGINT) AS n_chars,
+        |  round(CASE WHEN coalesce(a.t, 0) = 0 THEN 0.0 ELSE CAST(a.ch AS DOUBLE) / a.t END, 6) AS chars_per_token
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
 
   private val DupSpanCoverageOracle: String =
     """WITH words AS (
@@ -2170,6 +2238,8 @@ object SparkEntry {
         |LEFT JOIN tot ON d.doc_id = tot.doc_id
         |LEFT JOIN kept ON d.doc_id = kept.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "bpe_train" -> BpeTrainSql,
+    "bpe_tokenize" -> BpeTokenizeSql,
     "bpe_pairs" ->
       """WITH toks AS (
         |  SELECT lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
