@@ -119,12 +119,12 @@ object EventStreams {
 
   /** Micro-batch upsert sink via foreachBatch: each batch merges into
     * a parquet snapshot keyed by event_id, committed atomically
-    * through [[SnapshotStore]] generation dirs (a crash mid-rewrite
+    * through [[BucketStore]] manifest generations (a crash mid-write
     * can never lose previously merged keys). foreachBatch is the
     * engine's escape hatch to ANY batch sink with exactly-once-per-
     * batch semantics (batchId is provided for idempotence
     * bookkeeping); against a transactional table format the same
-    * callback issues a real MERGE instead of the rewrite.
+    * callback issues a real MERGE instead.
     *
     * Merge rule: per event_id, the row with the GREATEST `orderCol`
     * wins — globally, not per batch. So duplicate keys within a batch
@@ -133,29 +133,31 @@ object EventStreams {
     * overwrite). Exact ties break on a content hash, so the pick is a
     * pure function of the data — reproducible at any parallelism.
     *
-    * Plan shape per batch: ONLY the small batch and the snapshot rows
-    * whose keys conflict with it go through the argmax (max_by hash
-    * aggregates — no sort); the rest of the snapshot rides through an
-    * untouched broadcast anti-join. The snapshot — which grows
-    * unboundedly over a stream's lifetime — is never shuffled or
-    * sorted, which a single window over snapshot-union-batch would do
-    * on every batch.
+    * Plan AND I/O shape per batch are batch-sized: the snapshot is
+    * bucketed by a pure function of the key, so the merge reads ONLY
+    * the buckets holding the batch's keys (manifest-pruned), routes
+    * only genuinely conflicting keys through the argmax (max_by hash
+    * aggregates — no sort), and the commit rewrites only those
+    * buckets — every other bucket's data dir carries over by manifest
+    * reference, unread and unwritten. This removes the last
+    * O(corpus)-per-batch term the monolithic SnapshotStore layout
+    * had: a long-lived stream's per-batch cost is driven by batch
+    * size, not snapshot size. A pre-existing monolithic snapshot
+    * (legacy layout, or a flat `_SUCCESS` import) is migrated into
+    * buckets by the first batch — the one commit that still rewrites
+    * everything, by necessity.
     *
-    * The localCheckpoint materializes the merge before the commit;
-    * with generation dirs the new write no longer deletes the data the
-    * plan reads (that hazard was the old in-place overwrite), but the
-    * checkpoint still bounds the per-batch plan and lets the
-    * generation prune proceed without a live reader. The checkpoint's
-    * own RDD (and only it — a shared SparkContext can hold OTHER jobs'
-    * persisted blocks, which must not be touched) is dropped after the
-    * write: a stream runs unboundedly many batches, and per-batch
-    * blocks left to the ContextCleaner accumulate in the meantime.
+    * The distinct-bucket collect is NOT a driver-side data loop: it
+    * returns at most one small long per touched bucket, bounded by
+    * the batch's key spread, never by the corpus.
     */
-  def upsertSink(events: DataFrame, path: String, orderCol: String = "sec")
+  def upsertSink(events: DataFrame, path: String, orderCol: String = "sec",
+      bucketer: BucketStore.Bucketer = BucketStore.HashBuckets("event_id", 64))
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
+        import spark.implicits._
         val cols = batch.columns
         // deterministic argmax of a whole row by (orderCol, content)
         def best(df: DataFrame): DataFrame = df
@@ -165,37 +167,43 @@ object EventStreams {
             .as("r"))
           .select(col("r.*"))
         val keyed = best(batch) // within-batch dedup, batch-sized
-        // the snapshot lives in SnapshotStore's generation layout: the
-        // current version is the highest gen=<k> dir with a _SUCCESS
-        // job-commit marker, and a new version is written BESIDE it —
-        // never over it — so no crash window can destroy previously
-        // merged keys (mode("overwrite") deletes the committed data
-        // before the rewrite starts). All path handling goes through
-        // the Hadoop FileSystem for the path's own scheme; read errors
-        // on a committed generation (transient S3/HDFS failures, not
-        // crash damage) FAIL the batch so the stream retries.
-        val snapshotOpt: Option[DataFrame] = SnapshotStore.read(spark, path)
-        val merged =
-          (if (snapshotOpt.isDefined) {
-            val snapshot = snapshotOpt.get
-            val keys = keyed.select("event_id")
-            val untouched = snapshot
-              .join(broadcast(keys), Seq("event_id"), "left_anti")
-            val conflicts = snapshot
-              .join(broadcast(keys), Seq("event_id"), "left_semi")
-              .unionByName(keyed)
-            untouched.unionByName(best(conflicts))
-          } else keyed)
-            .localCheckpoint()
-        SnapshotStore.commit(merged, path)
-        val checkpointed = merged.queryExecution.analyzed.collectFirst {
-          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        val bucketed = BucketStore.isBucketed(spark, path)
+        if (bucketed) {
+          val touched = keyed.select(bucketer.col.as("b"))
+            .distinct().as[Long].collect().toSeq
+          if (touched.nonEmpty) { // empty batch: nothing to commit
+            val prior =
+              BucketStore.readBuckets(spark, path, bucketer, touched)
+            val merged = prior match {
+              case None => keyed
+              case Some(tb) =>
+                val keys = keyed.select("event_id")
+                val untouched = tb
+                  .join(broadcast(keys), Seq("event_id"), "left_anti")
+                val conflicts = tb
+                  .join(broadcast(keys), Seq("event_id"), "left_semi")
+                  .unionByName(keyed)
+                untouched.unionByName(best(conflicts))
+            }
+            BucketStore.commit(merged, bucketer, touched, path)
+          }
+        } else {
+          // first batch, or a one-time migration of a monolithic
+          // legacy snapshot into the bucketed layout (full rewrite —
+          // unavoidable exactly once)
+          val merged = SnapshotStore.read(spark, path) match {
+            case None => keyed
+            case Some(snapshot) =>
+              val keys = keyed.select("event_id")
+              val untouched = snapshot
+                .join(broadcast(keys), Seq("event_id"), "left_anti")
+              val conflicts = snapshot
+                .join(broadcast(keys), Seq("event_id"), "left_semi")
+                .unionByName(keyed)
+              untouched.unionByName(best(conflicts))
+          }
+          if (!merged.isEmpty) BucketStore.commitAll(merged, bucketer, path)
         }
-        if (checkpointed.isEmpty)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            "upsertSink: checkpointed RDD not found in the analyzed plan; " +
-              "per-batch checkpoint blocks will accumulate until GC")
-        checkpointed.foreach(_.unpersist(blocking = false))
         ()
       }
       .outputMode("update")
@@ -315,9 +323,19 @@ object EventStreams {
     * merge routes only conflicting fingerprints through the argmin
     * (the rest of the snapshot rides an untouched broadcast
     * anti-join, as in upsertSink), and near-dup evidence comes from
-    * the posting scan. The snapshot WRITE is still a full rewrite —
-    * plain parquet has no merge; against a transactional table format
-    * the same callback issues a real MERGE instead.
+    * the posting scan. The snapshot WRITE is batch-sized too: the
+    * snapshot is bucketed by a pure function of doc_id
+    * ([[BucketStore]]) and a batch rewrites ONLY the buckets holding
+    * its own docs, its fingerprint conflicts, and its newly
+    * tombstoned victims — every other bucket carries over by
+    * manifest reference, unread and unwritten. The one remaining
+    * corpus-sized term per batch is a two-column (fp, doc_id)
+    * parquet SCAN for the fingerprint-conflict probe — a pruned read,
+    * orders of magnitude cheaper than the full rewrite the
+    * monolithic layout forced, and replaceable by an fp->doc_id
+    * index table if even the scan ever dominates. A pre-existing
+    * monolithic snapshot is migrated into buckets by the first
+    * post-upgrade batch (one full rewrite, by necessity).
     *
     * Crash/replay discipline: uncommitted (crashed-partial) posting
     * partitions are swept before each batch reads history; committed
@@ -335,11 +353,13 @@ object EventStreams {
     * rebuilding the corpus from the batch alone).
     */
   def curatedIngest(docs: DataFrame, path: String, n: Int = 3,
-      threshold: Double = 0.5)
+      threshold: Double = 0.5,
+      bucketer: BucketStore.Bucketer = BucketStore.HashBuckets("doc_id", 64))
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        import spark.implicits._
         // within-batch exact dedup: lowest doc_id per fingerprint
         val batchKeepers = batch
           .select(col("doc_id"), col("lang"), col("text"),
@@ -353,13 +373,26 @@ object EventStreams {
             lit(false).as("out"))
         val hPath = new org.apache.hadoop.fs.Path(path)
         val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // generation-layout snapshot (SnapshotStore): a committed
-        // version is never deleted before its successor is durable, so
-        // "absent" here can only mean no snapshot was EVER committed —
-        // either the true first batch, or a replay of it after a crash
-        // between the posting commit and the first snapshot commit
-        // (the guard below distinguishes that from external data loss).
-        val snapshotOpt: Option[DataFrame] = SnapshotStore.read(spark, path)
+        // bucketed manifest-generation snapshot (BucketStore): a
+        // committed version is never deleted before its successor is
+        // durable, so "absent" here can only mean no snapshot was EVER
+        // committed — either the true first batch, or a replay of it
+        // after a crash between the posting commit and the first
+        // snapshot commit (the guard below distinguishes that from
+        // external data loss). A monolithic legacy snapshot reads
+        // through the fallback and is migrated by this batch.
+        val bucketedLayout = BucketStore.isBucketed(spark, path)
+        val snapshotOpt: Option[DataFrame] = BucketStore.read(spark, path)
+        // fingerprint-conflict probe: the one corpus-wide read left in
+        // the batch path, pruned to two columns. Checkpointed because
+        // it feeds three consumers (touched buckets, the seen-id
+        // anti-join, nothing else corpus-sized re-reads the snapshot).
+        val conflictIds: Option[DataFrame] = snapshotOpt.map(s =>
+          s.select(col("doc_id"), col("fp"))
+            .join(broadcast(batchKeepers.select(col("fp"))),
+              Seq("fp"), "left_semi")
+            .select(col("doc_id"))
+            .localCheckpoint())
         // cross-batch exact dedup: keeper per fingerprint is the
         // LOWEST doc_id seen so far. Plan shape per batch follows
         // upsertSink: only the snapshot rows whose fingerprints
@@ -376,24 +409,41 @@ object EventStreams {
         // arbitrary pick between the two copies could resurrect the
         // tombstone — `!out` orders the out=true copy first, so the
         // snapshot's knowledge wins on equal ids (false < true).
-        val (merged, seenIds) = snapshotOpt match {
-          case None => (batchKeepers, None)
-          case Some(snapshot) =>
+        // rows the merge must actually look at: in the bucketed layout
+        // only the buckets holding batch docs or their fp conflicts
+        // (manifest-pruned read — O(touched), not O(corpus)); in the
+        // migration/first-batch path, whatever monolithic snapshot
+        // exists. Every snapshot row with a batch fingerprint is in a
+        // touched bucket by construction (its doc_id is in
+        // conflictIds), so the within-touched semi/anti split below
+        // equals the global one.
+        val touched1: Seq[Long] =
+          if (!bucketedLayout) Seq.empty
+          else batchKeepers.select(bucketer.col.as("b"))
+            .unionByName(conflictIds.get.select(bucketer.col.as("b")))
+            .distinct().as[Long].collect().toSeq
+        val baseRows: Option[DataFrame] =
+          if (bucketedLayout)
+            BucketStore.readBuckets(spark, path, bucketer, touched1)
+          else snapshotOpt
+        val merged = baseRows match {
+          case None => batchKeepers
+          case Some(prior) =>
             val batchFps = batchKeepers.select(col("fp"))
-            val untouched = snapshot
+            val untouched = prior
               .join(broadcast(batchFps), Seq("fp"), "left_anti")
-            val conflicts = snapshot
+            val conflicts = prior
               .join(broadcast(batchFps), Seq("fp"), "left_semi")
-            (untouched.unionByName(
+            untouched.unionByName(
               conflicts.unionByName(batchKeepers)
                 .groupBy(col("fp"))
                 .agg(min_by(
                   struct(col("doc_id"), col("lang"), col("text"), col("out")),
                   struct(col("doc_id"), !col("out"))).as("r"))
                 .select(col("fp"), col("r.doc_id"), col("r.lang"),
-                  col("r.text"), col("r.out"))),
-              Some(conflicts.select(col("doc_id"))))
+                  col("r.text"), col("r.out")))
         }
+        val seenIds: Option[DataFrame] = conflictIds
         // newDocs stays BATCH-sized end to end: only a batch doc can be
         // new, and the only snapshot ids a batch doc can collide with
         // are those sharing a batch fingerprint — exactly `conflicts`,
@@ -511,6 +561,10 @@ object EventStreams {
           .ngramJaccardAgainstGrams(baseGrams, newGrams, threshold)
           .select(col("doc_id_2").as("doc_id")).distinct()
           .withColumn("hit", lit(true))
+          // checkpointed: feeds both the victim-bucket discovery and
+          // the out-flag join, and the jaccard aggregation behind it
+          // must not run twice
+          .localCheckpoint()
         // postings commit BEFORE the snapshot: a crash in between
         // replays the batch against intact history (idempotent batch
         // partition rewrite), whereas the reverse order could commit
@@ -520,16 +574,42 @@ object EventStreams {
         if (!postingGrams.isEmpty)
           postingGrams.select(col("doc_id"), col("ng"), col("n_ng"))
             .write.mode("overwrite").parquet(batchDir.toString)
-        val updated = merged
-          .join(newlyOut, Seq("doc_id"), "left_outer")
-          .withColumn("out", col("out") || coalesce(col("hit"), lit(false)))
-          .drop("hit")
-          .localCheckpoint()
-        SnapshotStore.commit(updated, path)
-        // drop BOTH per-batch checkpoints (merge result + gram table):
-        // a stream runs unboundedly many batches, and blocks left to
-        // the ContextCleaner accumulate in the meantime
-        Seq(updated, postingGrams).foreach { df =>
+        // knockout victims can live in buckets the exact merge never
+        // touched (an old admitted doc losing to a new lower-id
+        // near-dup): pull exactly those buckets in for the out-flag
+        // rewrite. Everything else stays on disk untouched.
+        if (bucketedLayout) {
+          val t1 = touched1.toSet
+          val extraBuckets = newlyOut.select(bucketer.col.as("b"))
+            .distinct().as[Long].collect().toSeq.filterNot(t1)
+          val victims =
+            if (extraBuckets.isEmpty) None
+            else BucketStore.readBuckets(spark, path, bucketer, extraBuckets)
+          val updated = victims.fold(merged)(merged.unionByName(_))
+            .join(newlyOut, Seq("doc_id"), "left_outer")
+            .withColumn("out",
+              col("out") || coalesce(col("hit"), lit(false)))
+            .drop("hit")
+          val touchedAll = touched1 ++ extraBuckets
+          if (touchedAll.nonEmpty) // empty batch: snapshot unchanged
+            BucketStore.commit(updated, bucketer, touchedAll, path)
+        } else {
+          val updated = merged
+            .join(newlyOut, Seq("doc_id"), "left_outer")
+            .withColumn("out",
+              col("out") || coalesce(col("hit"), lit(false)))
+            .drop("hit")
+          // first batch or legacy migration — the only full write.
+          // (Emptiness is decided from the batch, not by evaluating
+          // the corpus-sized merge twice: with no prior snapshot the
+          // merge is exactly the batch keepers.)
+          if (snapshotOpt.isDefined || !batchKeepers.isEmpty)
+            BucketStore.commitAll(updated, bucketer, path)
+        }
+        // drop the per-batch checkpoints (gram table, conflict probe,
+        // knockout set): a stream runs unboundedly many batches, and
+        // blocks left to the ContextCleaner accumulate in the meantime
+        (Seq(postingGrams, newlyOut) ++ conflictIds.toSeq).foreach { df =>
           df.queryExecution.analyzed.collectFirst {
             case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
           }.foreach(_.unpersist(blocking = false))
@@ -539,12 +619,13 @@ object EventStreams {
       .outputMode("update")
       .start()
 
-  /** The current committed snapshot of a SnapshotStore-backed sink
-    * (upsertSink / curatedIngest), raw — including tombstones. Throws
-    * if no generation was ever committed.
+  /** The current committed snapshot of a BucketStore-backed sink
+    * (upsertSink / curatedIngest), raw — including tombstones; falls
+    * back to the legacy monolithic layouts. Throws if no generation
+    * was ever committed.
     */
   def readSnapshot(spark: SparkSession, path: String): DataFrame =
-    SnapshotStore.read(spark, path).getOrElse(
+    BucketStore.read(spark, path).getOrElse(
       throw new IllegalStateException(
         s"no committed snapshot at $path"))
 

@@ -86,6 +86,16 @@ object SnapshotStore {
     }
   }
 
+  /** Remove this store's committed monolithic generations — called by
+    * [[BucketStore]] once a bucketed successor is durable, so a
+    * migrated sink doesn't carry its pre-migration corpus forever.
+    * Flat-layout imports (parquet files + `_SUCCESS` directly at the
+    * root) are left in place: they are foreign data this store never
+    * wrote, and a committed bucketed manifest shadows them on read.
+    */
+  private[streaming] def pruneLegacy(fs: FileSystem, root: Path): Unit =
+    committedGens(fs, root).foreach { case (_, p) => fs.delete(p, true) }
+
   /** Commit `df` as the next generation, then prune. Ordering is the
     * whole point: sweep partials, WRITE the new generation to
     * durability, only then delete predecessors.
