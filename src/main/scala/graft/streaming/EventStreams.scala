@@ -310,9 +310,10 @@ object EventStreams {
     * identical grams and a strictly lower id, so every knockout a
     * stale posting row produces is also produced by the
     * replacement's own postings, and a stale id on the losing side
-    * just fails the snapshot join (offline compaction is hygiene,
-    * not correctness). Tombstoned docs' postings are load-bearing and
-    * must never be compacted away.
+    * just fails the snapshot join ([[compactPostings]] is the
+    * offline hygiene op that folds the partitions and drops exactly
+    * these stale rows). Tombstoned docs' postings are load-bearing
+    * and must never be compacted away — compactPostings keeps them.
     *
     * Quality gates (token floor, language) are applied at READ time
     * (curatedSnapshot), as in the batch pipeline: a low-quality doc
@@ -360,6 +361,13 @@ object EventStreams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
+        // phase labels for the Spark UI (and perf probes): each batch
+        // runs a handful of distinct actions, and an unlabeled stream
+        // attributes them all to .start()
+        def phase[T](name: String)(body: => T): T = {
+          spark.sparkContext.setJobDescription(s"graft-ingest: $name")
+          try body finally spark.sparkContext.setJobDescription(null)
+        }
         // within-batch exact dedup: lowest doc_id per fingerprint
         val batchKeepers = batch
           .select(col("doc_id"), col("lang"), col("text"),
@@ -388,11 +396,12 @@ object EventStreams {
         // it feeds three consumers (touched buckets, the seen-id
         // anti-join, nothing else corpus-sized re-reads the snapshot).
         val conflictIds: Option[DataFrame] = snapshotOpt.map(s =>
-          s.select(col("doc_id"), col("fp"))
-            .join(broadcast(batchKeepers.select(col("fp"))),
-              Seq("fp"), "left_semi")
-            .select(col("doc_id"))
-            .localCheckpoint())
+          phase("fp-conflict-probe")(
+            s.select(col("doc_id"), col("fp"))
+              .join(broadcast(batchKeepers.select(col("fp"))),
+                Seq("fp"), "left_semi")
+              .select(col("doc_id"))
+              .localCheckpoint()))
         // cross-batch exact dedup: keeper per fingerprint is the
         // LOWEST doc_id seen so far. Plan shape per batch follows
         // upsertSink: only the snapshot rows whose fingerprints
@@ -419,9 +428,15 @@ object EventStreams {
         // equals the global one.
         val touched1: Seq[Long] =
           if (!bucketedLayout) Seq.empty
-          else batchKeepers.select(bucketer.col.as("b"))
-            .unionByName(conflictIds.get.select(bucketer.col.as("b")))
-            .distinct().as[Long].collect().toSeq
+          // batch side uses RAW batch ids, not batchKeepers: the
+          // keeper projection would re-run the fingerprint md5 over
+          // the batch text just to throw it away (keeper ids are a
+          // subset of batch ids, and an extra bucket from a
+          // within-batch dup's id is rewritten identically — harmless)
+          else phase("touched-buckets")(
+            batch.select(bucketer.col.as("b"))
+              .unionByName(conflictIds.get.select(bucketer.col.as("b")))
+              .distinct().as[Long].collect().toSeq)
         val baseRows: Option[DataFrame] =
           if (bucketedLayout)
             BucketStore.readBuckets(spark, path, bucketer, touched1)
@@ -474,11 +489,11 @@ object EventStreams {
         // collapses (same doc_id, same n_ng — a pure no-op).
         // Tokenized ONCE, checkpointed: the gram table feeds the
         // posting write and (filtered to newDocs) the probe join.
-        val postingGrams = graft.operators.Dedup
+        val postingGrams = phase("tokenize-batch")(graft.operators.Dedup
           .ngramsWithSize(
             merged.join(batch.select(col("doc_id")), Seq("doc_id"),
               "left_semi").select(col("doc_id"), col("text")), n)
-          .localCheckpoint()
+          .localCheckpoint())
         val newGrams = postingGrams
           .join(newDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
         val postingsRoot = new org.apache.hadoop.fs.Path(path + "_postings")
@@ -540,7 +555,7 @@ object EventStreams {
             .select(col("doc_id"))
             .join(broadcast(batch.select(col("doc_id")).distinct()),
               Seq("doc_id"), "left_anti")
-          if (!foreign.isEmpty)
+          if (!phase("first-batch-guard")(foreign.isEmpty))
             throw new IllegalStateException(
               s"curatedIngest: posting history at $postingsRoot holds " +
                 "docs from batches whose snapshot is gone — refusing to " +
@@ -557,14 +572,14 @@ object EventStreams {
         // history; their knockouts are subsumed by their lower-id
         // replacements' postings and their own ids fail the join below
         // (see the operator doc).
-        val newlyOut = graft.operators.Dedup
+        // checkpointed: feeds both the victim-bucket discovery and
+        // the out-flag join, and the jaccard aggregation behind it
+        // must not run twice
+        val newlyOut = phase("near-dup-probe")(graft.operators.Dedup
           .ngramJaccardAgainstGrams(baseGrams, newGrams, threshold)
           .select(col("doc_id_2").as("doc_id")).distinct()
           .withColumn("hit", lit(true))
-          // checkpointed: feeds both the victim-bucket discovery and
-          // the out-flag join, and the jaccard aggregation behind it
-          // must not run twice
-          .localCheckpoint()
+          .localCheckpoint())
         // postings commit BEFORE the snapshot: a crash in between
         // replays the batch against intact history (idempotent batch
         // partition rewrite), whereas the reverse order could commit
@@ -572,16 +587,18 @@ object EventStreams {
         // write nothing — every existing partition holds real files,
         // so the root read above never sees a file-less dataset.
         if (!postingGrams.isEmpty)
-          postingGrams.select(col("doc_id"), col("ng"), col("n_ng"))
-            .write.mode("overwrite").parquet(batchDir.toString)
+          phase("posting-write")(
+            postingGrams.select(col("doc_id"), col("ng"), col("n_ng"))
+              .write.mode("overwrite").parquet(batchDir.toString))
         // knockout victims can live in buckets the exact merge never
         // touched (an old admitted doc losing to a new lower-id
         // near-dup): pull exactly those buckets in for the out-flag
         // rewrite. Everything else stays on disk untouched.
         if (bucketedLayout) {
           val t1 = touched1.toSet
-          val extraBuckets = newlyOut.select(bucketer.col.as("b"))
-            .distinct().as[Long].collect().toSeq.filterNot(t1)
+          val extraBuckets = phase("victim-buckets")(
+            newlyOut.select(bucketer.col.as("b"))
+              .distinct().as[Long].collect().toSeq.filterNot(t1))
           val victims =
             if (extraBuckets.isEmpty) None
             else BucketStore.readBuckets(spark, path, bucketer, extraBuckets)
@@ -592,7 +609,8 @@ object EventStreams {
             .drop("hit")
           val touchedAll = touched1 ++ extraBuckets
           if (touchedAll.nonEmpty) // empty batch: snapshot unchanged
-            BucketStore.commit(updated, bucketer, touchedAll, path)
+            phase("snapshot-commit")(
+              BucketStore.commit(updated, bucketer, touchedAll, path))
         } else {
           val updated = merged
             .join(newlyOut, Seq("doc_id"), "left_outer")
@@ -604,7 +622,8 @@ object EventStreams {
           // the corpus-sized merge twice: with no prior snapshot the
           // merge is exactly the batch keepers.)
           if (snapshotOpt.isDefined || !batchKeepers.isEmpty)
-            BucketStore.commitAll(updated, bucketer, path)
+            phase("snapshot-commit-full")(
+              BucketStore.commitAll(updated, bucketer, path))
         }
         // drop the per-batch checkpoints (gram table, conflict probe,
         // knockout set): a stream runs unboundedly many batches, and
@@ -618,6 +637,77 @@ object EventStreams {
       }
       .outputMode("update")
       .start()
+
+  /** Offline compaction of a curatedIngest posting table: folds the
+    * accumulated per-batch `batch=<id>` partitions into ONE partition,
+    * so the per-batch history scan stops paying for dead data after
+    * thousands of micro-batches. Returns the number of partitions
+    * folded (0 = nothing to do).
+    *
+    * What compaction may drop — and what it must not:
+    *
+    *  - DROPPED: posting rows of doc_ids absent from the snapshot.
+    *    These are exact-dup EVICTIONS (a lower-id twin replaced the
+    *    doc); the replacement has identical grams and a strictly
+    *    lower id, so every knockout a stale row could produce is also
+    *    produced by the replacement's own postings (the inline
+    *    ingest relies on the same subsumption — see curatedIngest).
+    *  - DROPPED: duplicate rows from at-least-once redelivery and
+    *    replay collisions (same (doc_id, ng, n_ng) appended to two
+    *    partitions). The ingest's pair-level distinct always
+    *    collapsed these; compaction just stops re-reading them.
+    *  - KEPT: TOMBSTONED docs' postings. The batch dedup rule drops
+    *    every doc pairing with ANY lower-id doc, including losers —
+    *    Jaccard is not transitive, so a later arrival can be a
+    *    near-dup of a tombstoned doc without being a near-dup of
+    *    that doc's own knocker. Dropping these would silently admit
+    *    such arrivals (the spec drives exactly this chain).
+    *
+    * Crash discipline mirrors the ingest: the compacted partition is
+    * written to the next free `batch=` index and made durable
+    * (`_SUCCESS`) BEFORE the folded partitions are deleted — every
+    * crash window leaves either duplicates (collapsed by the
+    * pair-level distinct, re-folded by the next compaction) or a
+    * partial partition (swept by the next batch/compaction). Safe to
+    * run between batches of a STOPPED stream, or concurrently only if
+    * the deployment serializes it with the sink (same single-writer
+    * assumption every foreachBatch sink already makes).
+    *
+    * Scale shape: one shuffle to distinct the surviving rows — the
+    * cost is the LIVE posting table, not the accumulated one, and the
+    * semi-join against snapshot ids shuffles 64-bit keys, never text.
+    */
+  def compactPostings(spark: SparkSession, path: String): Int = {
+    val postingsRoot = new org.apache.hadoop.fs.Path(path + "_postings")
+    val fs = postingsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(postingsRoot)) return 0
+    // a posting table without a committed snapshot is the externally-
+    // lost-corpus state the ingest refuses to touch; so does compaction
+    val snapshot = readSnapshot(spark, path)
+    // sweep crashed partials so the fold only reads committed evidence
+    val (committed, partial) = fs.listStatus(postingsRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .partition(s =>
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+    partial.foreach(s => fs.delete(s.getPath, true))
+    if (committed.size < 2) return 0 // already compact
+    val live = snapshot.select(col("doc_id"))
+    val compacted = spark.read
+      .parquet(committed.map(_.getPath.toString): _*)
+      .select(col("doc_id"), col("ng"), col("n_ng"))
+      .join(live, Seq("doc_id"), "left_semi")
+      .distinct()
+    // next free index across committed dirs, overflow-guarded like the
+    // ingest's own collision scan
+    val nextIdx = (committed.map(_.getPath.getName)
+      .flatMap(s => scala.util.Try(
+        s.substring("batch=".length).toLong).toOption) :+ -1L).max + 1
+    compacted.write.mode("overwrite").parquet(
+      new org.apache.hadoop.fs.Path(postingsRoot, s"batch=$nextIdx").toString)
+    // only after the fold is durable: delete what it folded
+    committed.foreach(s => fs.delete(s.getPath, true))
+    committed.size
+  }
 
   /** The current committed snapshot of a BucketStore-backed sink
     * (upsertSink / curatedIngest), raw — including tombstones; falls
