@@ -228,8 +228,13 @@ object Ivf {
       var i = 0
       while (i < remaining.size) {
         val key = -(remaining(i)._3.toDouble * minD(i))
-        if (key < bestKey ||
-            (key == bestKey && remaining(i)._1 < bestId)) {
+        // java.lang.Double.compare (not primitive </==) restores the
+        // replaced minBy's total order: -0.0 sorts before 0.0 so
+        // zero-weight ties fall to the id tiebreak identically, and a
+        // NaN key (zero-norm candidate) sorts last instead of being
+        // unselectable. Matches VecNearest's comparison convention.
+        val c = java.lang.Double.compare(key, bestKey)
+        if (c < 0 || (c == 0 && remaining(i)._1 < bestId)) {
           bestKey = key; bestId = remaining(i)._1; next = i
         }
         i += 1

@@ -126,6 +126,20 @@ object Ranks {
     // ---- assemble: pct = rank0 / (n_kind - 1), Spark's own corner
     // included (a singleton kind is 0.0, not 0/0). Kind sizes come
     // from the cached distinct table, not another pass over `in`. ----
+    // Runtime guard for the double-representability contract: _id is
+    // cast to double for the tie-break sub-bucketing, so |id| >= 2^53
+    // would silently collapse adjacent ids into one bucket value and
+    // produce wrong ranks with no error. Checked here on the per-kind
+    // aggregate (one extra tiny job over the already-cached rows —
+    // nothing corpus-scale); id-uniqueness within (kind, v) stays a
+    // documented caller contract since verifying it costs a full
+    // countDistinct pass.
+    val maxAbsId = rows.agg(max(abs(col("_id").cast("decimal(38,0)"))))
+      .head().getDecimal(0)
+    require(maxAbsId == null ||
+        maxAbsId.compareTo(new java.math.BigDecimal(1L << 53)) < 0,
+      s"percentRankByKey: |id| = $maxAbsId is not exactly representable " +
+        "as double (>= 2^53); tie-break ranks would be silently wrong")
     val nk = dv.groupBy(col("_k")).agg(sum(col("_cnt")).as("_nk"))
     solo.unionByName(tiedRanked)
       .join(broadcast(nk), Seq("_k"))

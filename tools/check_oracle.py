@@ -74,17 +74,24 @@ def main():
     DETAIL_MAX = 2_000_000
 
     def digest(src_sql, cols):
-        """(count, sum-of-row-hashes) with every column cast to VARCHAR
-        in sorted-column order — order-independent, multiset-exact up
-        to hash collisions, O(1) memory. NULL is tagged distinctly from
-        any string value."""
+        """(count, sum, bit_xor, salted-sum of row hashes) with every
+        column cast to VARCHAR in sorted-column order —
+        order-independent, multiset-exact up to hash collisions, O(1)
+        memory. NULL is tagged distinctly from any string value.
+        A plain additive sum admits cancellation (two compensating row
+        errors); combining sum + bit_xor + an independently-salted sum
+        means compensating errors would have to cancel in all three
+        aggregates simultaneously."""
         expr = ", ".join(
             f"coalesce(CAST(\"{c}\" AS VARCHAR), chr(1) || 'NULL')"
             for c in cols)
         row = con.execute(
-            f"SELECT count(*), sum(hash(concat_ws(chr(31), {expr}))) "
-            f"FROM ({src_sql})").fetchone()
-        return row[0], row[1]
+            f"SELECT count(*),"
+            f" sum(hash(concat_ws(chr(31), {expr}))),"
+            f" bit_xor(hash(concat_ws(chr(31), {expr}))),"
+            f" sum(hash(chr(2) || concat_ws(chr(31), {expr})))"
+            f" FROM ({src_sql})").fetchone()
+        return row[0], (row[1], row[2], row[3])
 
     for name, sql in sorted(oracle.items()):
         out_dir = OUT / name
