@@ -97,7 +97,14 @@ object SparkEntry {
     "pq_codebook" -> ((s, d) => Pq.cachedCodebook(s, d, 8, 16, 1)),
     "pq_codes" -> ((s, d) =>
       Pq.assign(Pq.subvectors(Tables.embeddings(s, d), 8, 64),
-        Pq.cachedCodebook(s, d, 8, 16, 1))))
+        Pq.cachedCodebook(s, d, 8, 16, 1))),
+    // Unigram-LM EM: per-round Viterbi segmentations (the per-word DP
+    // SQL cannot express). The oracle re-derives every vocabulary from
+    // them with validity guards folded into the joins — out-of-vocab
+    // pieces, dropped characters, or wrong frequencies break the chain
+    // (Unigram's oracle-decomposition Scaladoc); DP optimality itself
+    // is UnigramSpec's exhaustive-enumeration bit-equality test.
+    "unigram_segs" -> ((s, d) => Unigram.segTable(s, d)))
 
   /** One-time index builds for the ANN family, with the SAME parameters
     * the registry entries below use (ivf_topk/ann_topk/semantic_dedup →
@@ -190,6 +197,7 @@ object SparkEntry {
     // -- multimodal ------------------------------------------------------
     "media_stats" -> ((s, d) => Multimodal.mediaStats(s, d)),
     "media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
+    "media_decode" -> ((s, d) => Multimodal.mediaDecode(s, d)),
     // -- events ----------------------------------------------------------
     "hourly_rollup" -> ((s, d) => EventOps.hourlyRollup(s, d)),
     "sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
@@ -286,6 +294,9 @@ object SparkEntry {
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "bpe_train" -> ((s, d) => Bpe.train(s, d, BpeK)),
     "bpe_tokenize" -> ((s, d) => Bpe.tokenizeDocs(s, d, BpeK)),
+    "unigram_seed" -> ((s, d) => Unigram.seed(s, d)),
+    "unigram_train" -> ((s, d) => Unigram.train(s, d)),
+    "unigram_tokenize" -> ((s, d) => Unigram.tokenizeDocs(s, d)),
     "doc_perplexity" -> ((s, d) => TextAnalysis.docPerplexity(s, d)),
     "rank_corr" -> ((s, d) => Analytics.rankCorr(s, d)),
     "tfidf_cosine_pairs" -> ((s, d) => TextAnalysis.tfidfCosinePairs(s, d)),
@@ -399,6 +410,110 @@ object SparkEntry {
         |  round(CASE WHEN coalesce(a.t, 0) = 0 THEN 0.0 ELSE CAST(a.ch AS DOUBLE) / a.t END, 6) AS chars_per_token
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin
+
+  /** Unigram-LM oracle (Unigram's oracle-decomposition Scaladoc). The
+    * seed census + prune is replayed from `documents` directly; each
+    * EM round's vocabulary is then rebuilt from the exported per-round
+    * segmentations (oracleAux `unigram_segs`) with validity guards
+    * folded into the joins: a segmentation row only counts if its
+    * (word, n) matches the independently recomputed frequency table,
+    * its pieces concatenate back to the word, and every piece exists
+    * in the PREVIOUS round's re-derived vocabulary. The multi-piece
+    * prune cap replays Unigram.multiCap's pure-integer schedule with
+    * the char-alphabet size read from the census (DuckDB `//` and
+    * Scala Int `/` agree on the positive operands involved).
+    * `throughRound` = how many EM vocab rebuilds to emit (0 = seed
+    * only, which also skips the aux read so the seed oracle stands
+    * alone).
+    */
+  private def unigramCte(throughRound: Int): String = {
+    val base = """WITH dtoks AS (
+      |  SELECT doc_id, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+      |  FROM documents),
+      |wf AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM dtoks WHERE length(word) > 0 GROUP BY word),
+      |census AS MATERIALIZED (
+      |  SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
+      |    SELECT substring(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece, n
+      |    FROM wf,
+      |         unnest(range(1, length(word) + 1)) AS u(i),
+      |         unnest(range(1, least(@MPL, length(word) - i + 1) + 1)) AS v(l)) t
+      |  GROUP BY piece),
+      |chars AS MATERIALIZED (SELECT piece, cnt FROM census WHERE length(piece) = 1),
+      |vocab0 AS MATERIALIZED (
+      |  SELECT piece, cnt FROM chars
+      |  UNION ALL
+      |  SELECT piece, cnt FROM (SELECT piece, cnt FROM census WHERE length(piece) > 1 ORDER BY cnt DESC, piece LIMIT @SEEDM) q)"""
+      .stripMargin
+      .replace("@MPL", Unigram.MaxPieceLen.toString)
+      .replace("@SEEDM", Unigram.SeedMulti.toString)
+    val S = "chr(31)"
+    val sb = new StringBuilder(base)
+    if (throughRound >= 1)
+      sb.append(s""",
+        |segs AS MATERIALIZED (SELECT round, word, n, seg FROM read_parquet('$OracleAuxDir/unigram_segs/*.parquet'))"""
+        .stripMargin)
+    val nCh = "(SELECT count(*) FROM chars)"
+    val tgt = s"greatest(1, ${Unigram.VocabSize} - $nCh)"
+    for (r <- 1 to throughRound) {
+      val cap =
+        s"$tgt + ((${Unigram.SeedMulti} - $tgt) * (${Unigram.Rounds} - ${math.min(r, Unigram.Rounds)})) // ${Unigram.Rounds}"
+      sb.append(s""",
+        |segok$r AS (
+        |  SELECT s.word, s.n, s.seg FROM segs s JOIN wf USING (word, n)
+        |  WHERE s.round = $r AND replace(s.seg, $S, '') = s.word),
+        |pc$r AS MATERIALIZED (
+        |  SELECT p.piece, CAST(sum(p.n) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(seg, $S)) AS piece, n FROM segok$r) p
+        |  JOIN vocab${r - 1} v ON p.piece = v.piece GROUP BY p.piece),
+        |vocab$r AS MATERIALIZED (
+        |  SELECT c.piece, coalesce(p.cnt, 0) AS cnt
+        |  FROM chars c LEFT JOIN pc$r p ON c.piece = p.piece
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (
+        |    SELECT piece, cnt FROM pc$r WHERE length(piece) > 1
+        |    QUALIFY row_number() OVER (ORDER BY cnt DESC, piece) <= $cap) q)"""
+        .stripMargin)
+    }
+    sb.toString
+  }
+
+  /** (rank, piece, len, cnt) projection of vocab`r`, the shape
+    * Unigram.vocabDf emits. */
+  private def unigramVocabSql(r: Int): String =
+    unigramCte(r) + s"""
+      |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INTEGER) AS "rank",
+      |  piece, CAST(length(piece) AS INTEGER) AS len, CAST(cnt AS BIGINT) AS cnt
+      |FROM vocab$r ORDER BY "rank"""".stripMargin
+
+  private val UnigramTokenizeSql: String = {
+    val S = "chr(31)"
+    val app = Unigram.Rounds + 1
+    unigramCte(Unigram.Rounds) + s""",
+      |segok$app AS (
+      |  SELECT s.word, s.seg FROM segs s JOIN wf USING (word, n)
+      |  WHERE s.round = $app AND replace(s.seg, $S, '') = s.word),
+      |papp AS (SELECT word, unnest(string_split(seg, $S)) AS piece FROM segok$app),
+      |validw AS (
+      |  SELECT papp.word FROM papp LEFT JOIN vocab${Unigram.Rounds} v ON papp.piece = v.piece
+      |  GROUP BY papp.word HAVING count(*) = count(v.piece)),
+      |tokc AS (
+      |  SELECT s.word, CAST(len(string_split(s.seg, $S)) AS BIGINT) AS tok
+      |  FROM segok$app s JOIN validw USING (word)),
+      |dw AS (
+      |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+      |  FROM dtoks WHERE length(word) > 0 GROUP BY doc_id, word),
+      |agg AS (
+      |  SELECT doc_id, sum(c) AS w, sum(c * tok) AS t, sum(c * length(word)) AS ch
+      |  FROM dw JOIN tokc USING (word) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(a.w, 0) AS BIGINT) AS n_words,
+      |  CAST(coalesce(a.t, 0) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(a.ch, 0) AS BIGINT) AS n_chars,
+      |  round(CASE WHEN coalesce(a.t, 0) = 0 THEN 0.0 ELSE CAST(a.ch AS DOUBLE) / a.t END, 6) AS chars_per_token
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
 
   private val DupSpanCoverageOracle: String =
     """WITH words AS (
@@ -982,6 +1097,49 @@ object SparkEntry {
         |         hex(encode(text)) AS hx,
         |         octet_length(encode(text)) AS n
         |  FROM documents),
+        |nib AS (
+        |  SELECT m.doc_id, substr(m.hx, 2*t.i + 1, 1) AS hi, count(*) AS c
+        |  FROM m, UNNEST(range(m.n)) AS t(i)
+        |  GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT nib.doc_id,
+        |         round(-SUM((c::DOUBLE / m.n) * ln(c::DOUBLE / m.n)) / ln(2), 6) AS entropy
+        |  FROM nib JOIN m USING (doc_id)
+        |  GROUP BY 1)
+        |SELECT m.doc_id, m.kind, CAST(m.n AS BIGINT) AS n_bytes,
+        |       COALESCE(ent.entropy, 0.0) AS entropy,
+        |       CAST(CASE WHEN m.n = 0 THEN 0 ELSE (m.n - 1) // 64 + 1 END AS INT) AS frames_sampled,
+        |       CASE WHEN m.n = 0 THEN repeat('00', 16)
+        |            ELSE list_aggregate([substr(m.hx, 2*CAST(i * m.n // 16 AS BIGINT) + 1, 2) FOR i IN range(16)], 'string_agg', '')
+        |       END AS preview_hex
+        |FROM m LEFT JOIN ent USING (doc_id)
+        |ORDER BY m.doc_id""".stripMargin,
+    // media_decode runs the NON-identity RleCodec: the oracle rebuilds
+    // the decoded byte stream itself (each printable-ASCII char of the
+    // document repeated by its closed-form run length) from
+    // documents.text — it never sees the payload, so only a correct
+    // run expansion reproduces n_bytes, the high-nibble histogram
+    // entropy, the ceil-division frame count, and the stride preview.
+    "media_decode" ->
+      """WITH cl AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         regexp_replace(text, '[^ -~]', '', 'g') AS s
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, substring(s, CAST(i AS INTEGER), 1) AS c,
+        |         CAST((i % 5) + 1 AS INTEGER) AS rl, i
+        |  FROM cl, unnest(range(1, length(s) + 1)) AS u(i)),
+        |dec AS (
+        |  SELECT doc_id, string_agg(repeat(c, rl), '' ORDER BY i) AS ds
+        |  FROM ch GROUP BY doc_id),
+        |m AS (
+        |  SELECT cl.doc_id, cl.kind,
+        |         hex(encode(coalesce(dec.ds, ''))) AS hx,
+        |         octet_length(encode(coalesce(dec.ds, ''))) AS n
+        |  FROM cl LEFT JOIN dec USING (doc_id)),
         |nib AS (
         |  SELECT m.doc_id, substr(m.hx, 2*t.i + 1, 1) AS hi, count(*) AS c
         |  FROM m, UNNEST(range(m.n)) AS t(i)
@@ -2240,6 +2398,9 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     "bpe_train" -> BpeTrainSql,
     "bpe_tokenize" -> BpeTokenizeSql,
+    "unigram_seed" -> unigramVocabSql(0),
+    "unigram_train" -> unigramVocabSql(Unigram.Rounds),
+    "unigram_tokenize" -> UnigramTokenizeSql,
     "bpe_pairs" ->
       """WITH toks AS (
         |  SELECT lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word

@@ -40,6 +40,52 @@ object Multimodal {
     override def decode(payload: Array[Byte]): Array[Byte] = payload
   }
 
+  /** A NON-identity codec with a fully-specified format, so the batched
+    * decode path is tested against a codec that actually transforms
+    * bytes (the stub proves only plumbing): the payload is a sequence
+    * of (runLength, value) byte pairs and decode expands each run —
+    * the run-length-encoded "raster" is the simplest decode whose
+    * output length, byte distribution, and sampled bytes all differ
+    * from the payload's, which is exactly what the oracle needs to
+    * re-derive independently (see SparkEntry's media_decode SQL: it
+    * rebuilds the decoded stream from `documents.text` arithmetic, so
+    * a codec that mis-expanded a run mismatches on every column).
+    * A trailing odd byte is ill-formed and ignored, like a truncated
+    * media file's last packet.
+    */
+  object RleCodec extends Codec {
+    override def decode(payload: Array[Byte]): Array[Byte] = {
+      val out = new scala.collection.mutable.ArrayBuilder.ofByte
+      var i = 0
+      while (i + 1 < payload.length) {
+        val rl = payload(i) & 0xff
+        val v = payload(i + 1)
+        var j = 0
+        while (j < rl) { out += v; j += 1 }
+        i += 2
+      }
+      out.result()
+    }
+  }
+
+  /** RLE-encode a printable-ASCII string: char at 0-based index i
+    * becomes the pair (((i+1) % 5) + 1, byte) — run lengths cycle
+    * through 1..5 by position, so the decoded stream is a genuine
+    * position-dependent expansion (~3x on average, never uniformly
+    * 1:1) yet every decoded quantity stays a closed-form function of
+    * (position, char) that SQL replays.
+    */
+  def rleEncode(s: String): Array[Byte] = {
+    val out = new Array[Byte](2 * s.length)
+    var i = 0
+    while (i < s.length) {
+      out(2 * i) = ((((i + 1) % 5) + 1)).toByte
+      out(2 * i + 1) = s.charAt(i).toByte
+      i += 1
+    }
+    out
+  }
+
   /** Synthetic media table: deterministic binary payloads derived from
     * document text (stand-in for real image/audio bytes), with typed
     * metadata columns a real pipeline would carry.
@@ -85,10 +131,19 @@ object Multimodal {
     * `frameStep`-th byte "frame-sampled".
     */
   def extractFeatures(media: Dataset[MediaRecord], codec: Codec,
-      frameStep: Int = 64): Dataset[MediaFeatures] = {
+      frameStep: Int = 64): Dataset[MediaFeatures] =
+    extractFeatures(media, () => codec, frameStep)
+
+  /** Factory form — the real-deployment shape: a codec context
+    * (libjpeg/ffmpeg handle) is CONSTRUCTED once per partition on the
+    * executor, not serialized from the driver; MultimodalSpec counts
+    * constructions to prove the batching claim.
+    */
+  def extractFeatures(media: Dataset[MediaRecord],
+      codecFactory: () => Codec, frameStep: Int): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
-      val c = codec // per-partition init boundary
+      val c = codecFactory() // per-partition init boundary
       records.map { r =>
         val decoded = c.decode(r.payload)
         val counts = new Array[Long](16)
@@ -110,6 +165,39 @@ object Multimodal {
     import spark.implicits._
     val ds = mediaTable(spark, dir).as[MediaRecord]
     extractFeatures(ds, StubCodec)
+      .toDF()
+      .select(col("doc_id"), col("kind"), col("n_bytes"),
+        col("entropy"), col("frames_sampled"),
+        hex(col("preview")).as("preview_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Synthetic RLE media table: the printable-ASCII projection of each
+    * document, [[rleEncode]]d — so the payload is NOT the decoded
+    * stream and only a correct run expansion reproduces the oracle's
+    * independently-derived decoded statistics.
+    */
+  def rleMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val enc = udf((s: String) => rleEncode(s))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        enc(regexp_replace(col("text"), "[^ -~]", "")).as("payload"))
+  }
+
+  /** Registry entry: the full feature battery over a codec that
+    * genuinely transforms bytes ([[RleCodec]]) — n_bytes, histogram
+    * entropy, frame count, and stride preview are all properties of
+    * the DECODED stream, ~3x the payload, which the oracle rebuilds
+    * from `documents.text` without ever seeing the payload.
+    */
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = rleMediaTable(spark, dir).as[MediaRecord]
+    extractFeatures(ds, RleCodec)
       .toDF()
       .select(col("doc_id"), col("kind"), col("n_bytes"),
         col("entropy"), col("frames_sampled"),

@@ -1,0 +1,312 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+import graft.sources.Tables
+
+/** Unigram-language-model tokenizer training (Kudo 2018, "Subword
+  * Regularization: Improving Neural Network Translation Models with
+  * Multiple Subword Candidates" — the SentencePiece unigram model),
+  * the sibling of [[Bpe]]: seed-substring census, then hard-EM
+  * (Viterbi) rounds that re-estimate piece frequencies from each
+  * word's maximum-likelihood segmentation and prune the vocabulary
+  * back to a target size.
+  *
+  * Extension operator (no reference analog — the reference's word
+  * pipeline stops at whole-word counting, `src/tema1.cpp:118-177`);
+  * modern pipelines train BOTH tokenizer families over a candidate
+  * corpus and compare compression, so this completes the pair.
+  *
+  * == Determinism contract (what makes the oracle exact) ==
+  *
+  * Every quantity that crosses a round boundary is an exact integer:
+  * seed counts and per-round re-estimated counts are `sum(freq ×
+  * occurrences)` longs, and pruning ranks by `(cnt DESC, piece ASC)`
+  * — a total order. The only floating point anywhere is the Viterbi
+  * path score, a left-to-right product of `cnt.toDouble / total
+  * .toDouble` probabilities: IEEE division and multiplication are
+  * correctly rounded, so the DP is bit-deterministic across runs,
+  * partitionings, and task orders (no transcendental functions — the
+  * classical log-space formulation is deliberately avoided; at piece
+  * probabilities >= 1/total and words <= tens of symbols the product
+  * stays far above double underflow). Ties (including all-zero
+  * products through a pruned-to-zero character) break on fewer
+  * tokens, then the lexicographically smallest segmentation — also
+  * total, so the learned vocabulary is bit-identical everywhere.
+  *
+  * == Oracle decomposition ==
+  *
+  * The seed census is pure relational algebra — DuckDB replays it
+  * from `documents` directly (`unigram_seed`). The EM rounds hinge on
+  * a per-word DP that SQL cannot express without exponential path
+  * enumeration, so the per-round segmentations are EXPORTED as an
+  * oracle-aux table ([[segTable]]) and the oracle replays every
+  * round's bookkeeping from them: re-count → prune → re-rank, with
+  * two validity guards folded into the joins — every claimed piece
+  * must exist in the PREVIOUS round's (independently re-derived)
+  * vocabulary, and the segmentation must concatenate back to its
+  * word. A Viterbi that emitted an out-of-vocab piece, dropped a
+  * character, or mis-counted would break the chain and hash-mismatch.
+  * DP *optimality* (the one property SQL can't check) is covered by
+  * [[graft.UnigramSpec]]'s exhaustive-enumeration bit-equality spec.
+  *
+  * == Scale shape ==
+  *
+  * The corpus is touched ONCE — the (word, freq) table is Heaps'-law
+  * bounded (~sqrt of corpus) and every EM round is a narrow map over
+  * it: the current vocabulary (a few thousand (piece, prob) pairs) is
+  * broadcast inside the segmenter closure, the E-step is one
+  * whole-partition pass, and the M-step is an explode + hash
+  * aggregate whose result is vocab-sized — collected to the driver
+  * under the same bounded-reduction contract as the [[Ivf]] centroid
+  * fit. Nothing corpus-scale ever sits on the driver.
+  */
+object Unigram {
+  /** Longest candidate piece enumerated by the seed census. */
+  val MaxPieceLen = 4
+  /** Multi-char pieces kept by the seed census. */
+  val SeedMulti = 64
+  /** Total vocabulary size after each EM prune (chars always kept —
+    * they are the segmentation-coverage guarantee). */
+  val VocabSize = 48
+  /** Hard-EM rounds. Round r segments under vocab r-1 (round 1 under
+    * the seed); the final vocabulary is the prune of round `Rounds`'
+    * re-counts, and one extra "application" pass (round Rounds+1)
+    * segments under that final vocabulary for token accounting. */
+  val Rounds = 3
+
+  /** Unit separator between pieces of an exported segmentation —
+    * words are [a-z]+ post-normalize, so it can never collide. */
+  val Sep = "\u001f"
+
+  final case class PieceCnt(piece: String, cnt: Long)
+
+  /** (word, n) distinct-word frequency table — the one corpus scan. */
+  private def wordFreqs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.explodedWords(Tables.documents(spark, dir))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Weighted substring census of a (word, n) table: every (start,
+    * len<=MaxPieceLen) occurrence counts with multiplicity, weighted
+    * by word frequency. Stays inside the array higher-order functions
+    * (vocab-sized input — codegen pressure is irrelevant here).
+    */
+  private[graft] def census(words: DataFrame): DataFrame =
+    words
+      .select(col("n"), explode(flatten(transform(
+        sequence(lit(1), length(col("word"))),
+        i => transform(
+          sequence(lit(1), least(lit(MaxPieceLen), length(col("word")) - i + 1)),
+          l => col("word").substr(i, l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+
+  /** Multi-char pieces kept after EM round r (1-based): linear shrink
+    * from [[SeedMulti]] down to the final `VocabSize - nChars` budget
+    * — SentencePiece's gradual-prune idea, in PURE INTEGER arithmetic
+    * (target + ((SeedMulti - target) * (Rounds - r)) / Rounds, floor
+    * division) so the DuckDB oracle reproduces the schedule exactly;
+    * a float `pow` schedule would park the replay on a
+    * cross-platform floor(pow(..)) boundary.
+    */
+  private[graft] def multiCap(nChars: Int, r: Int): Int = {
+    val target = math.max(1, VocabSize - nChars)
+    target + ((SeedMulti - target) * (Rounds - math.min(r, Rounds))) / Rounds
+  }
+
+  /** Driver-side prune: ALL single chars (coverage) + the top `cap`
+    * multi-char pieces by (cnt DESC, piece ASC). Chars absent from
+    * `counts` (re-estimated to zero) survive with cnt 0 — their
+    * probability is 0.0 and the deterministic tie-break keeps the DP
+    * total. `chars` is the fixed character alphabet from the seed
+    * census, so the vocabulary's coverage guarantee cannot erode
+    * across rounds.
+    */
+  private def prune(chars: Seq[String], counts: Seq[PieceCnt], cap: Int)
+      : Seq[PieceCnt] = {
+    val byPiece = counts.map(p => p.piece -> p.cnt).toMap
+    val keptChars = chars.sorted.map(c => PieceCnt(c, byPiece.getOrElse(c, 0L)))
+    val multis = counts.filter(_.piece.length > 1)
+      .sortBy(p => (-p.cnt, p.piece))
+      .take(math.max(0, cap))
+    keptChars ++ multis
+  }
+
+  /** Maximum-likelihood segmentation of one word under (piece ->
+    * prob): returns (pieces joined by [[Sep]], token count). Score is
+    * the left-to-right product of probabilities (see the determinism
+    * contract above); ties break on fewer tokens, then the
+    * lexicographically smallest joined segmentation. Every char of
+    * every corpus word is in the vocabulary, so a best path always
+    * exists. [[graft.UnigramSpec]] proves this DP bit-equal to
+    * exhaustive path enumeration under the same order.
+    */
+  private[graft] def viterbi(word: String, prob: Map[String, Double])
+      : (String, Int) = {
+    val n = word.length
+    val score = new Array[Double](n + 1)
+    val toks = new Array[Int](n + 1)
+    val seg = new Array[String](n + 1)
+    score(0) = 1.0
+    seg(0) = ""
+    var pos = 1
+    while (pos <= n) {
+      var bs = 0.0
+      var bt = 0
+      var bg: String = null
+      var l = 1
+      while (l <= math.min(MaxPieceLen, pos)) {
+        if (seg(pos - l) != null) {
+          val piece = word.substring(pos - l, pos)
+          prob.get(piece).foreach { p =>
+            val s = score(pos - l) * p
+            val t = toks(pos - l) + 1
+            val g = if (pos == l) piece else seg(pos - l) + Sep + piece
+            val c = java.lang.Double.compare(s, bs)
+            if (bg == null || c > 0 ||
+                (c == 0 && (t < bt || (t == bt && g < bg)))) {
+              bs = s; bt = t; bg = g
+            }
+          }
+        }
+        l += 1
+      }
+      score(pos) = bs; toks(pos) = bt; seg(pos) = bg
+      pos += 1
+    }
+    (seg(n), toks(n))
+  }
+
+  /** One E-step: segment every word of `words` under `vocab`. The
+    * vocabulary rides the closure (broadcast-by-serialization — it is
+    * VocabSize pairs); the probabilities are derived HERE, once, so
+    * every executor sees the identical IEEE quotients.
+    */
+  private def eStep(words: DataFrame, vocab: Seq[PieceCnt]): DataFrame = {
+    val total = vocab.map(_.cnt).sum
+    val prob = vocab.map(p =>
+      p.piece -> (if (total == 0L) 0.0 else p.cnt.toDouble / total.toDouble))
+      .toMap
+    val segUdf = udf((w: String) => viterbi(w, prob)._1)
+    words.select(col("word"), col("n"), segUdf(col("word")).as("seg"))
+  }
+
+  /** M-step counts from an E-step output: vocab-sized, collected
+    * under the bounded-reduction contract. */
+  private def mStep(segs: DataFrame): Seq[PieceCnt] = {
+    import segs.sparkSession.implicits._
+    segs.select(col("n"), explode(split(col("seg"), Sep)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+      .as[(String, Long)].collect().toSeq
+      .map { case (p, c) => PieceCnt(p, c) }
+  }
+
+  /** The EM fit: per-round vocabularies, index 0 = seed, index r =
+    * after round r's prune. Only the vocabularies cross rounds — each
+    * round's E-step output is re-derivable from vocab r-1 by a pure
+    * deterministic map (see the determinism contract), so this is the
+    * ONLY state worth caching; `words` is cut for the fit and released
+    * before returning.
+    */
+  private def fitVocabs(spark: SparkSession, dir: String)
+      : Seq[Seq[PieceCnt]] = {
+    import spark.implicits._
+    val words = wordFreqs(spark, dir)
+      // feeds the census + every E-step round of the fit: cut once
+      .persist()
+    try {
+      val c0 = census(words).as[(String, Long)].collect()
+        .map { case (p, c) => PieceCnt(p, c) }.toSeq
+      val chars = c0.filter(_.piece.length == 1).map(_.piece)
+      val vocabs = scala.collection.mutable.ArrayBuffer(
+        prune(chars, c0, SeedMulti))
+      for (r <- 1 to Rounds)
+        vocabs += prune(chars, mStep(eStep(words, vocabs.last)),
+          multiCap(chars.size, r))
+      vocabs.toSeq
+    } finally { words.unpersist(); () }
+  }
+
+  /** Process-level fit cache, same posture as [[Ivf.cachedCentroids]]:
+    * the vocabularies are VocabSize×(Rounds+1) driver-side pairs — a
+    * trained tokenizer is fit once and every consumer (train export,
+    * seg table, per-doc accounting) serves from it. Determinism makes
+    * cache-vs-refit unobservable; this only saves the repeated EM.
+    */
+  private val vocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[PieceCnt]]]()
+
+  private[graft] def cachedVocabs(spark: SparkSession, dir: String)
+      : Seq[Seq[PieceCnt]] =
+    vocabCache.computeIfAbsent(dir, d => fitVocabs(spark, d))
+
+  private def vocabDf(spark: SparkSession, vocab: Seq[PieceCnt])
+      : DataFrame = {
+    import spark.implicits._
+    vocab.sortBy(p => (-p.cnt, p.piece)).zipWithIndex
+      .map { case (p, i) => (i + 1, p.piece, p.piece.length, p.cnt) }
+      .toDF("rank", "piece", "len", "cnt")
+      .orderBy(col("rank"))
+  }
+
+  /** Registry entry: the seed vocabulary (census + prune, no EM) —
+    * fully DuckDB-replayable from `documents`. */
+  def seed(spark: SparkSession, dir: String): DataFrame =
+    vocabDf(spark, cachedVocabs(spark, dir).head)
+
+  /** Registry entry: the final vocabulary after [[Rounds]] EM rounds,
+    * (rank, piece, len, cnt) ordered by rank. */
+  def train(spark: SparkSession, dir: String): DataFrame =
+    vocabDf(spark, cachedVocabs(spark, dir).last)
+
+  /** Oracle-aux: every round's E-step output, (round, word, n, seg).
+    * Round r segments under vocab r-1; round Rounds+1 is the
+    * application pass under the final vocabulary. The oracle rebuilds
+    * each vocabulary from the previous round's rows and inner-joins
+    * the pieces against it, so the whole EM bookkeeping chain is
+    * independently verified (see the class Scaladoc). Re-deriving the
+    * E-steps from the cached vocabularies is exact — the segmenter is
+    * a pure deterministic map of (word, vocab).
+    */
+  def segTable(spark: SparkSession, dir: String): DataFrame = {
+    val vocabs = cachedVocabs(spark, dir)
+    val words = wordFreqs(spark, dir).persist()
+    (1 to Rounds + 1).map { r =>
+      eStep(words, vocabs(r - 1))
+        .select(lit(r).as("round"), col("word"), col("n"), col("seg"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Registry entry: per-document token accounting under the trained
+    * unigram tokenizer — same shape and conventions as
+    * [[Bpe.tokenizeDocs]] (every document present, empty docs
+    * zero-fill). The application-pass segmentation covers the
+    * DISTINCT word table; the corpus-sized side joins on word.
+    */
+  def tokenizeDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perWord = eStep(wordFreqs(spark, dir), cachedVocabs(spark, dir).last)
+      .select(col("word"), size(split(col("seg"), Sep)).cast("long").as("tok"))
+    val perDocWord = TextOps.explodedWords(docs, col("doc_id"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = perDocWord
+      .join(perWord, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("w"),
+        sum(col("c") * col("tok")).as("t"),
+        sum(col("c") * length(col("word"))).as("ch"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("w"), lit(0L)).as("n_words"),
+        coalesce(col("t"), lit(0L)).as("n_tokens"),
+        coalesce(col("ch"), lit(0L)).as("n_chars"),
+        round(when(coalesce(col("t"), lit(0L)) === 0, 0.0)
+          .otherwise(coalesce(col("ch"), lit(0L)).cast("double") /
+            col("t")), 6).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -51,6 +51,53 @@ class MultimodalSpec extends SparkTestBase {
       === Array[Byte](0, 0, 0, 0))
   }
 
+  test("RleCodec genuinely transforms: expansion, truncation, empty") {
+    // (3,'a') (1,'b') (2,'c') -> "aaabcc"
+    val payload = Array[Byte](3, 'a', 1, 'b', 2, 'c')
+    assert(Multimodal.RleCodec.decode(payload)
+      === "aaabcc".getBytes("US-ASCII"))
+    // trailing odd byte = truncated packet, ignored
+    assert(Multimodal.RleCodec.decode(Array[Byte](2, 'x', 9))
+      === "xx".getBytes("US-ASCII"))
+    assert(Multimodal.RleCodec.decode(Array.empty[Byte]) === Array.empty[Byte])
+    // run length is unsigned: -1 = 255 repeats
+    assert(Multimodal.RleCodec.decode(Array[Byte](-1, 'z')).length === 255)
+  }
+
+  test("rleEncode/RleCodec round-trip matches the closed form") {
+    val s = "hello world"
+    val decoded = Multimodal.RleCodec.decode(Multimodal.rleEncode(s))
+    val expect = s.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(((i + 1) % 5) + 1)(c) }.mkString
+    assert(new String(decoded, "US-ASCII") === expect)
+  }
+
+  test("features are computed on DECODED bytes, not the payload") {
+    // payload (4,'a') decodes to "aaaa": n_bytes must be 4 (not 2) and
+    // the histogram must be pure 'a' (high nibble 6) with entropy 0 —
+    // an identity codec would see byte 0x04 too and entropy > 0
+    val recs = Seq(MediaRecord(1L, "image", Array[Byte](4, 'a'))).toDS()
+    val f = Multimodal.extractFeatures(recs, Multimodal.RleCodec).collect().head
+    assert(f.n_bytes === 4L)
+    assert(f.entropy === 0.0)
+    assert(f.histogram(6) === 1.0)
+    assert(f.preview === Array.fill[Byte](16)('a'))
+  }
+
+  test("one codec construction per partition (batched init)") {
+    val built = spark.sparkContext.longAccumulator("codec_inits")
+    val recs = (1L to 100L).map(i =>
+      MediaRecord(i, "image", Array[Byte](2, (i % 64 + 32).toByte)))
+      .toDS().repartition(7)
+    val out = Multimodal.extractFeatures(recs, () => {
+      built.add(1)
+      Multimodal.RleCodec
+    }, 64).collect()
+    assert(out.length === 100)
+    assert(built.value === 7L,
+      "codec factory must run once per partition, not per record")
+  }
+
   test("media stats are real byte stats") {
     val r = Multimodal.mediaStats(spark, sf("sf0.001"))
       .filter(col("doc_id") === 0).collect().head

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Unigram
+
+/** [[graft.operators.Unigram]] against an exhaustive-enumeration
+  * reference: the Viterbi DP's one property the DuckDB oracle cannot
+  * check is *optimality* under the declared total order (score DESC,
+  * tokens ASC, joined segmentation ASC), so this spec enumerates ALL
+  * valid segmentations of adversarial small words and requires the DP
+  * to pick the bit-identical winner — including zero-probability
+  * pieces (pruned-to-zero chars), exact float ties from repeated
+  * pieces, and unreachable prefixes.
+  */
+class UnigramSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // --- exhaustive reference ------------------------------------------
+
+  /** All segmentations of `word` into vocab pieces (len <= MaxPieceLen),
+    * each scored with the same left-to-right product the DP claims. */
+  private def enumerate(word: String, prob: Map[String, Double])
+      : Seq[(String, Int, Double)] = {
+    if (word.isEmpty) return Seq(("", 0, 1.0))
+    (1 to math.min(Unigram.MaxPieceLen, word.length)).flatMap { l =>
+      val piece = word.substring(0, l)
+      prob.get(piece).toSeq.flatMap { _ =>
+        enumerate(word.substring(l), prob).map { case (seg, t, _) => // score rebuilt below
+          val full = if (seg.isEmpty) piece else piece + Unigram.Sep + seg
+          (full, t + 1, 0.0)
+        }
+      }
+    }.map { case (seg, t, _) =>
+      // left-to-right product over the chosen pieces, exactly as the DP
+      val s = seg.split(Unigram.Sep).foldLeft(1.0)((acc, p) => acc * prob(p))
+      (seg, t, s)
+    }
+  }
+
+  private def refBest(word: String, prob: Map[String, Double])
+      : Option[(String, Int)] = {
+    val all = enumerate(word, prob).filter(_._1.nonEmpty)
+    if (all.isEmpty) None
+    else {
+      val best = all.minBy { case (seg, t, s) => (s, t, seg) }(
+        Ordering.Tuple3(Ordering.Double.TotalOrdering.reverse,
+          Ordering.Int, Ordering.String))
+      Some((best._1, best._2))
+    }
+  }
+
+  test("viterbi == exhaustive enumeration on adversarial words") {
+    // vocab with exact ties (p(ab)*p(c) vs p(a)*p(bc) identical when
+    // counts match), zero-count pieces, and a char-free piece layout
+    val vocabs = Seq(
+      Map("a" -> 2L, "b" -> 2L, "c" -> 2L, "ab" -> 4L, "bc" -> 4L,
+        "abc" -> 1L),
+      Map("a" -> 1L, "b" -> 0L, "c" -> 3L, "ab" -> 2L, "bc" -> 2L,
+        "abca" -> 5L),
+      Map("a" -> 3L, "b" -> 3L, "aa" -> 3L, "aaa" -> 3L, "aaaa" -> 3L),
+      Map("x" -> 1L, "y" -> 1L, "z" -> 1L, "xy" -> 1L, "yz" -> 1L,
+        "xyz" -> 1L, "zz" -> 0L))
+    val words = Seq("a", "ab", "abc", "abca", "aaaa", "aaaaaaa",
+      "xyz", "xyzz", "zzzz", "abcabc", "cab", "bb")
+    for (vc <- vocabs) {
+      val total = vc.values.sum
+      val prob = vc.map { case (p, c) =>
+        p -> (if (total == 0) 0.0 else c.toDouble / total.toDouble) }
+      for (w <- words if w.forall(ch => prob.contains(ch.toString))) {
+        val got = Unigram.viterbi(w, prob)
+        assert(Some(got) === refBest(w, prob),
+          s"word=$w vocab=${vc.keys.toSeq.sorted}")
+      }
+    }
+  }
+
+  test("viterbi handles unreachable interiors via longer pieces") {
+    // 'b' is NOT in vocab alone; only "ab" covers it — positions after
+    // 'a' are unreachable as char paths and the DP must route through
+    // the 2-gram
+    val prob = Map("a" -> 0.5, "ab" -> 0.25, "c" -> 0.25)
+    assert(Unigram.viterbi("abc", prob) ===
+      ("ab" + Unigram.Sep + "c", 2))
+    assert(Some(Unigram.viterbi("abc", prob)) === refBest("abc", prob))
+  }
+
+  // --- end-to-end structure on real data ------------------------------
+
+  test("train: vocabulary structure and determinism") {
+    val v1 = Unigram.train(spark, sf("sf0.001")).collect()
+    val v2 = Unigram.train(spark, sf("sf0.001")).collect()
+    assert(v1.toSeq === v2.toSeq, "training must be bit-deterministic")
+    val pieces = v1.map(_.getString(1))
+    assert(pieces.distinct.length === pieces.length)
+    val chars = pieces.filter(_.length == 1)
+    val multis = pieces.filter(_.length > 1)
+    // every char of every word survives pruning
+    val corpusChars = graft.functions.TextOps
+      .explodedWords(graft.sources.Tables.documents(spark, sf("sf0.001")))
+      .select(explode(split(col("word"), "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .distinct().as[String].collect().toSet
+    assert(corpusChars.subsetOf(chars.toSet))
+    assert(multis.length <= Unigram.VocabSize - chars.length)
+    // ranks are 1..n in (cnt desc, piece asc) order
+    val ranked = v1.map(r => (r.getInt(0), r.getLong(3), r.getString(1)))
+    assert(ranked.map(_._1).toSeq === (1 to v1.length))
+    assert(ranked.sortBy { case (_, c, p) => (-c, p) }.map(_._1).toSeq
+      === (1 to v1.length))
+  }
+
+  test("tokenizeDocs: accounting invariants vs the corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val out = Unigram.tokenizeDocs(spark, sf("sf0.001"))
+    val rows = out.collect()
+    assert(rows.length === docs.count())
+    // chars and words must agree with a direct count; tokens bounded
+    // by [words, chars] (every word is 1..len pieces)
+    val direct = graft.functions.TextOps
+      .explodedWords(docs, col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("w"), sum(length(col("word"))).as("ch"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { r =>
+      val (w, t, ch) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (dw, dch) = direct.getOrElse(r.getLong(0), (0L, 0L))
+      assert(w === dw); assert(ch === dch)
+      assert(t >= w && t <= ch, s"doc=${r.getLong(0)}: t=$t w=$w ch=$ch")
+    }
+  }
+
+  test("segTable: rounds cover the word table; segs concat to words") {
+    val segs = Unigram.segTable(spark, sf("sf0.001"))
+    val bad = segs
+      .filter(regexp_replace(col("seg"), Unigram.Sep, "") =!= col("word"))
+      .count()
+    assert(bad === 0L)
+    val perRound = segs.groupBy(col("round")).count()
+      .as[(Int, Long)].collect().toMap
+    assert(perRound.keySet === (1 to Unigram.Rounds + 1).toSet)
+    assert(perRound.values.toSet.size === 1,
+      "every round segments the same distinct-word table")
+  }
+}
