@@ -297,6 +297,7 @@ object SparkEntry {
     "unigram_seed" -> ((s, d) => Unigram.seed(s, d)),
     "unigram_train" -> ((s, d) => Unigram.train(s, d)),
     "unigram_tokenize" -> ((s, d) => Unigram.tokenizeDocs(s, d)),
+    "tokenizer_compare" -> ((s, d) => Unigram.compareWithBpe(s, d, BpeK)),
     "doc_perplexity" -> ((s, d) => TextAnalysis.docPerplexity(s, d)),
     "rank_corr" -> ((s, d) => Analytics.rankCorr(s, d)),
     "tfidf_cosine_pairs" -> ((s, d) => TextAnalysis.tfidfCosinePairs(s, d)),
@@ -426,11 +427,17 @@ object SparkEntry {
     * only, which also skips the aux read so the seed oracle stands
     * alone).
     */
-  private def unigramCte(throughRound: Int): String = {
-    val base = """WITH dtoks AS (
+  private def unigramCte(throughRound: Int): String =
+    """WITH dtoks AS (
       |  SELECT doc_id, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
       |  FROM documents),
-      |wf AS MATERIALIZED (
+      |""".stripMargin + unigramBodyCte(throughRound)
+
+  /** The unigram CTE chain sans the WITH/dtoks header, so it can also
+    * be appended to [[bpeVocabCte]] (which defines the identical
+    * `dtoks`) for the combined tokenizer-comparison oracle. */
+  private def unigramBodyCte(throughRound: Int): String = {
+    val base = """wf AS MATERIALIZED (
       |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM dtoks WHERE length(word) > 0 GROUP BY word),
       |census AS MATERIALIZED (
       |  SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
@@ -486,10 +493,13 @@ object SparkEntry {
       |  piece, CAST(length(piece) AS INTEGER) AS len, CAST(cnt AS BIGINT) AS cnt
       |FROM vocab$r ORDER BY "rank"""".stripMargin
 
-  private val UnigramTokenizeSql: String = {
+  /** Application-pass CTEs (guarded round Rounds+1 segmentations and
+    * their per-word unigram token counts), appended after a CTE chain
+    * that already defines wf/segs/vocab{Rounds}. */
+  private def unigramAppCte: String = {
     val S = "chr(31)"
     val app = Unigram.Rounds + 1
-    unigramCte(Unigram.Rounds) + s""",
+    s""",
       |segok$app AS (
       |  SELECT s.word, s.seg FROM segs s JOIN wf USING (word, n)
       |  WHERE s.round = $app AND replace(s.seg, $S, '') = s.word),
@@ -497,9 +507,14 @@ object SparkEntry {
       |validw AS (
       |  SELECT papp.word FROM papp LEFT JOIN vocab${Unigram.Rounds} v ON papp.piece = v.piece
       |  GROUP BY papp.word HAVING count(*) = count(v.piece)),
-      |tokc AS (
-      |  SELECT s.word, CAST(len(string_split(s.seg, $S)) AS BIGINT) AS tok
-      |  FROM segok$app s JOIN validw USING (word)),
+      |utokc AS (
+      |  SELECT s.word, CAST(len(string_split(s.seg, $S)) AS BIGINT) AS utok
+      |  FROM segok$app s JOIN validw USING (word))""".stripMargin
+  }
+
+  private val UnigramTokenizeSql: String = {
+    unigramCte(Unigram.Rounds) + unigramAppCte + s""",
+      |tokc AS (SELECT word, utok AS tok FROM utokc),
       |dw AS (
       |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
       |  FROM dtoks WHERE length(word) > 0 GROUP BY doc_id, word),
@@ -513,6 +528,37 @@ object SparkEntry {
       |  round(CASE WHEN coalesce(a.t, 0) = 0 THEN 0.0 ELSE CAST(a.ch AS DOUBLE) / a.t END, 6) AS chars_per_token
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** tokenizer_compare: BOTH tokenizer replays in one statement — the
+    * BPE merge chain (bpeVocabCte) and the unigram EM rebuild
+    * (unigramBodyCte; the two share the identical `dtoks` and their
+    * other CTE names are disjoint) — joined per word, then per doc.
+    */
+  private val TokenizerCompareSql: String = {
+    val SS = "chr(31) || chr(31)"
+    bpeVocabCte(BpeK) + ",\n" + unigramBodyCte(Unigram.Rounds) +
+      unigramAppCte + s""",
+      |btokc AS (
+      |  SELECT word, CAST(1 + (length(s) - length(replace(s, $SS, ''))) // 2 AS BIGINT) AS btok FROM v$BpeK
+      |  UNION ALL
+      |  SELECT DISTINCT word, CAST(1 AS BIGINT) FROM dtoks WHERE length(word) = 1),
+      |cdw AS (
+      |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+      |  FROM dtoks WHERE length(word) > 0 GROUP BY doc_id, word),
+      |cagg AS (
+      |  SELECT doc_id, sum(c) AS w, sum(c * btok) AS bt, sum(c * utok) AS ut, sum(c * length(word)) AS ch
+      |  FROM cdw JOIN btokc USING (word) JOIN utokc USING (word) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(a.w, 0) AS BIGINT) AS n_words,
+      |  CAST(coalesce(a.ch, 0) AS BIGINT) AS n_chars,
+      |  CAST(coalesce(a.bt, 0) AS BIGINT) AS bpe_tokens,
+      |  CAST(coalesce(a.ut, 0) AS BIGINT) AS uni_tokens,
+      |  round(CASE WHEN coalesce(a.bt, 0) = 0 THEN 0.0 ELSE CAST(a.ch AS DOUBLE) / a.bt END, 6) AS bpe_chars_per_token,
+      |  round(CASE WHEN coalesce(a.ut, 0) = 0 THEN 0.0 ELSE CAST(a.ch AS DOUBLE) / a.ut END, 6) AS uni_chars_per_token,
+      |  round(CASE WHEN coalesce(a.bt, 0) = 0 THEN 0.0 ELSE CAST(a.ut AS DOUBLE) / a.bt END, 6) AS token_ratio
+      |FROM documents d LEFT JOIN cagg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
   }
 
   private val DupSpanCoverageOracle: String =
@@ -2401,6 +2447,7 @@ object SparkEntry {
     "unigram_seed" -> unigramVocabSql(0),
     "unigram_train" -> unigramVocabSql(Unigram.Rounds),
     "unigram_tokenize" -> UnigramTokenizeSql,
+    "tokenizer_compare" -> TokenizerCompareSql,
     "bpe_pairs" ->
       """WITH toks AS (
         |  SELECT lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word

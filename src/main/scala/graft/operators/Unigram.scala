@@ -309,4 +309,34 @@ object Unigram {
             col("t")), 6).as("chars_per_token"))
       .orderBy(col("doc_id"))
   }
+
+  /** Registry entry: side-by-side tokenizer economics — the comparison
+    * a pipeline actually trains both families FOR (compression in
+    * chars/token and the unigram/BPE token-count ratio, per document).
+    * Pure composition of the two verified accountings: each side's
+    * per-word token counts come from its own trained tokenizer, and
+    * both ride the same doc-keyed join skeleton, so the plan stays
+    * two word-table maps + one corpus-word aggregate.
+    */
+  def compareWithBpe(spark: SparkSession, dir: String, bpeK: Int)
+      : DataFrame = {
+    val b = Bpe.tokenizeDocs(spark, dir, bpeK)
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_tokens").as("bpe_tokens"))
+    val u = tokenizeDocs(spark, dir)
+      .select(col("doc_id"), col("n_tokens").as("uni_tokens"))
+    b.join(u, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("bpe_tokens"), col("uni_tokens"),
+        round(when(col("bpe_tokens") === 0, 0.0)
+          .otherwise(col("n_chars").cast("double") / col("bpe_tokens")), 6)
+          .as("bpe_chars_per_token"),
+        round(when(col("uni_tokens") === 0, 0.0)
+          .otherwise(col("n_chars").cast("double") / col("uni_tokens")), 6)
+          .as("uni_chars_per_token"),
+        round(when(col("bpe_tokens") === 0, 0.0)
+          .otherwise(col("uni_tokens").cast("double") / col("bpe_tokens")), 6)
+          .as("token_ratio"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -289,6 +289,41 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       "expected partial+final ObjectHashAggregate for the CMS UDAF")
   }
 
+  test("media_decode: decode is a narrow map — no shuffle before the final sort") {
+    // decode + featurize must be mapPartitions over the scan; the only
+    // exchange is the presentation-order range partitioning
+    val plan = planOf("media_decode")
+    val shuffles = collect(plan) { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 1,
+      s"decode path must not shuffle (got ${shuffles.size}):\n$plan")
+    val scans = collectLeaves(plan).map(_.toString)
+      .filter(_.contains("documents"))
+    scans.foreach(s =>
+      assert(!s.contains("lang") && !s.contains("source"),
+        s"scan reads pruned columns:\n$s"))
+  }
+
+  test("unigram_tokenize: no pair fanout; documents scans pruned") {
+    val plan = planOf("unigram_tokenize")
+    val str = plan.toString
+    assert(!str.contains("CartesianProduct") &&
+      !str.contains("BroadcastNestedLoopJoin"),
+      s"tokenize must stay equi-joined:\n$str")
+    val scans = collectLeaves(plan).map(_.toString)
+      .filter(_.contains("documents"))
+    assert(scans.nonEmpty)
+    scans.foreach(s =>
+      assert(!s.contains("lang") && !s.contains("source"),
+        s"scan reads pruned columns:\n$s"))
+  }
+
+  test("tokenizer_compare: both accountings compose without pair fanout") {
+    val str = planOf("tokenizer_compare").toString
+    assert(!str.contains("CartesianProduct") &&
+      !str.contains("BroadcastNestedLoopJoin"),
+      s"compare must stay equi-joined:\n$str")
+  }
+
   test("join strategy hints are honored (shuffle_hash / merge / broadcast)") {
     import org.apache.spark.sql.functions.col
     val o = graft.sources.Tables.orders(spark, sf("sf0.001"))
