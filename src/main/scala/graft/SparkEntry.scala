@@ -298,6 +298,10 @@ object SparkEntry {
       ((s, d) => Dedup.lineDedup(
         TextQuality.relineated(Tables.documents(s, d)))),
     "pagerank_neardup" -> ((s, d) => Dedup.pagerankNearDup(s, d)),
+    "suffix_ranks" ->
+      ((s, d) => SuffixRanks.suffixRankTable(Tables.documents(s, d))),
+    "repeated_spans_sa" ->
+      ((s, d) => SuffixRanks.repeatedSpans(Tables.documents(s, d))),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "bpe_train" -> ((s, d) => Bpe.train(s, d, BpeK)),
     "bpe_tokenize" -> ((s, d) => Bpe.tokenizeDocs(s, d, BpeK)),
@@ -567,6 +571,43 @@ object SparkEntry {
       |FROM documents d LEFT JOIN cagg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** Shared by the suffix-rank oracles: every position's PrefixLen-char
+    * window of the normalized char stream. */
+  private val SuffixPosCte: String =
+    """WITH st AS (
+      |  SELECT doc_id, array_to_string(list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0), ' ') AS s
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) AS pos, substring(s, CAST(i AS INTEGER), @PLEN) AS pfx
+      |  FROM st, unnest(range(1, length(s) + 1)) AS u(i)
+      |  WHERE length(s) > 0)"""
+      .stripMargin
+      .replace("@PLEN", graft.operators.SuffixRanks.PrefixLen.toString)
+
+  // suffix_ranks: the prefix-doubling dense rank must equal a plain
+  // dense_rank over the window STRINGS (memcmp order both engines);
+  // repeated_spans_sa recounts occurrences on the strings, so a rank
+  // collision or split in the doubling would mismatch either query.
+  private val SuffixRanksSql: String = SuffixPosCte + """
+    |SELECT doc_id, pos,
+    |  CAST(dense_rank() OVER (ORDER BY pfx) - 1 AS BIGINT) AS r
+    |FROM pos ORDER BY doc_id, pos""".stripMargin
+
+  private val RepeatedSpansSql: String = SuffixPosCte + """,
+    |occ AS (SELECT pfx, CAST(count(*) AS BIGINT) AS occ FROM pos GROUP BY pfx),
+    |per AS (
+    |  SELECT doc_id,
+    |    CAST(count(*) AS BIGINT) AS n_pos,
+    |    CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+    |    CAST(max(occ) AS BIGINT) AS max_occ
+    |  FROM pos JOIN occ USING (pfx) GROUP BY doc_id)
+    |SELECT d.doc_id,
+    |  CAST(coalesce(p.n_pos, 0) AS BIGINT) AS n_pos,
+    |  CAST(coalesce(p.n_repeated, 0) AS BIGINT) AS n_repeated,
+    |  CAST(coalesce(p.max_occ, 0) AS BIGINT) AS max_occ
+    |FROM documents d LEFT JOIN per p USING (doc_id)
+    |ORDER BY d.doc_id""".stripMargin
 
   private val DupSpanCoverageOracle: String =
     """WITH words AS (
@@ -2455,6 +2496,8 @@ object SparkEntry {
     "unigram_train" -> unigramVocabSql(Unigram.Rounds),
     "unigram_tokenize" -> UnigramTokenizeSql,
     "tokenizer_compare" -> TokenizerCompareSql,
+    "suffix_ranks" -> SuffixRanksSql,
+    "repeated_spans_sa" -> RepeatedSpansSql,
     "bpe_pairs" ->
       """WITH toks AS (
         |  SELECT lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word

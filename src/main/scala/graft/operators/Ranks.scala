@@ -55,6 +55,30 @@ object Ranks {
     * here zero-fill instead).
     */
   def percentRankByKey(df: DataFrame, kind: Column, v: Column,
+      id: Column): DataFrame =
+    ranked(df, kind, v, id)
+      .withColumn("pct",
+        when(col("_nk") > 1,
+          (col("_below") + col("_tie")).cast("double") /
+            (col("_nk") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .drop("_k", "_v", "_id", "_cnt", "_below", "_tie", "_nk")
+
+  /** Exact 0-based `rank() OVER (PARTITION BY kind ORDER BY v, id)` as
+    * a LONG column `as` — the integer form of [[percentRankByKey]],
+    * same machinery, same contracts. On an input whose (kind, v, id)
+    * rows are DISTINCT this is also the dense rank of (v, id) pairs
+    * within each kind, which is what [[SuffixRanks]]'s prefix-doubling
+    * rounds consume (rank-of-rank-pairs; only order and equality
+    * matter, so 0-based is as good as 1-based).
+    */
+  def rankByKey(df: DataFrame, kind: Column, v: Column,
+      id: Column, as: String): DataFrame =
+    ranked(df, kind, v, id)
+      .withColumn(as, col("_below") + col("_tie"))
+      .drop("_k", "_v", "_id", "_cnt", "_below", "_tie", "_nk")
+
+  private def ranked(df: DataFrame, kind: Column, v: Column,
       id: Column): DataFrame = {
     // Multi-consumer cut: the input (whose lineage may be an expensive
     // scoring pass — ccnet's is the whole perplexity computation)
@@ -143,11 +167,5 @@ object Ranks {
     val nk = dv.groupBy(col("_k")).agg(sum(col("_cnt")).as("_nk"))
     solo.unionByName(tiedRanked)
       .join(broadcast(nk), Seq("_k"))
-      .withColumn("pct",
-        when(col("_nk") > 1,
-          (col("_below") + col("_tie")).cast("double") /
-            (col("_nk") - 1).cast("double"))
-          .otherwise(lit(0.0)))
-      .drop("_k", "_v", "_id", "_cnt", "_below", "_tie", "_nk")
   }
 }
