@@ -44,6 +44,32 @@ class RanksSpec extends SparkTestBase {
     check(rows.toDF("k", "v", "id"))
   }
 
+  test("rankByKey matches window rank()-1 on the tie-shape battery") {
+    // the integer form feeding SuffixRanks' doubling: must equal
+    // rank() OVER (PARTITION BY k ORDER BY v, id) - 1 exactly — and on
+    // a DISTINCT-(v, id) input that is also the dense rank of pairs
+    val rows =
+      (1 to 200).map(i => ("en", 0.0, (997L * i) % 1000)) ++
+      (1 to 50).map(i => ("en", i / 10.0 + 1.0, 2000L + i)) ++
+      Seq(("solo", 5.0, 1L)) ++
+      Seq(("two", 1.0, 2L), ("two", 1.0, 1L)) ++
+      (1 to 30).map(i => ("tie", 7.0, i.toLong))
+    val df = rows.toDF("k", "v", "id")
+    val expected = df.withColumn("r0",
+        rank().over(Window.partitionBy(col("k"))
+          .orderBy(col("v"), col("id"))).cast("long") - 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val got = Ranks.rankByKey(df, col("k"), col("v"), col("id"), "r0")
+      .collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getDouble(1), r.getLong(2))
+      assert(r.getLong(3) === expected(key), s"at $key")
+    }
+  }
+
   test("matches window percent_rank on the real scoring output (sf0.001)") {
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
     val scored = docs.select(col("doc_id"), col("lang"))
