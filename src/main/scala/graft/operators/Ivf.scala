@@ -40,27 +40,31 @@ object Ivf {
     * round-trip.
     */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
+    new graft.sources.StampedCache[(String, Int, Int),
       Seq[(Int, Seq[Float])]]()
 
-  /** Assumes an immutable corpus at a given path (the Tables footer
-    * cache contract): rewriting embeddings in-place at a cached path
-    * in-process would serve stale centroids.
+  /** Stamp-validated ([[graft.sources.CorpusStamp]]): a cached build is
+    * served only while the embeddings table's change token matches, so
+    * rewriting the corpus at a cached path transparently rebuilds
+    * instead of serving stale centroids.
     */
   def cachedCentroids(spark: SparkSession, dir: String, nCells: Int,
       iters: Int): DataFrame = {
-    val key = (dir, nCells, iters)
-    val rows = Option(centroidCache.get(key)).getOrElse {
-      val built = buildCentroids(Tables.embeddings(spark, dir), nCells, iters)
+    val stamp = graft.sources.CorpusStamp.of(spark, s"$dir/embeddings.parquet")
+    val rows = centroidCache.get((dir, nCells, iters), stamp) {
+      buildCentroids(Tables.embeddings(spark, dir), nCells, iters)
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1)))
         .toSeq
-      centroidCache.put(key, built)
-      built
     }
     import spark.implicits._
     rows.toDF("cid", "cvec")
   }
+
+  /** Bench hook: force the next cachedCentroids call to rebuild. */
+  private[graft] def invalidateCentroids(dir: String, nCells: Int,
+      iters: Int): Unit =
+    centroidCache.invalidate((dir, nCells, iters))
 
   /** Nearest-centroid assignment via [[graft.plans.VecNearest]]: the
     * centroid matrix travels as a LITERAL (k x dim floats — a few
@@ -230,9 +234,13 @@ object Ivf {
         val key = -(remaining(i)._3.toDouble * minD(i))
         // java.lang.Double.compare (not primitive </==) restores the
         // replaced minBy's total order: -0.0 sorts before 0.0 so
-        // zero-weight ties fall to the id tiebreak identically, and a
-        // NaN key (zero-norm candidate) sorts last instead of being
-        // unselectable. Matches VecNearest's comparison convention.
+        // zero-weight ties fall to the id tiebreak identically. NaN
+        // keys (zero-norm candidates) compare greater than the
+        // Double.MaxValue seed, so they remain unselectable; an
+        // all-NaN pass degenerates to `next = 0` — the first remaining
+        // candidate in the deterministic `ordered` sequence, not the
+        // smallest id. Deterministic either way, and bit-identical to
+        // the minBy this replaced.
         val c = java.lang.Double.compare(key, bestKey)
         if (c < 0 || (c == 0 && remaining(i)._1 < bestId)) {
           bestKey = key; bestId = remaining(i)._1; next = i

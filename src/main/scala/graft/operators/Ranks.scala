@@ -49,8 +49,10 @@ object Ranks {
     * array, and ANY splits yield the same prefix sums, so
     * approx-percentile merge-order wobble cannot change results (no
     * sampled range exchange whose pids an offset table could go stale
-    * against). Contract: `id` unique within (kind, v) and exactly
-    * representable as double (doc ids < 2^53); `v`, `id` non-null
+    * against) — and for the same reason the double cast of `id` in the
+    * tie-break sub-bucketing needs no 2^53 representability bound
+    * (rounding collapse just merges buckets; exactness is unaffected).
+    * Contract: `id` unique within (kind, v); `v`, `id` non-null
     * (a null v would need avgRank2Kinds' null-bucket story — callers
     * here zero-fill instead).
     */
@@ -150,20 +152,14 @@ object Ranks {
     // ---- assemble: pct = rank0 / (n_kind - 1), Spark's own corner
     // included (a singleton kind is 0.0, not 0/0). Kind sizes come
     // from the cached distinct table, not another pass over `in`. ----
-    // Runtime guard for the double-representability contract: _id is
-    // cast to double for the tie-break sub-bucketing, so |id| >= 2^53
-    // would silently collapse adjacent ids into one bucket value and
-    // produce wrong ranks with no error. Checked here on the per-kind
-    // aggregate (one extra tiny job over the already-cached rows —
-    // nothing corpus-scale); id-uniqueness within (kind, v) stays a
-    // documented caller contract since verifying it costs a full
-    // countDistinct pass.
-    val maxAbsId = rows.agg(max(abs(col("_id").cast("decimal(38,0)"))))
-      .head().getDecimal(0)
-    require(maxAbsId == null ||
-        maxAbsId.compareTo(new java.math.BigDecimal(1L << 53)) < 0,
-      s"percentRankByKey: |id| = $maxAbsId is not exactly representable " +
-        "as double (>= 2^53); tie-break ranks would be silently wrong")
+    // No |id| < 2^53 guard: the double cast of _id feeds ONLY the
+    // sub-bucket assignment, and the machinery is splits-agnostic —
+    // ANY bucket boundaries yield the same prefix sums, so ids that
+    // round-collapse into one bucket value still rank exactly
+    // (within-cell ordering is by the exact _id, not the cast). An
+    // eager check here would also execute the caller's full upstream
+    // lineage just to CONSTRUCT the plan; id-uniqueness within
+    // (kind, v) stays the one documented caller contract.
     val nk = dv.groupBy(col("_k")).agg(sum(col("_cnt")).as("_nk"))
     solo.unionByName(tiedRanked)
       .join(broadcast(nk), Seq("_k"))

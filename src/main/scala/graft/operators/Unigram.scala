@@ -141,6 +141,25 @@ object Unigram {
     * every corpus word is in the vocabulary, so a best path always
     * exists. [[graft.UnigramSpec]] proves this DP bit-equal to
     * exhaustive path enumeration under the same order.
+    *
+    * Two DP tracks make that order exact. For a POSITIVE best final
+    * score the score track alone is exact: strict score dominance at a
+    * cut position propagates through positive multipliers (a
+    * lower-score prefix can never reach the max final score), and
+    * among EQUAL-score prefixes the per-position (tokens, lex) choice
+    * is preserved by common-suffix extension (equal appended piece
+    * keeps the score tie, the +1 token ordering, and — because the two
+    * prefixes cover the identical characters and differ only in [[Sep]]
+    * placement, so neither is a proper prefix of the other — the lex
+    * ordering). That argument collapses when a zero-probability piece
+    * (a pruned-to-zero char kept for coverage) enters a path: 0.64×0
+    * ties 0.2×0, so a strictly-lower-score prefix with a better
+    * (tokens, lex) key can tie at 0.0 and the score track would keep
+    * the wrong one. But a best final score of 0.0 means EVERY path
+    * scores 0.0 (the track maximizes over all paths), so the order
+    * degenerates to plain (tokens ASC, lex ASC) over all paths — which
+    * the second, score-blind track computes exactly by the same
+    * common-suffix-extension argument.
     */
   private[graft] def viterbi(word: String, prob: Map[String, Double])
       : (String, Int) = {
@@ -148,13 +167,19 @@ object Unigram {
     val score = new Array[Double](n + 1)
     val toks = new Array[Int](n + 1)
     val seg = new Array[String](n + 1)
+    // score-blind track: min (tokens, lex) over ALL vocab paths
+    val toks2 = new Array[Int](n + 1)
+    val seg2 = new Array[String](n + 1)
     score(0) = 1.0
     seg(0) = ""
+    seg2(0) = ""
     var pos = 1
     while (pos <= n) {
       var bs = 0.0
       var bt = 0
       var bg: String = null
+      var bt2 = 0
+      var bg2: String = null
       var l = 1
       while (l <= math.min(MaxPieceLen, pos)) {
         if (seg(pos - l) != null) {
@@ -168,14 +193,20 @@ object Unigram {
                 (c == 0 && (t < bt || (t == bt && g < bg)))) {
               bs = s; bt = t; bg = g
             }
+            val t2 = toks2(pos - l) + 1
+            val g2 = if (pos == l) piece else seg2(pos - l) + Sep + piece
+            if (bg2 == null || t2 < bt2 || (t2 == bt2 && g2 < bg2)) {
+              bt2 = t2; bg2 = g2
+            }
           }
         }
         l += 1
       }
       score(pos) = bs; toks(pos) = bt; seg(pos) = bg
+      toks2(pos) = bt2; seg2(pos) = bg2
       pos += 1
     }
-    (seg(n), toks(n))
+    if (score(n) == 0.0) (seg2(n), toks2(n)) else (seg(n), toks(n))
   }
 
   /** One E-step: segment every word of `words` under `vocab`. The
@@ -233,13 +264,22 @@ object Unigram {
     * trained tokenizer is fit once and every consumer (train export,
     * seg table, per-doc accounting) serves from it. Determinism makes
     * cache-vs-refit unobservable; this only saves the repeated EM.
+    * Stamp-validated ([[graft.sources.CorpusStamp]]): a corpus rewrite
+    * transparently retrains.
     */
   private val vocabCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[PieceCnt]]]()
+    new graft.sources.StampedCache[String, Seq[Seq[PieceCnt]]]()
 
   private[graft] def cachedVocabs(spark: SparkSession, dir: String)
-      : Seq[Seq[PieceCnt]] =
-    vocabCache.computeIfAbsent(dir, d => fitVocabs(spark, d))
+      : Seq[Seq[PieceCnt]] = {
+    val stamp =
+      graft.sources.CorpusStamp.of(spark, s"$dir/documents.parquet")
+    vocabCache.get(dir, stamp) { fitVocabs(spark, dir) }
+  }
+
+  /** Bench hook: force the next cachedVocabs call to refit. */
+  private[graft] def invalidateVocabs(dir: String): Unit =
+    vocabCache.invalidate(dir)
 
   private def vocabDf(spark: SparkSession, vocab: Seq[PieceCnt])
       : DataFrame = {
@@ -271,7 +311,11 @@ object Unigram {
     */
   def segTable(spark: SparkSession, dir: String): DataFrame = {
     val vocabs = cachedVocabs(spark, dir)
-    val words = wordFreqs(spark, dir).persist()
+    // no persist: this is a pure transformation handed to the caller
+    // (nothing local could unpersist after consumption), and the union
+    // merely re-reads the word table once per round — a narrow
+    // Heaps-bounded scan, not the EM fit.
+    val words = wordFreqs(spark, dir)
     (1 to Rounds + 1).map { r =>
       eStep(words, vocabs(r - 1))
         .select(lit(r).as("round"), col("word"), col("n"), col("seg"))

@@ -75,6 +75,31 @@ class UnigramSpec extends SparkTestBase {
     }
   }
 
+  test("viterbi: zero-prob piece after the DP's per-position choice") {
+    // The shape that breaks a single-track score DP: p(a)^2 > p(aa), so
+    // at position 2 the score track keeps a·a (0.64, 2 tokens) over aa
+    // (0.2, 1 token) — then piece b has probability 0.0 (a
+    // pruned-to-zero char kept for coverage) and zeroes BOTH full
+    // paths. The declared order (score DESC, tokens ASC, lex ASC) picks
+    // aa·b (2 tokens); a score-only DP emits a·a·b (3 tokens). The
+    // score-blind second track must take over whenever the best final
+    // score is 0.0.
+    val prob = Map("a" -> 0.8, "aa" -> 0.2, "b" -> 0.0)
+    assert(Unigram.viterbi("aab", prob) === ("aa" + Unigram.Sep + "b", 2))
+    assert(Some(Unigram.viterbi("aab", prob)) === refBest("aab", prob))
+    // same family, deeper: the zero piece lands mid-word and the tail
+    // continues with positive pieces (still all-zero products)
+    for (w <- Seq("aab", "aaba", "baa", "aabaa", "ab", "b", "bb",
+        "aabb", "aaab"))
+      assert(Some(Unigram.viterbi(w, prob)) === refBest(w, prob), s"word=$w")
+    // and with a zero-prob MULTI-char piece competing against zero
+    // char paths: tokens-then-lex must decide among all-zero paths
+    val prob2 = Map("a" -> 0.0, "b" -> 0.0, "ab" -> 0.0, "ba" -> 0.0)
+    for (w <- Seq("ab", "ba", "abab", "aabb", "abba", "baba"))
+      assert(Some(Unigram.viterbi(w, prob2)) === refBest(w, prob2),
+        s"word=$w (all-zero vocab)")
+  }
+
   test("viterbi handles unreachable interiors via longer pieces") {
     // 'b' is NOT in vocab alone; only "ab" covers it — positions after
     // 'a' are unreachable as char paths and the DP must route through
