@@ -266,30 +266,54 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    // Untimed ONE-TIME index builds (IVF centroids, PQ codebook) at the
-    // target SF — the deployment posture these operators are built for:
-    // an index is constructed offline once and persisted, and query
-    // jobs serve from it (the prebuilt/persisted path is spec-gated).
-    // Without this, whichever registry query alphabetically reaches the
+    // ONE-TIME index builds (IVF centroids, PQ codebook, PCA fit,
+    // unigram vocabularies, suffix-rank index) at the target SF — the
+    // deployment posture these operators are built for: an index is
+    // constructed offline once and persisted, and query jobs serve
+    // from it (the prebuilt/persisted path is spec-gated). Without
+    // this, whichever registry query alphabetically reaches the
     // process cache first pays the whole build inside its measured
     // window — ann_topk was charged ~5 s of Lloyd iterations that
     // ivf_topk then got for free, making the per-query record a map of
-    // registry iteration order rather than of serving cost. The build
-    // cost is NOT hidden: it's timed here and reported in-band as
-    // "index_build_sec".
-    val idxT0 = System.nanoTime()
-    val indexBuildSec =
-      try {
-        SparkEntry.prewarmIndexes(spark, sfDir)
-        (System.nanoTime() - idxT0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] index prewarm failed: ${e.getMessage}")
-        -1.0
+    // registry iteration order rather than of serving cost.
+    //
+    // Since round 15 each build is its OWN timed, floored, gate-watched
+    // entry (build_*): the untimed index_build_sec lump grew 23.7 s →
+    // 62.2 s across rounds 12-14 with no gate, so a build-path
+    // regression was invisible while the queries it serves stayed
+    // gated. The thunks force a fresh build (cache invalidation first),
+    // so flagged reruns measure the build again, not a cache hit.
+    // index_build_sec stays in-band as the SUM for cross-round
+    // continuity. Builds run before the per-query warmup loop because
+    // every ANN/PCA/unigram/suffix query below serves from them.
+    // SPARK_GRAFT_ONLY=a,b,c times just those queries in an otherwise
+    // fresh suite — the isolation probe for suite-context drift (a
+    // query that is fast here but slow in the full run is reacting to
+    // accumulated JVM/plan state, not to its own code). Diagnostic
+    // only: the driver's official run never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    // under SPARK_GRAFT_ONLY, still prewarm ALL indexes (isolated
+    // queries must serve from warm caches like in-suite ones) but only
+    // TIME the requested build entries
+    val buildResults: Seq[(String, Double)] =
+      SparkEntry.indexBuilds.map { case (name, run) =>
+        val t0 = System.nanoTime()
+        try run(spark, sfDir)
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        Cleanup.fullRelease(spark)
+        System.err.println(f"[bench] $name: $dt%.2f s")
+        name -> dt
       }
-    Cleanup.fullRelease(spark)
+    val indexBuildSec = buildResults.map(_._2).sum
     System.err.println(
-      f"[bench] index prewarm (IVF centroids + PQ codebook) took " +
-        f"$indexBuildSec%.2f s (untimed, reported as index_build_sec)")
+      f"[bench] index builds took $indexBuildSec%.2f s total " +
+        "(per-build lines archived as build_*)")
     // Per-query warmup needs a CHEAP scale factor — falling back to sfDir
     // would silently run the whole suite twice at the target SF and double
     // the wall clock, so without a smaller sibling we skip it instead.
@@ -318,14 +342,6 @@ object Bench {
       System.err.println(
         s"[bench] no sf0.001 sibling of $sfDir; skipping per-query warmup " +
           "(first-run timings will include codegen/JIT cost)")
-    val failed = scala.collection.mutable.ArrayBuffer[String]()
-    // SPARK_GRAFT_ONLY=a,b,c times just those queries in an otherwise
-    // fresh suite — the isolation probe for suite-context drift (a
-    // query that is fast here but slow in the full run is reacting to
-    // accumulated JVM/plan state, not to its own code). Diagnostic
-    // only: the driver's official run never sets it.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val registry = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     // WRITE-PATH benchmarks: the two real sinks (partitioned letter
@@ -381,6 +397,7 @@ object Bench {
         docs.length.toLong
       })
     val writeRunnerMap = writeRunners.toMap
+    val buildRunnerMap = SparkEntry.indexBuilds.toMap
     // Warmup is INTERLEAVED per query (warm q at sf0.001, then time q at
     // the target SF), not a separate all-queries warmup pass: codegen
     // cache or not, the JVM's own JIT state for a query's generated
@@ -432,7 +449,8 @@ object Bench {
             f"[bench] $name: $rows rows in $dt%.2f s = ${rows / dt}%.0f rows/s")
         name -> dt
       }
-    val results = queryResults ++ writeResults
+    val results = buildResults.filter(b =>
+      only.forall(_.contains(b._1))) ++ queryResults ++ writeResults
     // Locale-pinned: the f-interpolator uses the default JVM locale, which
     // on a comma-decimal locale (de_DE) would emit "1,234" and break the
     // driver's JSON parse.
@@ -464,7 +482,12 @@ object Bench {
       "semantic_dedup", "pca_top_component", "abtt_debias",
       "pca_components", "q21_waiting_suppliers", "q9_profit",
       // round-12: the two write paths, timed for the first time
-      "write_letter_sink", "write_curated_ingest")
+      "write_letter_sink", "write_curated_ingest",
+      // round-15: per-artifact index builds, each floored and
+      // gate-watched (previously one untimed index_build_sec lump)
+      "build_ivf_c16_i2", "build_ivf_c16_i0", "build_ivf_auto_i0",
+      "build_pq_codebook", "build_pca_fit", "build_unigram_vocabs",
+      "build_suffix_index")
     val byName = results.toMap
     // a renamed/removed registry entry silently shrinking the headline map
     // would go unnoticed — surface it
@@ -507,10 +530,13 @@ object Bench {
         val t0 = System.nanoTime()
         val ok =
           try {
-            writeRunnerMap.get(k) match {
-              case Some(run) => run(sfDir)
-              case None => SparkEntry.queries(k)(spark, sfDir)
-                .write.format("noop").mode("overwrite").save()
+            buildRunnerMap.get(k) match {
+              case Some(build) => build(spark, sfDir)
+              case None => writeRunnerMap.get(k) match {
+                case Some(run) => run(sfDir)
+                case None => SparkEntry.queries(k)(spark, sfDir)
+                  .write.format("noop").mode("overwrite").save()
+              }
             }
             true
           } catch { case e: Throwable =>

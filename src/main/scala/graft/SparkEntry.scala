@@ -116,28 +116,61 @@ object SparkEntry {
     * including the oracleAux exports — reuses them. Keep the parameters
     * here in lockstep with the registry entries.
     */
-  def prewarmIndexes(s: SparkSession, d: String): Unit = {
-    Ivf.cachedCentroids(s, d, 16, 2)
-    // knn_graph's sqrt(N)-sized cell set (and its iters=0 16-cell
-    // sibling used by semantic_dedup) — a different cache key than
-    // the (16, 2) search index above
-    Ivf.cachedCentroids(s, d, 16, 0)
-    Ivf.cachedCentroids(s, d, Similarity.autoCells(s, d), 0)
-    Pq.cachedCodebook(s, d, 8, 16, 1)
+  def prewarmIndexes(s: SparkSession, d: String): Unit =
+    indexBuilds.foreach(_._2(s, d))
+
+  /** The same builds as named, individually timeable steps — the bench
+    * gives each its own floored line instead of one untimed
+    * `index_build_sec` lump (a build-path regression was invisible
+    * while the queries it serves stayed gated). Each thunk FORCES a
+    * fresh build (invalidating its stamped cache — and, for the suffix
+    * index, the persisted parquet — first), so a flagged rerun
+    * measures the build again rather than a cache hit that would
+    * launder a real regression into "noise". Keep parameters in
+    * lockstep with the registry entries (ivf_topk/ann_topk/
+    * semantic_dedup → (16, 2); knn_graph → (autoCells, 0) and its
+    * (16, 0) sibling; pq_topk → (8, 16, 1)). BPE is deliberately NOT
+    * here — it is uncached by design (Bpe.corpusMerges) so BPE-family
+    * timings stay self-contained including training.
+    */
+  def indexBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "build_ivf_c16_i2" -> { (s, d) =>
+      Ivf.invalidateCentroids(d, 16, 2)
+      Ivf.cachedCentroids(s, d, 16, 2); ()
+    },
+    "build_ivf_c16_i0" -> { (s, d) =>
+      Ivf.invalidateCentroids(d, 16, 0)
+      Ivf.cachedCentroids(s, d, 16, 0); ()
+    },
+    // knn_graph's sqrt(N)-sized cell set
+    "build_ivf_auto_i0" -> { (s, d) =>
+      val cells = Similarity.autoCells(s, d)
+      Ivf.invalidateCentroids(d, cells, 0)
+      Ivf.cachedCentroids(s, d, cells, 0); ()
+    },
+    "build_pq_codebook" -> { (s, d) =>
+      Pq.invalidateCodebook(d, 8, 16, 1)
+      Pq.cachedCodebook(s, d, 8, 16, 1); ()
+    },
     // one k=2 fit serves the whole PCA family: cachedPcaFitK hands
     // smaller-k requests the prefix of this build
-    Vectors.cachedPcaFitK(s, d, 3, 2)
+    "build_pca_fit" -> { (s, d) =>
+      Vectors.invalidatePcaFit(d, 3, 2)
+      Vectors.cachedPcaFitK(s, d, 3, 2); ()
+    },
     // unigram-LM tokenizer fit: trained offline once like the ANN
     // indexes; unigram_seed/train/tokenize and tokenizer_compare's
-    // unigram leg all serve from the cached vocabularies (BPE is
-    // deliberately NOT cached — see Bpe.corpusMerges — so BPE-family
-    // timings stay self-contained including training)
-    Unigram.cachedVocabs(s, d)
+    // unigram leg all serve from the cached vocabularies
+    "build_unigram_vocabs" -> { (s, d) =>
+      Unigram.invalidateVocabs(d)
+      Unigram.cachedVocabs(s, d); ()
+    },
     // suffix-rank index: built offline once and PERSISTED (parquet) —
     // suffix_ranks / repeated_spans_sa serve from the on-disk table
-    SuffixRanks.cachedRanks(s, d)
-    ()
-  }
+    "build_suffix_index" -> { (s, d) =>
+      SuffixRanks.invalidateIndex(s, d)
+      SuffixRanks.cachedRanks(s, d); ()
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- reference flagship + text pipeline ------------------------------
@@ -303,6 +336,12 @@ object SparkEntry {
     "pagerank_neardup" -> ((s, d) => Dedup.pagerankNearDup(s, d)),
     "suffix_ranks" -> ((s, d) => SuffixRanks.suffixRankTable(s, d)),
     "repeated_spans_sa" -> ((s, d) => SuffixRanks.repeatedSpans(s, d)),
+    // delta ingest merged into the persisted index WITHOUT re-running
+    // the doubling over old positions; the oracle replays the merged
+    // corpus's dense rank from scratch, so only an exact merge
+    // (shifted old ranks AND interleaved delta ranks) matches
+    "suffix_ranks_incremental" ->
+      ((s, d) => SuffixRanks.incrementalQuery(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "bpe_train" -> ((s, d) => Bpe.train(s, d, BpeK)),
     "bpe_tokenize" -> ((s, d) => Bpe.tokenizeDocs(s, d, BpeK)),
@@ -594,6 +633,32 @@ object SparkEntry {
     |SELECT doc_id, pos,
     |  CAST(dense_rank() OVER (ORDER BY pfx) - 1 AS BIGINT) AS r
     |FROM pos ORDER BY doc_id, pos""".stripMargin
+
+  // suffix_ranks_incremental: the Spark side merges a re-keyed,
+  // text-REVERSED slice (every 7th doc) into the persisted index via
+  // SuffixRanks.incremental; the oracle knows nothing of the merge —
+  // it rebuilds the dense rank over the synthetic merged corpus from
+  // scratch, so stale old ranks, missed shifts, or mis-interleaved
+  // delta classes all hash-mismatch.
+  private val SuffixRanksIncrSql: String =
+    ("""WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+      |docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + m AS doc_id, reverse(text) AS text
+      |  FROM documents, mx WHERE doc_id % 7 = 3),
+      |st AS (
+      |  SELECT doc_id, array_to_string(list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0), ' ') AS s
+      |  FROM docs2),
+      |pos AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) AS pos, substring(s, CAST(i AS INTEGER), @PLEN) AS pfx
+      |  FROM st, unnest(range(1, length(s) + 1)) AS u(i)
+      |  WHERE length(s) > 0)
+      |SELECT doc_id, pos,
+      |  CAST(dense_rank() OVER (ORDER BY pfx) - 1 AS BIGINT) AS r
+      |FROM pos ORDER BY doc_id, pos""")
+      .stripMargin
+      .replace("@PLEN", graft.operators.SuffixRanks.PrefixLen.toString)
 
   private val RepeatedSpansSql: String = SuffixPosCte + """,
     |occ AS (SELECT pfx, CAST(count(*) AS BIGINT) AS occ FROM pos GROUP BY pfx),
@@ -2498,6 +2563,7 @@ object SparkEntry {
     "unigram_tokenize" -> UnigramTokenizeSql,
     "tokenizer_compare" -> TokenizerCompareSql,
     "suffix_ranks" -> SuffixRanksSql,
+    "suffix_ranks_incremental" -> SuffixRanksIncrSql,
     "repeated_spans_sa" -> RepeatedSpansSql,
     "bpe_pairs" ->
       """WITH toks AS (

@@ -38,30 +38,34 @@ object Pq {
     * bypass this entirely via `pqTopK(prebuilt = ...)`.
     */
   private val codebookCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int),
+    new graft.sources.StampedCache[(String, Int, Int, Int, Int),
       Seq[(Int, Int, Seq[Double])]]()
 
   /** Keyed by EVERY build parameter including dim — a (dir, m, ks,
     * iters) key would hand a 64-dim codebook to a dim=32 caller, whose
     * mismatched-width ADC would be silently wrong (VecDot skips the
-    * tail) rather than an error. Assumes an immutable corpus at a
-    * given path, the same contract as Tables' footer cache.
+    * tail) rather than an error. Stamp-validated
+    * ([[graft.sources.CorpusStamp]]): a corpus rewrite at a cached
+    * path transparently rebuilds instead of serving a stale codebook.
     */
   def cachedCodebook(spark: SparkSession, dir: String, m: Int, ks: Int,
       iters: Int, dim: Int = 64): DataFrame = {
-    val key = (dir, m, ks, iters, dim)
-    val rows = Option(codebookCache.get(key)).getOrElse {
-      val built = buildCodebook(
+    val stamp = graft.sources.CorpusStamp.of(spark, s"$dir/embeddings.parquet")
+    val rows = codebookCache.get((dir, m, ks, iters, dim), stamp) {
+      buildCodebook(
           subvectors(Tables.embeddings(spark, dir), m, dim), ks, iters)
         .collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
         .toSeq
-      codebookCache.put(key, built)
-      built
     }
     import spark.implicits._
     rows.toDF("sub", "code", "cword")
   }
+
+  /** Bench hook: force the next cachedCodebook call to rebuild. */
+  private[graft] def invalidateCodebook(dir: String, m: Int, ks: Int,
+      iters: Int, dim: Int = 64): Unit =
+    codebookCache.invalidate((dir, m, ks, iters, dim))
 
   /** (vec_id, sub, svec array<double>) — the M-way split corpus.
     *

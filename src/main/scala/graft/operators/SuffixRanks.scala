@@ -135,20 +135,58 @@ object SuffixRanks {
     * block cleanup, which would unpersist an in-memory checkpoint out
     * from under the next consumer. Determinism makes cache-vs-rebuild
     * unobservable.
+    *
+    * Staleness contract ([[graft.sources.CorpusStamp]]): the index
+    * directory is NAMED by the corpus stamp it was built under, so a
+    * corpus mutation (ingest, rewrite) changes the stamp, misses the
+    * directory, and transparently rebuilds — while an unchanged corpus
+    * re-serves the persisted index even across PROCESSES (`_SUCCESS`
+    * gates against a crashed half-write; determinism makes the reuse
+    * unobservable). Superseded stamp directories are left in place:
+    * an in-flight query in this or another process may still be
+    * streaming the old files, and the parent is tmp-rooted anyway —
+    * a production deployment would prune by retention the way
+    * [[graft.streaming.BucketStore]] prunes generations.
     */
   private val rankDirCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new graft.sources.StampedCache[String, String]()
+
+  private def indexPath(dir: String, stamp: Long): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_suffix_idx", safe,
+      f"s$stamp%016x").toString
+  }
 
   def cachedRanks(spark: org.apache.spark.sql.SparkSession, dir: String)
       : DataFrame = {
-    val path = rankDirCache.computeIfAbsent(dir, { _ =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_suffix_idx").toString
-      suffixRanks(graft.sources.Tables.documents(spark, dir))
-        .write.mode("overwrite").parquet(out)
+    val stamp = graft.sources.CorpusStamp.of(
+      spark, s"$dir/documents.parquet")
+    val path = rankDirCache.get(dir, stamp) {
+      val out = indexPath(dir, stamp)
+      val success = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+      val fs = success.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(success))
+        suffixRanks(graft.sources.Tables.documents(spark, dir))
+          .write.mode("overwrite").parquet(out)
       out
-    })
+    }
     spark.read.parquet(path)
+  }
+
+  /** Bench hook: drop the in-process entry AND the persisted index so
+    * the next cachedRanks call measures a genuine rebuild (a rerun
+    * served from `_SUCCESS` would launder a build regression into
+    * "noise"). */
+  private[graft] def invalidateIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    rankDirCache.invalidate(dir)
+    val stamp = graft.sources.CorpusStamp.of(
+      spark, s"$dir/documents.parquet")
+    val p = new org.apache.hadoop.fs.Path(indexPath(dir, stamp))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
   /** Registry shape: ordered (doc_id, pos, r), served from the cached
@@ -156,6 +194,148 @@ object SuffixRanks {
   def suffixRankTable(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     cachedRanks(spark, dir).orderBy(col("doc_id"), col("pos"))
+
+  // ------------------------------------------------------------------
+  // Incremental maintenance: merge a delta corpus into a persisted
+  // rank table without re-running the doubling over old positions.
+  // ------------------------------------------------------------------
+
+  /** Base-32 packing of a window's chars [start, start+len): ' ' -> 1,
+    * 'a'..'z' -> 2..27, absent (past end) -> 0. Left-to-right place
+    * value makes long comparison == lexicographic comparison with
+    * absent-below-everything — exactly the doubling's "shorter sorts
+    * first" prefix rule — and >=1 codes for real chars make the
+    * packing injective. 12 chars x 5 bits < 2^63.
+    */
+  private def packSeg(w: Column, start: Int, len: Int): Column =
+    aggregate(
+      sequence(lit(start), lit(start + len - 1)),
+      lit(0L),
+      (acc, i) => {
+        val c = ascii(w.substr(i, lit(1)))
+        acc * 32L +
+          when(c === 32, 1L).when(c >= 97, (c - 95).cast("long"))
+            .otherwise(0L)
+      })
+
+  /** (doc_id, pos, l1, l2): every position's PrefixLen-char window,
+    * packed into two longs (16 + 16 chars). */
+  private def packedWindows(docs: DataFrame): DataFrame =
+    streams(docs)
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(1), length(col("s")))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        packSeg(col("s").substr(col("pos"), lit(PrefixLen)), 1, 16).as("l1"),
+        packSeg(col("s").substr(col("pos"), lit(PrefixLen)), 17, 16).as("l2"))
+
+  /** 0-based dense rank `nr` of DISTINCT (l1, l2) rows — two chained
+    * [[Ranks.rankByKey]] rounds (rank (l1, l2) pairs, then rank
+    * (k1, …) — the same pair-rank machinery as the doubling itself,
+    * so no string percentile or sampled range exchange anywhere).
+    * Input must be distinct; both rank rounds run on distinct pair
+    * tables to honor rankByKey's id-uniqueness contract.
+    */
+  private def rankPacked(classes: DataFrame): DataFrame = {
+    val dk1 = classes.select(col("l1")).distinct()
+    val r1 = Ranks.rankByKey(dk1, lit(1), col("l1"), lit(0L), "k1")
+      .select(col("l1"), col("k1"))
+    val withK1 = classes.join(r1, Seq("l1"))
+    val dk2 = withK1.select(col("k1"), col("l2")).distinct()
+    val r2 = Ranks.rankByKey(dk2, lit(1), col("k1"), col("l2"), "nr")
+      .select(col("k1"), col("l2"), col("nr"))
+    withK1.join(r2, Seq("k1", "l2"))
+      .select(col("l1"), col("l2"), col("nr"))
+  }
+
+  /** Merge `deltaDocs` into a persisted rank table (`oldIndex` built
+    * over `oldDocs`, the [[suffixRanks]] output schema) WITHOUT
+    * re-running the doubling over old positions — the
+    * [[graft.operators.InvertedIndex.incremental]] posture for the
+    * suffix index, so an ingest pays delta-plus-merge instead of a
+    * full rebuild. Returns the exact full-rebuild table:
+    * `incremental(idx(A), A, B) == suffixRanks(A ∪ B)` bit-for-bit
+    * ([[graft.SuffixRanksIncrementalSpec]], and the
+    * `suffix_ranks_incremental` oracle replays the merged corpus's
+    * dense rank wholesale in DuckDB).
+    *
+    * Why this is cheap: the doubling's cost is log2(PrefixLen) rank
+    * rounds over ALL positions. The merge instead
+    *
+    *  1. regenerates ONE representative window per old rank class —
+    *     a positions aggregate (min (doc_id, pos) per r) plus one
+    *     join against the old document streams; no iteration;
+    *  2. materializes delta windows directly (delta-sized);
+    *  3. re-ranks the merged DISTINCT-class table — class-sized, one
+    *     packed-pair rank instead of five full-corpus rounds (a
+    *     32-char window packs into two longs, so two chained
+    *     [[Ranks.rankByKey]] rounds order it exactly);
+    *  4. rewrites position ranks through class-level joins (old
+    *     positions join on their old rank; delta positions join on
+    *     their packed window).
+    *
+    * Old positions are touched by exactly one aggregate and one join —
+    * no per-round shuffles — so at 100 TB the merge is ~3 corpus-sized
+    * exchanges versus the rebuild's ~15, plus doubling-free delta
+    * work. Correctness of the rank arithmetic: the merged class set is
+    * the DISTINCT union of old-class windows and delta-class windows,
+    * and dense-ranking it reproduces the old ranks' relative order
+    * (old classes re-rank by the same lexicographic key that produced
+    * them) while interleaving delta-only classes — so old positions'
+    * ranks shift exactly as a full rebuild would shift them.
+    * Contract: `oldIndex` IS `suffixRanks(oldDocs)` (or a previous
+    * incremental output over them) and delta doc_ids are disjoint
+    * from old doc_ids — both already the ingest invariants.
+    */
+  def incremental(oldIndex: DataFrame, oldDocs: DataFrame,
+      deltaDocs: DataFrame): DataFrame = {
+    // 1. representative (smallest (doc_id, pos)) per old class, then
+    // its window regenerated from the old streams and packed
+    val reps = oldIndex
+      .groupBy(col("r"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("rep"))
+      .select(col("r"), col("rep.doc_id").as("doc_id"),
+        col("rep.pos").as("pos"))
+    val aClasses = reps.join(streams(oldDocs), Seq("doc_id"))
+      .select(col("r"),
+        packSeg(col("s").substr(col("pos"), lit(PrefixLen)), 1, 16).as("l1"),
+        packSeg(col("s").substr(col("pos"), lit(PrefixLen)), 17, 16).as("l2"))
+      .localCheckpoint()
+    // 2-3. delta windows + merged distinct classes, re-ranked
+    val bPos = packedWindows(deltaDocs).localCheckpoint()
+    val merged = aClasses.select(col("l1"), col("l2"))
+      .unionByName(bPos.select(col("l1"), col("l2")))
+      .distinct()
+    val ranked = rankPacked(merged).localCheckpoint()
+    // 4. class-level rewrites: old positions ride their old rank, delta
+    // positions ride their packed window
+    val aMap = aClasses.join(ranked, Seq("l1", "l2"))
+      .select(col("r"), col("nr"))
+    val aNew = oldIndex.join(aMap, Seq("r"))
+      .select(col("doc_id"), col("pos"), col("nr").as("r"))
+    val bNew = bPos.join(ranked, Seq("l1", "l2"))
+      .select(col("doc_id"), col("pos"), col("nr").as("r"))
+    aNew.unionByName(bNew)
+  }
+
+  /** Registry form: re-ingest a deterministic slice of the corpus
+    * (every 7th document, re-keyed past the current max id, text
+    * REVERSED so the delta contributes genuinely new windows that
+    * interleave everywhere, not just duplicates) and merge it into the
+    * persisted index. The oracle replays the merged corpus's dense
+    * rank from scratch in DuckDB — only a correct merge (shifted old
+    * ranks AND interleaved delta ranks) reproduces it.
+    */
+  def incrementalQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val delta = docs
+      .crossJoin(broadcast(docs.agg(max(col("doc_id")).as("mx"))))
+      .filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + col("mx") + 1).as("doc_id"),
+        reverse(col("text")).as("text"))
+    incremental(cachedRanks(spark, dir), docs, delta)
+      .orderBy(col("doc_id"), col("pos"))
+  }
 
   /** Per-doc repeated-span profile from the suffix ranks: how many of
     * the doc's PrefixLen-char windows occur elsewhere in the corpus

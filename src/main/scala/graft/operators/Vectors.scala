@@ -159,7 +159,7 @@ object Vectors {
     * family. None = empty corpus.
     */
   private val pcaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
+    new graft.sources.StampedCache[(String, Int, Int),
       Option[(Array[Double], Seq[(Double, Array[Double])])]]()
 
   def cachedPcaFit(spark: SparkSession, dir: String,
@@ -168,25 +168,26 @@ object Vectors {
       (mu, comps.head._2)
     }
 
+  /** Stamp-validated ([[graft.sources.CorpusStamp]]) like the other
+    * offline-artifact caches: a corpus rewrite transparently refits. */
   def cachedPcaFitK(spark: SparkSession, dir: String, iters: Int,
       k: Int): Option[(Array[Double], Seq[(Double, Array[Double])])] = {
-    import scala.jdk.CollectionConverters._
-    val key = (dir, iters, k)
-    Option(pcaCache.get(key))
-      .orElse {
-        // serve a smaller request from a larger cached fit's prefix
-        pcaCache.asScala.collectFirst {
-          case ((d, it, kk), Some((mu, comps)))
-            if d == dir && it == iters && kk > k =>
-              Some((mu, comps.take(k)))
-        }
-      }
-      .getOrElse {
-        val fit = pcaFitK(spark, dir, iters, k)
-        pcaCache.put(key, fit)
-        fit
-      }
+    val stamp =
+      graft.sources.CorpusStamp.of(spark, s"$dir/embeddings.parquet")
+    // serve a smaller request from a larger same-stamp fit's prefix
+    val prefix = pcaCache.snapshot(stamp).collectFirst {
+      case ((d, it, kk), Some((mu, comps)))
+        if d == dir && it == iters && kk >= k =>
+          Some((mu, comps.take(k)))
+    }
+    prefix.getOrElse {
+      pcaCache.get((dir, iters, k), stamp) { pcaFitK(spark, dir, iters, k) }
+    }
   }
+
+  /** Bench hook: force the next cachedPcaFitK call to refit. */
+  private[graft] def invalidatePcaFit(dir: String, iters: Int, k: Int)
+      : Unit = pcaCache.invalidate((dir, iters, k))
 
   /** k-component fit by orthogonalized power iteration: component c's
     * iterate s = C v has the already-extracted components projected

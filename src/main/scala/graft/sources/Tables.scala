@@ -63,11 +63,11 @@ object Tables {
     * other five tasks read nothing. Effective parallelism is bounded by
     * row groups, and that is what the autosplit guard must compare.
     */
-  private val footerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+  private val footerCache = new StampedCache[String, (Int, Long)]()
   /** (row groups, total rows) from the parquet footers, cached. */
   private def footerStats(spark: SparkSession, path: String): (Int, Long) =
-    footerCache.computeIfAbsent(path, { p =>
+    footerCache.get(path, CorpusStamp.of(spark, path)) {
+      val p = path
       try {
         val hp = new org.apache.hadoop.fs.Path(p)
         val conf = spark.sparkContext.hadoopConfiguration
@@ -95,10 +95,9 @@ object Tables {
       } catch { case _: Exception =>
         (Int.MaxValue, Long.MaxValue) // unknown: assume fine
       }
-    })
-  // NOTE: the cache assumes immutable inputs (true for the testdata and
-  // for any write-once corpus); rewriting a file at a cached path
-  // in-process would reuse the stale count
+    }
+  // The cache is stamp-validated (CorpusStamp): rewriting a file at a
+  // cached path invalidates the entry instead of reusing a stale count.
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
