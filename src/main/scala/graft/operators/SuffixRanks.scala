@@ -205,7 +205,8 @@ object SuffixRanks {
     * value makes long comparison == lexicographic comparison with
     * absent-below-everything — exactly the doubling's "shorter sorts
     * first" prefix rule — and >=1 codes for real chars make the
-    * packing injective. 12 chars x 5 bits < 2^63.
+    * packing injective. 12 chars x 5 bits < 2^63, so PrefixLen = 32
+    * chars span THREE longs (12 + 12 + 8).
     */
   private def packSeg(w: Column, start: Int, len: Int): Column =
     aggregate(
@@ -218,33 +219,38 @@ object SuffixRanks {
             .otherwise(0L)
       })
 
-  /** (doc_id, pos, l1, l2): every position's PrefixLen-char window,
-    * packed into two longs (16 + 16 chars). */
-  private def packedWindows(docs: DataFrame): DataFrame =
+  private def packedCols(w: Column): Seq[(String, Column)] = Seq(
+    "l1" -> packSeg(w, 1, 12), "l2" -> packSeg(w, 13, 12),
+    "l3" -> packSeg(w, 25, 8))
+
+  /** (doc_id, pos, l1, l2, l3): every position's PrefixLen-char
+    * window, packed into three longs (12 + 12 + 8 chars). */
+  private def packedWindows(docs: DataFrame): DataFrame = {
+    val w = col("s").substr(col("pos"), lit(PrefixLen))
     streams(docs)
       .select(col("doc_id"), col("s"),
         explode(sequence(lit(1), length(col("s")))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        packSeg(col("s").substr(col("pos"), lit(PrefixLen)), 1, 16).as("l1"),
-        packSeg(col("s").substr(col("pos"), lit(PrefixLen)), 17, 16).as("l2"))
+      .select(Seq(col("doc_id"), col("pos")) ++
+        packedCols(w).map { case (n, c) => c.as(n) }: _*)
+  }
 
-  /** 0-based dense rank `nr` of DISTINCT (l1, l2) rows — two chained
-    * [[Ranks.rankByKey]] rounds (rank (l1, l2) pairs, then rank
-    * (k1, …) — the same pair-rank machinery as the doubling itself,
+  /** 0-based dense rank `nr` of DISTINCT (l1, l2, l3) rows — three
+    * chained [[Ranks.rankByKey]] rounds (rank (l1, l2) pairs, then
+    * fold l3 in — the same pair-rank machinery as the doubling itself,
     * so no string percentile or sampled range exchange anywhere).
-    * Input must be distinct; both rank rounds run on distinct pair
-    * tables to honor rankByKey's id-uniqueness contract.
+    * Each rank round runs on a distinct pair table to honor
+    * rankByKey's id-uniqueness contract.
     */
   private def rankPacked(classes: DataFrame): DataFrame = {
-    val dk1 = classes.select(col("l1")).distinct()
-    val r1 = Ranks.rankByKey(dk1, lit(1), col("l1"), lit(0L), "k1")
-      .select(col("l1"), col("k1"))
-    val withK1 = classes.join(r1, Seq("l1"))
-    val dk2 = withK1.select(col("k1"), col("l2")).distinct()
-    val r2 = Ranks.rankByKey(dk2, lit(1), col("k1"), col("l2"), "nr")
-      .select(col("k1"), col("l2"), col("nr"))
-    withK1.join(r2, Seq("k1", "l2"))
-      .select(col("l1"), col("l2"), col("nr"))
+    val dk1 = classes.select(col("l1"), col("l2")).distinct()
+    val r1 = Ranks.rankByKey(dk1, lit(1), col("l1"), col("l2"), "k1")
+      .select(col("l1"), col("l2"), col("k1"))
+    val withK1 = classes.join(r1, Seq("l1", "l2"))
+    val dk2 = withK1.select(col("k1"), col("l3")).distinct()
+    val r2 = Ranks.rankByKey(dk2, lit(1), col("k1"), col("l3"), "nr")
+      .select(col("k1"), col("l3"), col("nr"))
+    withK1.join(r2, Seq("k1", "l3"))
+      .select(col("l1"), col("l2"), col("l3"), col("nr"))
   }
 
   /** Merge `deltaDocs` into a persisted rank table (`oldIndex` built
@@ -295,24 +301,24 @@ object SuffixRanks {
       .agg(min(struct(col("doc_id"), col("pos"))).as("rep"))
       .select(col("r"), col("rep.doc_id").as("doc_id"),
         col("rep.pos").as("pos"))
+    val aW = col("s").substr(col("pos"), lit(PrefixLen))
     val aClasses = reps.join(streams(oldDocs), Seq("doc_id"))
-      .select(col("r"),
-        packSeg(col("s").substr(col("pos"), lit(PrefixLen)), 1, 16).as("l1"),
-        packSeg(col("s").substr(col("pos"), lit(PrefixLen)), 17, 16).as("l2"))
+      .select(Seq(col("r")) ++
+        packedCols(aW).map { case (n, c) => c.as(n) }: _*)
       .localCheckpoint()
     // 2-3. delta windows + merged distinct classes, re-ranked
     val bPos = packedWindows(deltaDocs).localCheckpoint()
-    val merged = aClasses.select(col("l1"), col("l2"))
-      .unionByName(bPos.select(col("l1"), col("l2")))
+    val merged = aClasses.select(col("l1"), col("l2"), col("l3"))
+      .unionByName(bPos.select(col("l1"), col("l2"), col("l3")))
       .distinct()
     val ranked = rankPacked(merged).localCheckpoint()
     // 4. class-level rewrites: old positions ride their old rank, delta
     // positions ride their packed window
-    val aMap = aClasses.join(ranked, Seq("l1", "l2"))
+    val aMap = aClasses.join(ranked, Seq("l1", "l2", "l3"))
       .select(col("r"), col("nr"))
     val aNew = oldIndex.join(aMap, Seq("r"))
       .select(col("doc_id"), col("pos"), col("nr").as("r"))
-    val bNew = bPos.join(ranked, Seq("l1", "l2"))
+    val bNew = bPos.join(ranked, Seq("l1", "l2", "l3"))
       .select(col("doc_id"), col("pos"), col("nr").as("r"))
     aNew.unionByName(bNew)
   }
