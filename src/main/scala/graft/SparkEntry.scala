@@ -241,6 +241,10 @@ object SparkEntry {
     "media_stats" -> ((s, d) => Multimodal.mediaStats(s, d)),
     "media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "media_decode" -> ((s, d) => Multimodal.mediaDecode(s, d)),
+    // real RIFF/WAVE container walk (variable JUNK chunk, word
+    // alignment, malformed subset decodes empty) — the oracle rebuilds
+    // every column from documents.text without seeing the container
+    "media_wav" -> ((s, d) => Multimodal.mediaWav(s, d)),
     // -- events ----------------------------------------------------------
     "hourly_rollup" -> ((s, d) => EventOps.hourlyRollup(s, d)),
     "sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
@@ -1280,6 +1284,38 @@ object SparkEntry {
     // documents.text — it never sees the payload, so only a correct
     // run expansion reproduces n_bytes, the high-nibble histogram
     // entropy, the ceil-division frame count, and the stride preview.
+    // media_wav: the decoded stream IS the printable projection (the
+    // WAV samples), so the oracle replays n_bytes/entropy/frames/
+    // preview from documents.text directly; the corrupted subset
+    // (doc_id % 11 = 7) must decode EMPTY — a codec that threw, or
+    // walked past the JUNK chunk wrongly, mismatches those rows
+    "media_wav" ->
+      """WITH cl AS (
+        |  SELECT doc_id, 'audio' AS kind,
+        |         CASE WHEN doc_id % 11 = 7 THEN ''
+        |              ELSE regexp_replace(text, '[^ -~]', '', 'g') END AS ds
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, kind, hex(encode(ds)) AS hx,
+        |         octet_length(encode(ds)) AS n
+        |  FROM cl),
+        |nib AS (
+        |  SELECT m.doc_id, substr(m.hx, 2*t.i + 1, 1) AS hi, count(*) AS c
+        |  FROM m, UNNEST(range(m.n)) AS t(i)
+        |  GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT nib.doc_id,
+        |         round(-SUM((c::DOUBLE / m.n) * ln(c::DOUBLE / m.n)) / ln(2), 6) AS entropy
+        |  FROM nib JOIN m USING (doc_id)
+        |  GROUP BY 1)
+        |SELECT m.doc_id, m.kind, CAST(m.n AS BIGINT) AS n_bytes,
+        |       COALESCE(ent.entropy, 0.0) AS entropy,
+        |       CAST(CASE WHEN m.n = 0 THEN 0 ELSE (m.n - 1) // 64 + 1 END AS INT) AS frames_sampled,
+        |       CASE WHEN m.n = 0 THEN repeat('00', 16)
+        |            ELSE list_aggregate([substr(m.hx, 2*CAST(i * m.n // 16 AS BIGINT) + 1, 2) FOR i IN range(16)], 'string_agg', '')
+        |       END AS preview_hex
+        |FROM m LEFT JOIN ent USING (doc_id)
+        |ORDER BY m.doc_id""".stripMargin,
     "media_decode" ->
       """WITH cl AS (
         |  SELECT doc_id,

@@ -86,6 +86,114 @@ object Multimodal {
     out
   }
 
+  /** A REAL container format through the same codec seam: canonical
+    * RIFF/WAVE PCM. [[RleCodec]] proved the decode stage transforms
+    * bytes; this proves it against a genuine variable-length container
+    * — magic validation, little-endian sizes, a chunk WALK (the
+    * encoder plants a variable-length JUNK chunk before `data`, so a
+    * fixed-44-byte-offset shortcut reads garbage), word alignment
+    * (odd-sized chunks pad to even, pad excluded from the declared
+    * size), and malformed-input handling. Contract on bad input: an
+    * empty decode (zero-length media), never a throw — a pipeline
+    * drops undecodable records, it does not die mid-job. Truncated
+    * `data` is salvaged up to the available bytes (a cut-off download
+    * still yields its leading samples — the RleCodec trailing-byte
+    * precedent); every other malformation (bad magic, no WAVE tag,
+    * `data` before a valid PCM `fmt `, chunk sizes past the declared
+    * RIFF extent, missing `data`) decodes empty. [[graft
+    * .MultimodalSpec]] pins each corner.
+    */
+  object WavCodec extends Codec {
+    override def decode(p: Array[Byte]): Array[Byte] = {
+      def u32(i: Long): Long =
+        (p(i.toInt) & 0xffL) | (p(i.toInt + 1) & 0xffL) << 8 |
+          (p(i.toInt + 2) & 0xffL) << 16 | (p(i.toInt + 3) & 0xffL) << 24
+      def u16(i: Long): Int =
+        (p(i.toInt) & 0xff) | (p(i.toInt + 1) & 0xff) << 8
+      def tag(i: Long): String =
+        new String(p, i.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+        return Array.emptyByteArray
+      // the walk is bounded by BOTH the declared RIFF extent and the
+      // physical buffer — whichever is shorter
+      val end = math.min(p.length.toLong, 8L + u32(4))
+      var off = 12L
+      var pcm = false
+      while (off + 8 <= end) {
+        val id = tag(off)
+        val sz = u32(off + 4)
+        val body = off + 8
+        if (id == "fmt " && sz >= 16 && body + 16 <= end)
+          pcm = u16(body) == 1 // PCM; bit depth/channels ride the header
+        else if (id == "data") {
+          if (!pcm) return Array.emptyByteArray
+          val n = math.max(0L, math.min(sz, p.length - body)).toInt
+          return java.util.Arrays.copyOfRange(p, body.toInt, body.toInt + n)
+        }
+        off = body + sz + (sz % 2) // chunks are word-aligned
+      }
+      Array.emptyByteArray // no data chunk inside the declared extent
+    }
+  }
+
+  /** Synthesize a canonical PCM WAV holding `s`'s bytes as 8-bit mono
+    * samples, with a variable-length JUNK filler chunk ((len(s) % 7)
+    * + 1 bytes — odd half the time, exercising the pad rule) between
+    * `fmt ` and `data`. `malformed` corrupts the RIFF magic — the
+    * "not actually a wav" record a crawl inevitably contains.
+    */
+  def wavEncode(s: String, malformed: Boolean = false): Array[Byte] = {
+    val samples = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val junkLen = (s.length % 7) + 1
+    val junkPad = junkLen % 2
+    val dataPad = samples.length % 2
+    val total = 12 + (8 + 16) + (8 + junkLen + junkPad) +
+      (8 + samples.length + dataPad)
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put((if (malformed) "RIFX" else "RIFF").getBytes("US-ASCII"))
+    b.putInt(total - 8).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1) // PCM, mono
+    b.putInt(8000).putInt(8000) // sample rate, byte rate (8-bit mono)
+    b.putShort(1).putShort(8) // block align, bits/sample
+    b.put("JUNK".getBytes("US-ASCII")).putInt(junkLen)
+    (0 until junkLen + junkPad).foreach(_ => b.put(0x55.toByte))
+    b.put("data".getBytes("US-ASCII")).putInt(samples.length).put(samples)
+    if (dataPad == 1) b.put(0.toByte)
+    b.array()
+  }
+
+  /** Synthetic WAV media table: each document's printable-ASCII
+    * projection as PCM samples inside a real RIFF container; every
+    * 11th-ish doc (doc_id % 11 == 7) is corrupted — the oracle
+    * predicts those rows decode empty.
+    */
+  def wavMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val enc = udf((s: String, bad: Boolean) => wavEncode(s, bad))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), lit("audio").as("kind"),
+        enc(regexp_replace(col("text"), "[^ -~]", ""),
+          col("doc_id") % 11 === 7).as("payload"))
+  }
+
+  /** Registry entry: the feature battery over [[WavCodec]] — the
+    * oracle rebuilds every column from `documents.text` (the samples
+    * ARE the printable projection; the container is opaque to SQL), so
+    * only a correct chunk walk past the variable JUNK chunk — and a
+    * correct empty decode on the corrupted subset — matches.
+    */
+  def mediaWav(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = wavMediaTable(spark, dir).as[MediaRecord]
+    extractFeatures(ds, WavCodec)
+      .toDF()
+      .select(col("doc_id"), col("kind"), col("n_bytes"),
+        col("entropy"), col("frames_sampled"),
+        hex(col("preview")).as("preview_hex"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Synthetic media table: deterministic binary payloads derived from
     * document text (stand-in for real image/audio bytes), with typed
     * metadata columns a real pipeline would carry.

@@ -355,7 +355,8 @@ object EventStreams {
     */
   def curatedIngest(docs: DataFrame, path: String, n: Int = 3,
       threshold: Double = 0.5,
-      bucketer: BucketStore.Bucketer = BucketStore.HashBuckets("doc_id", 64))
+      bucketer: BucketStore.Bucketer = BucketStore.HashBuckets("doc_id", 64),
+      compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -624,6 +625,24 @@ object EventStreams {
           if (snapshotOpt.isDefined || !batchKeepers.isEmpty)
             phase("snapshot-commit-full")(
               BucketStore.commitAll(updated, bucketer, path))
+        }
+        // COMPACTION POLICY ([[compactPostings]], previously
+        // offline/manual): once the posting history accumulates
+        // `compactEvery` committed batch partitions, fold them — the
+        // count IS "batches since last compaction" because a fold
+        // leaves one partition, so read amplification of the history
+        // scan is bounded at compactEvery partitions regardless of
+        // stream lifetime. Runs INSIDE foreachBatch, after both
+        // commits, so the single-writer discipline compactPostings
+        // requires holds by construction. 0 disables (spec probes of
+        // the uncompacted layout). Trigger cost: one directory
+        // listing.
+        if (compactEvery > 0 && fs.exists(postingsRoot)) {
+          val committedN = fs.listStatus(postingsRoot).count(s =>
+            s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+              fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+          if (committedN >= compactEvery)
+            phase("posting-compaction") { compactPostings(spark, path); () }
         }
         // drop the per-batch checkpoints (gram table, conflict probe,
         // knockout set): a stream runs unboundedly many batches, and

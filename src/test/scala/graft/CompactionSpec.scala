@@ -28,11 +28,13 @@ class CompactionSpec extends SparkTestBase {
 
   private def runBatches(dir: String,
       batches: Seq[Seq[CDoc]],
-      compactAfterEach: Boolean): Unit = {
+      compactAfterEach: Boolean,
+      compactEvery: Int = 16): Unit = {
     implicit val sqlCtx = spark.sqlContext
     batches.foreach { b =>
       val input = MemoryStream[CDoc]
-      val q = EventStreams.curatedIngest(input.toDF(), dir)
+      val q = EventStreams.curatedIngest(input.toDF(), dir,
+        compactEvery = compactEvery)
       try {
         input.addData(b: _*)
         q.processAllAvailable()
@@ -94,6 +96,48 @@ class CompactionSpec extends SparkTestBase {
     val out = EventStreams.readSnapshot(spark, dir)
       .select("doc_id", "out").as[(Long, Boolean)].collect().toMap
     assert(out(9L), "post-compaction knockout via a tombstoned doc failed")
+  }
+
+  test("compaction policy: compactEvery bounds history, preserves results") {
+    // 8 non-empty batches; the near-dup chain (t tombstoned in batch
+    // 2, m knocked out by t's grams in batch 3) spans policy-triggered
+    // folds, so a fold that dropped load-bearing tombstone grams or
+    // stale-subsumed evidence would change the outcome vs the
+    // unbounded run
+    // fillers must stay distinct AFTER normalization (digits strip) and
+    // dissimilar enough to dodge the near-dup knockout — each gets its
+    // own word list
+    val fillerWords = Seq(
+      "kappa lambda sigma omega tau rho phi chi",
+      "anchor bridge castle desert ember forest glacier harbor",
+      "island jungle kettle lantern meadow nectar orchard prairie",
+      "quarry river summit tunnel valley willow yonder zephyr",
+      "amber birch cedar dahlia elm fern ginkgo hazel")
+    val batches = Seq(
+      Seq(t, CDoc(8L, "en", "one two three four five six seven eight nine ten")),
+      Seq(k, CDoc(3L, "en", "one two three four five six seven eight nine ten")),
+      Seq(m, CDoc(12L, "en", "red orange yellow green blue indigo violet pink black white"))) ++
+      fillerWords.zipWithIndex.map { case (w, i) =>
+        Seq(CDoc(101L + i, "en", w)) }
+    val dirP = Files.createTempDirectory("compact_pol").resolve("s").toString
+    val dirN = Files.createTempDirectory("compact_nop").resolve("s").toString
+    runBatches(dirP, batches, compactAfterEach = false, compactEvery = 3)
+    runBatches(dirN, batches, compactAfterEach = false, compactEvery = 0)
+    val a = EventStreams.readSnapshot(spark, dirP)
+      .select("doc_id", "fp", "lang", "text", "out").collect().toSet
+    val b = EventStreams.readSnapshot(spark, dirN)
+      .select("doc_id", "fp", "lang", "text", "out").collect().toSet
+    assert(a === b, "policy-triggered compaction changed the ingest result")
+    val out = a.map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(5L) && out(9L) && !out(1L) && !out(3L) && !out(12L),
+      s"dedup chain broken under the policy: $out")
+    // bounded read amplification: the history scan never pays for more
+    // than compactEvery partitions (a fold fires the batch the count
+    // reaches the threshold and leaves one partition behind)
+    assert(committedPartitions(dirP).size <= 3,
+      s"policy did not bound partitions: ${committedPartitions(dirP)}")
+    // the unbounded control accumulated one per non-empty batch
+    assert(committedPartitions(dirN).size === batches.size)
   }
 
   test("compaction is a no-op on fresh, single-partition, or absent posting tables") {

@@ -104,4 +104,74 @@ class MultimodalSpec extends SparkTestBase {
     assert(r.getString(3).matches("[0-9a-f]{64}"))
     assert(r.getLong(2) > 0)
   }
+
+  test("WavCodec round-trips wavEncode for every length and junk parity") {
+    for (n <- Seq(0, 1, 2, 5, 6, 7, 13, 64, 200)) {
+      val text = ("the quick brown fox " * 12).take(n)
+      val wav = Multimodal.wavEncode(text)
+      assert(Multimodal.WavCodec.decode(wav).toSeq ===
+        text.getBytes("US-ASCII").toSeq,
+        s"round-trip failed at n=$n (junkLen=${(n % 7) + 1})")
+    }
+  }
+
+  test("WavCodec malformed corners decode empty, truncation salvages") {
+    val good = Multimodal.wavEncode("hello wav world")
+    def bytes(xs: Array[Byte]) = Multimodal.WavCodec.decode(xs).toSeq
+    // corrupted magic (the wavMediaTable malformed subset)
+    assert(bytes(Multimodal.wavEncode("hello wav world",
+      malformed = true)) === Seq.empty)
+    // not RIFF at all / too short for any header
+    assert(bytes("plainly not a wav container".getBytes("US-ASCII"))
+      === Seq.empty)
+    assert(bytes(Array[Byte](82, 73, 70)) === Seq.empty)
+    assert(bytes(Array.emptyByteArray) === Seq.empty)
+    // RIFF but wrong form tag
+    val notWave = good.clone
+    notWave(8) = 'A'.toByte
+    assert(bytes(notWave) === Seq.empty)
+    // truncated mid-data: salvage the available samples
+    val cut = java.util.Arrays.copyOf(good, good.length - 6)
+    val salvaged = bytes(cut)
+    assert(salvaged.nonEmpty && salvaged.size < "hello wav world".length)
+    assert(salvaged === "hello wav world".getBytes("US-ASCII")
+      .toSeq.take(salvaged.size), "salvage must keep leading samples")
+    // truncated before data ever appears: empty
+    assert(bytes(java.util.Arrays.copyOf(good, 20)) === Seq.empty)
+    // declared RIFF extent hides the data chunk: empty (strict walk)
+    val shrunk = good.clone
+    // riff size field at offset 4 (LE): declare only up to fmt
+    val tiny = 4 + 8 + 16
+    shrunk(4) = tiny.toByte; shrunk(5) = 0; shrunk(6) = 0; shrunk(7) = 0
+    assert(bytes(shrunk) === Seq.empty)
+    // data before a valid PCM fmt: empty (header-less samples are
+    // uninterpretable)
+    val fmtAt = 12
+    val corruptFmt = good.clone
+    corruptFmt(fmtAt + 8) = 9 // audioFormat = 9 (not PCM)
+    assert(bytes(corruptFmt) === Seq.empty)
+  }
+
+  test("media_wav query: decoded columns match the text-derived closed form") {
+    val out = Multimodal.mediaWav(spark, sf("sf0.001")).collect()
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), regexp_replace(col("text"), "[^ -~]", "")
+        .as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length === docs.size)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val expect =
+        if (id % 11 == 7) "" else docs(id)
+      assert(r.getLong(2) === expect.length.toLong,
+        s"doc $id: n_bytes != printable length")
+      if (expect.isEmpty) {
+        assert(r.getDouble(3) === 0.0)
+        assert(r.getInt(4) === 0)
+        assert(r.getString(5) === "00" * 16)
+      }
+    }
+    // the malformed subset actually exists at this SF
+    assert(out.exists(r => r.getLong(0) % 11 == 7 && r.getLong(2) == 0L))
+  }
 }
