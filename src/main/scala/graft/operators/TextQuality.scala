@@ -379,47 +379,48 @@ object TextQuality {
           x => x.getField("l"))).as("u"))
     val paraStats = dupStats(paras.select(col("doc_id"), col("u")), "para")
 
-    // Grams are generated from the per-doc token ARRAY, not from an
-    // exploded word table: the previous shape (posexplode -> window
-    // partitioned by doc_id -> 9 lead()s) paid a corpus-words-sized
-    // exchange + sort BEFORE any gram existed, purely to rebuild the
-    // adjacency the array already had. Per-row generation keeps the
-    // whole fanout map-side — the first (and only) shuffle is the
-    // partial-aggregated gram count. Task time stays linear in doc
-    // length (9 grams per word), bounded by a ROW, so there is no new
-    // skew surface either.
-    val toks = docs
-      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
-      // feeds the char-count projection AND the gram fanout
-      .localCheckpoint(eager = false)
-    val wChars = toks.select(col("doc_id"),
-      aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("w_chars"))
-    val gramStructType = "array<struct<n:int,gh:bigint,glen:int>>"
-    val gramCols = (2 to 10).map { n =>
-      // sequence(1, k) needs k >= 1 (a 0 end counts DOWN); short docs
-      // contribute an empty typed array instead
-      when(size(col("ws")) >= n,
-        transform(sequence(lit(1), size(col("ws")) - (n - 1)), i => {
-          val g = concat_ws(" ", slice(col("ws"), i, lit(n)))
-          struct(lit(n).as("n"), xxhash64(g).as("gh"),
-            (length(g) - (n - 1)).as("glen"))
-        }))
-        .otherwise(array().cast(gramStructType))
-    }
-    val grams = toks
+    // one exploded word pass; positions are contiguous AFTER the
+    // empty-token filter so lead() stitches adjacent kept words.
+    // (An array-HOF formulation that generated all grams per row from
+    // the token array — no explode, no window sort — was measured and
+    // REJECTED: its interpreted nested-lambda evaluation cost ~16 s
+    // per run at BOTH sf0.1 and sf1, i.e. it replaced a data-sized
+    // sort with a larger scale-independent CPU term. The codegen'd
+    // explode + window + lead shape below stays data-proportional.)
+    val words = docs
       .select(col("doc_id"),
-        // the gram string is hashed HERE, map-side, and only the
-        // 64-bit key ever leaves the row (the Dedup span family's
-        // convention): the 9-way gram fanout is this query's dominant
-        // data volume, and up-to-10-word strings were most of its
-        // bytes. Counting on hashes is exact unless two DISTINCT
-        // grams of the SAME doc with the same n AND the same char
-        // count collide in 64 bits (~(grams-per-doc)^2 / 2^64 —
-        // vanishing, and the string-based DuckDB oracle would catch
-        // it at every tested SF)
-        explode(flatten(array(gramCols: _*))).as("s"))
-      .select(col("doc_id"), col("s.n").as("n"), col("s.gh").as("gh"),
-        col("s.glen").as("glen"))
+        posexplode(filter(
+          transform(TextOps.tokenize(col("text")), t => TextOps.normalize(t)),
+          w => length(w) > 0)).as(Seq("p", "w")))
+      .localCheckpoint(eager = false)
+    val wChars = words.groupBy(col("doc_id"))
+      .agg(sum(length(col("w"))).as("w_chars"))
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val leads = (1 to 9).map(k => lead(col("w"), k).over(wWin).as(s"w$k"))
+    val gramCols = (2 to 10).map { n =>
+      val parts = col("w") +: (1 until n).map(k => col(s"w$k"))
+      // a null lead means the gram runs off the doc end — emit null,
+      // filtered before the explode
+      when(col(s"w${n - 1}").isNotNull,
+        struct(lit(n).as("n"), concat_ws(" ", parts: _*).as("g")))
+    }
+    val grams = words
+      .select(Seq(col("doc_id"), col("w")) ++ leads: _*)
+      .select(col("doc_id"),
+        explode(filter(array(gramCols: _*), s => s.isNotNull)).as("s"))
+      .select(col("doc_id"), col("s.n").as("n"),
+        // the gram string is hashed MAP-SIDE and only the 64-bit key
+        // rides the shuffle (the Dedup span family's convention): the
+        // 9-way gram fanout is this query's dominant exchange, and
+        // up-to-10-word strings were most of its bytes. Counting on
+        // hashes is exact unless two DISTINCT grams of the SAME doc
+        // with the same n AND the same char count collide in 64 bits
+        // (~(grams-per-doc)^2 / 2^64 — vanishing, and the string-based
+        // DuckDB oracle would catch it at every tested SF)
+        xxhash64(col("s.g")).as("gh"),
+        // gram characters = word characters only (separators are an
+        // artifact of the join) — n-1 spaces removed
+        (length(col("s.g")) - (col("s.n") - 1)).as("glen"))
     val gramAgg = grams.groupBy(col("doc_id"), col("n"), col("gh"), col("glen"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"), col("n"))
