@@ -61,6 +61,11 @@ object SuffixRanks {
   /** Rank horizon: suffixes compare by their first 32 characters. */
   val PrefixLen = 32
 
+  /** Largest delta class set [[incremental]] merges by broadcast; a
+    * bigger "delta" is a reprocessing job and falls back to a full
+    * rebuild (2M triples = 48 MB of broadcast arrays). */
+  val MaxDeltaClasses = 2000000
+
   /** Per-doc normalized char stream (non-empty only). */
   private def streams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -200,58 +205,53 @@ object SuffixRanks {
   // rank table without re-running the doubling over old positions.
   // ------------------------------------------------------------------
 
-  /** Base-32 packing of a window's chars [start, start+len): ' ' -> 1,
-    * 'a'..'z' -> 2..27, absent (past end) -> 0. Left-to-right place
-    * value makes long comparison == lexicographic comparison with
-    * absent-below-everything — exactly the doubling's "shorter sorts
-    * first" prefix rule — and >=1 codes for real chars make the
-    * packing injective. 12 chars x 5 bits < 2^63, so PrefixLen = 32
-    * chars span THREE longs (12 + 12 + 8).
+  /** Base-32 packing of the window chars [pos+off, pos+off+len) of
+    * stream `s`: ' ' -> 1, 'a'..'z' -> 2..27, absent (past the doc
+    * end) -> 0. Left-to-right place value makes long comparison ==
+    * lexicographic comparison with absent-below-everything — exactly
+    * the doubling's "shorter sorts first" prefix rule — and >=1 codes
+    * for real chars make the packing injective. 12 chars x 5 bits
+    * < 2^63, so PrefixLen = 32 chars span THREE longs (12 + 12 + 8).
+    *
+    * Deliberately NOT an array/aggregate HOF: higher-order functions
+    * evaluate interpreted, and the first cut (aggregate over a
+    * sequence, substr of a substr per element) measured ~10-120 us
+    * PER ROW — the packing alone cost more than the whole doubling
+    * rebuild. A flat sum of per-char CASE terms stays inside
+    * whole-stage codegen; substr past the stream end yields "" whose
+    * ascii() is 0, which is exactly the absent code.
     */
-  private def packSeg(w: Column, start: Int, len: Int): Column =
-    aggregate(
-      sequence(lit(start), lit(start + len - 1)),
-      lit(0L),
-      (acc, i) => {
-        val c = ascii(w.substr(i, lit(1)))
-        acc * 32L +
-          when(c === 32, 1L).when(c >= 97, (c - 95).cast("long"))
-            .otherwise(0L)
-      })
+  private def packSeg(w: Column, off: Int, len: Int): Column =
+    (0 until len).map { k =>
+      val c = ascii(w.substr(lit(off + k + 1), lit(1)))
+      val enc = when(c === 32, 1L)
+        .when(c >= 97, (c - 95).cast("long")).otherwise(0L)
+      enc * lit(math.pow(32, len - 1 - k).toLong)
+    }.reduce(_ + _)
 
-  private def packedCols(w: Column): Seq[(String, Column)] = Seq(
-    "l1" -> packSeg(w, 1, 12), "l2" -> packSeg(w, 13, 12),
-    "l3" -> packSeg(w, 25, 8))
+  /** The 96 per-char substr terms index into `w`, a column that MUST
+    * be a materialized <= PrefixLen-char window, never an expression
+    * over the full stream: UTF8String.substring walks code points from
+    * the string head, so indexing the stream directly costs O(pos) per
+    * char — measured as the merge's dominant term (~10 s per million
+    * rows on ~1 KB streams). Callers project
+    * `substring(s, pos, PrefixLen)` in a SEPARATE select first (one
+    * O(pos) walk per row); CollapseProject keeps the two projections
+    * apart because the alias is non-cheap and referenced 96 times. */
+  private def packedCols(w: Column): Seq[(String, Column)] =
+    Seq("l1" -> packSeg(w, 0, 12), "l2" -> packSeg(w, 12, 12),
+      "l3" -> packSeg(w, 24, 8))
 
   /** (doc_id, pos, l1, l2, l3): every position's PrefixLen-char
     * window, packed into three longs (12 + 12 + 8 chars). */
-  private def packedWindows(docs: DataFrame): DataFrame = {
-    val w = col("s").substr(col("pos"), lit(PrefixLen))
+  private def packedWindows(docs: DataFrame): DataFrame =
     streams(docs)
       .select(col("doc_id"), col("s"),
         explode(sequence(lit(1), length(col("s")))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        col("s").substr(col("pos"), lit(PrefixLen)).as("w"))
       .select(Seq(col("doc_id"), col("pos")) ++
-        packedCols(w).map { case (n, c) => c.as(n) }: _*)
-  }
-
-  /** 0-based dense rank `nr` of DISTINCT (l1, l2, l3) rows — three
-    * chained [[Ranks.rankByKey]] rounds (rank (l1, l2) pairs, then
-    * fold l3 in — the same pair-rank machinery as the doubling itself,
-    * so no string percentile or sampled range exchange anywhere).
-    * Each rank round runs on a distinct pair table to honor
-    * rankByKey's id-uniqueness contract.
-    */
-  private def rankPacked(classes: DataFrame): DataFrame = {
-    val dk1 = classes.select(col("l1"), col("l2")).distinct()
-    val r1 = Ranks.rankByKey(dk1, lit(1), col("l1"), col("l2"), "k1")
-      .select(col("l1"), col("l2"), col("k1"))
-    val withK1 = classes.join(r1, Seq("l1", "l2"))
-    val dk2 = withK1.select(col("k1"), col("l3")).distinct()
-    val r2 = Ranks.rankByKey(dk2, lit(1), col("k1"), col("l3"), "nr")
-      .select(col("k1"), col("l3"), col("nr"))
-    withK1.join(r2, Seq("k1", "l3"))
-      .select(col("l1"), col("l2"), col("l3"), col("nr"))
-  }
+        packedCols(col("w")).map { case (n, c) => c.as(n) }: _*)
 
   /** Merge `deltaDocs` into a persisted rank table (`oldIndex` built
     * over `oldDocs`, the [[suffixRanks]] output schema) WITHOUT
@@ -264,61 +264,140 @@ object SuffixRanks {
     * `suffix_ranks_incremental` oracle replays the merged corpus's
     * dense rank wholesale in DuckDB).
     *
-    * Why this is cheap: the doubling's cost is log2(PrefixLen) rank
-    * rounds over ALL positions. The merge instead
+    * == Shape: zero corpus-sized exchanges ==
     *
-    *  1. regenerates ONE representative window per old rank class —
-    *     a positions aggregate (min (doc_id, pos) per r) plus one
-    *     join against the old document streams; no iteration;
-    *  2. materializes delta windows directly (delta-sized);
-    *  3. re-ranks the merged DISTINCT-class table — class-sized, one
-    *     packed-pair rank instead of five full-corpus rounds (a
-    *     32-char window packs into two longs, so two chained
-    *     [[Ranks.rankByKey]] rounds order it exactly);
-    *  4. rewrites position ranks through class-level joins (old
-    *     positions join on their old rank; delta positions join on
-    *     their packed window).
+    * The delta's distinct window classes are SMALL (an ingest batch),
+    * so they broadcast — sorted, as three parallel long arrays (the
+    * 12+12+8 base-32 packing) — and everything corpus-sized becomes a
+    * scan-side map against them:
     *
-    * Old positions are touched by exactly one aggregate and one join —
-    * no per-round shuffles — so at 100 TB the merge is ~3 corpus-sized
-    * exchanges versus the rebuild's ~15, plus doubling-free delta
-    * work. Correctness of the rank arithmetic: the merged class set is
-    * the DISTINCT union of old-class windows and delta-class windows,
-    * and dense-ranking it reproduces the old ranks' relative order
-    * (old classes re-rank by the same lexicographic key that produced
-    * them) while interleaving delta-only classes — so old positions'
-    * ranks shift exactly as a full rebuild would shift them.
-    * Contract: `oldIndex` IS `suffixRanks(oldDocs)` (or a previous
-    * incremental output over them) and delta doc_ids are disjoint
-    * from old doc_ids — both already the ingest invariants.
+    *  1. ONE pass over the old classes (a per-class representative
+    *     window regenerated from the old streams: positions aggregate
+    *     + one equi-join carrying each stream once) computes, per
+    *     class, its bucket among the delta windows via
+    *     [[graft.plans.TripleCountLess]] — a compiled lexicographic
+    *     binary search — and reduces to a DELTA-BOUNDED aggregate:
+    *     per-bucket class counts plus which delta windows already
+    *     exist as old classes.
+    *  2. The driver turns that into exact rank arithmetic (all counts
+    *     are integers): rank_A(B[j]) = #{old classes with bucket <=
+    *     j} by prefix sum; delta-only windows insert at those ranks;
+    *     each delta class's merged rank = rank_A + (delta-only
+    *     windows before it).
+    *  3. Old POSITIONS never shuffle at all: the rank shift is a step
+    *     function of the old rank (delta-only insertion points,
+    *     sorted, broadcast), so the rewrite is `r +
+    *     array_count_less(insertions, r + 1)` — a pure map over the
+    *     persisted index (ranks < 2^53, the long ArrayCountLess
+    *     variant is exact).
+    *  4. Delta positions broadcast-join their class's merged rank.
+    *
+    * So the merge costs one old-class scan + one old-position map +
+    * delta-sized work, versus log2(PrefixLen) full-corpus rank rounds
+    * for a rebuild. (A first cut re-ranked the merged class table
+    * with the general skew-proof rankByKey machinery; that measured
+    * MORE than the rebuild at sf0.1 — the class table is ~92% of
+    * positions — and was replaced by this broadcast formulation.)
+    * Driver reductions are delta-bounded (the repo's
+    * bounded-reduction contract); above [[MaxDeltaClasses]] distinct
+    * delta windows the merge transparently falls back to a full
+    * rebuild — at that size the "delta" is a reprocessing job, not an
+    * ingest batch.
+    *
+    * Rank-arithmetic correctness (all sets are DISTINCT window
+    * classes, B sorted ascending, buckets from the packing's total
+    * order): w_a < B[j] iff #{B <= w_a} <= j, so #{A < B[j]} is a
+    * prefix sum over the bucket histogram; and for an old class of
+    * old rank r, #{delta-only windows < it} = #{insertion points <=
+    * r} because a delta-only window inserts below exactly the old
+    * classes whose rank exceeds its own insertion rank. Contract:
+    * `oldIndex` IS `suffixRanks(oldDocs)` (or a previous incremental
+    * output over them) and delta doc_ids are disjoint from old
+    * doc_ids — both already the ingest invariants.
     */
   def incremental(oldIndex: DataFrame, oldDocs: DataFrame,
       deltaDocs: DataFrame): DataFrame = {
-    // 1. representative (smallest (doc_id, pos)) per old class, then
-    // its window regenerated from the old streams and packed
+    val spark = oldIndex.sparkSession
+    import spark.implicits._
+    // delta windows per position + the sorted distinct class triples
+    val bPos = packedWindows(deltaDocs).localCheckpoint()
+    val bClasses = bPos.select(col("l1"), col("l2"), col("l3"))
+      .distinct()
+      .as[(Long, Long, Long)].collect()
+      .sortBy(identity)
+    if (bClasses.length > MaxDeltaClasses)
+      return suffixRanks(oldDocs.unionByName(deltaDocs))
+    val nB = bClasses.length
+    val b1 = typedLit(bClasses.map(_._1).toSeq)
+    val b2 = typedLit(bClasses.map(_._2).toSeq)
+    val b3 = typedLit(bClasses.map(_._3).toSeq)
+
+    // ---- 1. one old-class pass -> delta-bounded histogram ----
+    // representative (smallest (doc_id, pos)) per old class, window
+    // regenerated from the old streams, packed, bucketed against the
+    // broadcast delta classes. kLe = #{B <= w}; eqIdx = the matching
+    // delta index when w IS a delta window (kLt < kLe), else -1.
     val reps = oldIndex
       .groupBy(col("r"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("rep"))
       .select(col("r"), col("rep.doc_id").as("doc_id"),
         col("rep.pos").as("pos"))
-    val aW = col("s").substr(col("pos"), lit(PrefixLen))
-    val aClasses = reps.join(streams(oldDocs), Seq("doc_id"))
+    val aBuckets = reps.join(streams(oldDocs), Seq("doc_id"))
+      .select(col("r"),
+        col("s").substr(col("pos"), lit(PrefixLen)).as("w"))
       .select(Seq(col("r")) ++
-        packedCols(aW).map { case (n, c) => c.as(n) }: _*)
-      .localCheckpoint()
-    // 2-3. delta windows + merged distinct classes, re-ranked
-    val bPos = packedWindows(deltaDocs).localCheckpoint()
-    val merged = aClasses.select(col("l1"), col("l2"), col("l3"))
-      .unionByName(bPos.select(col("l1"), col("l2"), col("l3")))
-      .distinct()
-    val ranked = rankPacked(merged).localCheckpoint()
-    // 4. class-level rewrites: old positions ride their old rank, delta
-    // positions ride their packed window
-    val aMap = aClasses.join(ranked, Seq("l1", "l2", "l3"))
-      .select(col("r"), col("nr"))
-    val aNew = oldIndex.join(aMap, Seq("r"))
-      .select(col("doc_id"), col("pos"), col("nr").as("r"))
-    val bNew = bPos.join(ranked, Seq("l1", "l2", "l3"))
+        packedCols(col("w")).map { case (n, c) => c.as(n) }: _*)
+      .select(
+        graft.plans.TripleCountLess(b1, b2, b3,
+          col("l1"), col("l2"), col("l3"), orEq = false).as("kLt"),
+        graft.plans.TripleCountLess(b1, b2, b3,
+          col("l1"), col("l2"), col("l3"), orEq = true).as("kLe"))
+      .select(col("kLe"),
+        when(col("kLe") > col("kLt"), col("kLt")).otherwise(-1).as("eqIdx"))
+      .groupBy(col("kLe"), col("eqIdx"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Int, Int, Long)].collect()
+
+    // ---- 2. driver-side exact rank arithmetic (delta-bounded) ----
+    // histogram of old classes per kLe bucket, and the matched set
+    val perBucket = new Array[Long](nB + 1)
+    val inA = new Array[Boolean](nB)
+    aBuckets.foreach { case (kLe, eqIdx, cnt) =>
+      perBucket(kLe) += cnt
+      if (eqIdx >= 0) inA(eqIdx) = true
+    }
+    // rankA(j) = #{old classes < B[j]} = sum of buckets 0..j
+    val rankA = new Array[Long](nB)
+    var acc = 0L
+    var j = 0
+    while (j < nB) {
+      acc += perBucket(j)
+      rankA(j) = acc
+      j += 1
+    }
+    // delta-only prefix + each delta class's merged rank; delta-only
+    // insertion points for the old-position shift
+    val newRankB = new Array[Long](nB)
+    val insertions = scala.collection.mutable.ArrayBuffer[Long]()
+    var bOnly = 0L
+    j = 0
+    while (j < nB) {
+      newRankB(j) = rankA(j) + bOnly
+      if (!inA(j)) { insertions += rankA(j); bOnly += 1 }
+      j += 1
+    }
+
+    // ---- 3. old positions: pure map (no shuffle, no join) ----
+    val ins = typedLit(insertions.toSeq) // sorted: rankA is monotone
+    val aNew = oldIndex.select(col("doc_id"), col("pos"),
+      (col("r") +
+        graft.plans.ArrayCountLess(ins, col("r") + 1).cast("long")).as("r"))
+
+    // ---- 4. delta positions: broadcast-join their class rank ----
+    val bMap = bClasses.toSeq.zip(newRankB.toSeq)
+      .map { case ((x1, x2, x3), nr) => (x1, x2, x3, nr) }
+      .toDF("l1", "l2", "l3", "nr")
+    val bNew = bPos.join(broadcast(bMap), Seq("l1", "l2", "l3"))
       .select(col("doc_id"), col("pos"), col("nr").as("r"))
     aNew.unionByName(bNew)
   }
