@@ -484,10 +484,11 @@ object Bench {
       // round-12: the two write paths, timed for the first time
       "write_letter_sink", "write_curated_ingest",
       // round-15: per-artifact index builds, each floored and
-      // gate-watched (previously one untimed index_build_sec lump)
+      // gate-watched (previously one untimed index_build_sec lump),
+      // plus the round's two new flagship queries
       "build_ivf_c16_i2", "build_ivf_c16_i0", "build_ivf_auto_i0",
       "build_pq_codebook", "build_pca_fit", "build_unigram_vocabs",
-      "build_suffix_index")
+      "build_suffix_index", "suffix_ranks_incremental", "media_wav")
     val byName = results.toMap
     // a renamed/removed registry entry silently shrinking the headline map
     // would go unnoticed — surface it

@@ -650,7 +650,7 @@ object SparkEntry {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + m AS doc_id, reverse(text) AS text
-      |  FROM documents, mx WHERE doc_id % 7 = 3),
+      |  FROM documents, mx WHERE doc_id % 29 = 3),
       |st AS (
       |  SELECT doc_id, array_to_string(list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0), ' ') AS s
       |  FROM docs2),

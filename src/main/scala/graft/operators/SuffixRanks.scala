@@ -316,7 +316,8 @@ object SuffixRanks {
     * doc_ids — both already the ingest invariants.
     */
   def incremental(oldIndex: DataFrame, oldDocs: DataFrame,
-      deltaDocs: DataFrame): DataFrame = {
+      deltaDocs: DataFrame,
+      maxDeltaClasses: Int = MaxDeltaClasses): DataFrame = {
     val spark = oldIndex.sparkSession
     import spark.implicits._
     // delta windows per position + the sorted distinct class triples
@@ -325,8 +326,12 @@ object SuffixRanks {
       .distinct()
       .as[(Long, Long, Long)].collect()
       .sortBy(identity)
-    if (bClasses.length > MaxDeltaClasses)
-      return suffixRanks(oldDocs.unionByName(deltaDocs))
+    if (bClasses.length > maxDeltaClasses)
+      // full rebuild; project both sides to the (doc_id, text) core —
+      // old docs may carry extra corpus columns the delta never has
+      return suffixRanks(
+        oldDocs.select(col("doc_id"), col("text"))
+          .unionByName(deltaDocs.select(col("doc_id"), col("text"))))
     val nB = bClasses.length
     val b1 = typedLit(bClasses.map(_._1).toSeq)
     val b2 = typedLit(bClasses.map(_._2).toSeq)
@@ -413,9 +418,12 @@ object SuffixRanks {
   def incrementalQuery(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
+    // ~3% of the corpus — an ingest-batch-sized delta at every SF
+    // (1/7 exceeded MaxDeltaClasses at sf1 and degraded the demo to
+    // the full-rebuild fallback)
     val delta = docs
       .crossJoin(broadcast(docs.agg(max(col("doc_id")).as("mx"))))
-      .filter(col("doc_id") % 7 === 3)
+      .filter(col("doc_id") % 29 === 3)
       .select((col("doc_id") + col("mx") + 1).as("doc_id"),
         reverse(col("text")).as("text"))
     incremental(cachedRanks(spark, dir), docs, delta)

@@ -54,6 +54,22 @@ class SuffixRanksIncrementalSpec extends SparkTestBase {
     deltas.foreach(d => check(oldDocs, d))
   }
 
+  test("oversized delta falls back to a full rebuild, schemas aligned") {
+    // maxDeltaClasses = 1 forces the fallback; oldDocs carries an
+    // extra column the delta never has (the sf1 crash shape)
+    val oldDf = Seq((1L, "en", "base corpus one"),
+      (2L, "en", "base corpus two"))
+      .toDF("doc_id", "lang", "text")
+    val deltaDf = Seq((10L, "entirely new words everywhere"))
+      .toDF("doc_id", "text")
+    val merged = SuffixRanks.incremental(
+      SuffixRanks.suffixRanks(oldDf), oldDf, deltaDf,
+      maxDeltaClasses = 1)
+    val full = SuffixRanks.suffixRanks(
+      oldDf.select(col("doc_id"), col("text")).unionByName(deltaDf))
+    assert(table(merged) === table(full))
+  }
+
   test("empty old corpus: merge IS the delta build") {
     check(Seq.empty, Seq(1L -> "fresh corpus from nothing",
       2L -> "fresh corpus from nothing"))
