@@ -294,21 +294,33 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    // under SPARK_GRAFT_ONLY, still prewarm ALL indexes (isolated
-    // queries must serve from warm caches like in-suite ones) but only
-    // TIME the requested build entries
+    // under SPARK_GRAFT_ONLY, still warm ALL index caches (isolated
+    // queries must serve from warm caches like in-suite ones) — but a
+    // NON-requested build runs as a plain prewarm (no invalidation, no
+    // timing), so the isolation probe doesn't pay ~60 s of forced
+    // rebuilds it didn't ask for
+    val prewarmMap = SparkEntry.indexPrewarms.toMap
     val buildResults: Seq[(String, Double)] =
-      SparkEntry.indexBuilds.map { case (name, run) =>
-        val t0 = System.nanoTime()
-        try run(spark, sfDir)
-        catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      SparkEntry.indexBuilds.flatMap { case (name, run) =>
+        if (only.exists(names => !names.contains(name))) {
+          try prewarmMap(name)(spark, sfDir)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] prewarm $name failed: ${e.getMessage}")
+          }
+          Cleanup.fullRelease(spark)
+          None
+        } else {
+          val t0 = System.nanoTime()
+          try run(spark, sfDir)
+          catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          Cleanup.fullRelease(spark)
+          System.err.println(f"[bench] $name: $dt%.2f s")
+          Some(name -> dt)
         }
-        val dt = (System.nanoTime() - t0) / 1e9
-        Cleanup.fullRelease(spark)
-        System.err.println(f"[bench] $name: $dt%.2f s")
-        name -> dt
       }
     val indexBuildSec = buildResults.map(_._2).sum
     System.err.println(
@@ -449,8 +461,8 @@ object Bench {
             f"[bench] $name: $rows rows in $dt%.2f s = ${rows / dt}%.0f rows/s")
         name -> dt
       }
-    val results = buildResults.filter(b =>
-      only.forall(_.contains(b._1))) ++ queryResults ++ writeResults
+    // buildResults already excludes non-requested builds under `only`
+    val results = buildResults ++ queryResults ++ writeResults
     // Locale-pinned: the f-interpolator uses the default JVM locale, which
     // on a comma-decimal locale (de_DE) would emit "1,234" and break the
     // driver's JSON parse.
@@ -488,7 +500,10 @@ object Bench {
       // plus the round's two new flagship queries
       "build_ivf_c16_i2", "build_ivf_c16_i0", "build_ivf_auto_i0",
       "build_pq_codebook", "build_pca_fit", "build_unigram_vocabs",
-      "build_suffix_index", "suffix_ranks_incremental", "media_wav")
+      "build_suffix_index", "suffix_ranks_incremental", "media_wav",
+      // round-16: incremental IVF maintenance (the delta-bounded
+      // counterpart to build_ivf_c16_i2) and the second container codec
+      "build_ivf_incremental", "ivf_incremental_topk", "media_bmp")
     val byName = results.toMap
     // a renamed/removed registry entry silently shrinking the headline map
     // would go unnoticed — surface it

@@ -45,6 +45,19 @@ object SparkEntry {
     "ivf_centroids" -> ((s, d) => Ivf.cachedCentroids(s, d, 16, 2)),
     "ivf_cells" -> ((s, d) =>
       Ivf.assign(Tables.embeddings(s, d), Ivf.cachedCentroids(s, d, 16, 2))),
+    // The MAINTAINED index of ivf_incremental_topk (delta-updated
+    // centroids + merged-corpus assignment): maintenance is
+    // bit-deterministic like the build (decimal delta sums + a
+    // fixed-order driver fold — IvfIncrementalSpec), so this fresh
+    // re-maintenance exports byte-identical tables to the ones the
+    // query used; the oracle replays probe/score/rank from them.
+    "ivf_incr_centroids" -> ((s, d) =>
+      Ivf.incrementalCentroids(s, d, Ivf.syntheticDelta(s, d), 16, 2)),
+    "ivf_incr_cells" -> ((s, d) =>
+      Ivf.assign(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+          .unionByName(Ivf.syntheticDelta(s, d)),
+        Ivf.incrementalCentroids(s, d, Ivf.syntheticDelta(s, d), 16, 2))),
     // cosineNearDupLsh's bucket table; the Hamming-ball probe masks
     // are a literal list in the oracle SQL (nPlanes=4, maxFlips=2)
     "lsh_buckets" -> ((s, d) =>
@@ -170,7 +183,39 @@ object SparkEntry {
     "build_suffix_index" -> { (s, d) =>
       SuffixRanks.invalidateIndex(s, d)
       SuffixRanks.cachedRanks(s, d); ()
+    },
+    // incremental IVF maintenance: the delta-bounded alternative to
+    // build_ivf_c16_i2's full re-seed — timed with its occupancy pass
+    // forced fresh (the pass is stamp-cached in steady state, but a
+    // flagged rerun must measure the whole maintenance). Depends on
+    // the (16,2) centroids built above, like a real maintainer would.
+    "build_ivf_incremental" -> { (s, d) =>
+      Ivf.invalidateCellCounts(d, 16, 2)
+      // all maintenance work (assignment aggregate + driver fold) runs
+      // eagerly inside; the returned DF is a local relation
+      Ivf.incrementalCentroids(s, d, Ivf.syntheticDelta(s, d), 16, 2); ()
     })
+
+  /** Warm (no forced invalidation) variants of [[indexBuilds]], for
+    * the bench's SPARK_GRAFT_ONLY isolation probe: a NON-requested
+    * build still needs its cache warm so the isolated queries serve
+    * like in-suite ones, but must not pay (or time) the forced rebuild
+    * the probe didn't ask for — a persisted artifact (the suffix
+    * index) re-serves from disk, a driver-held one builds once lazily,
+    * exactly like a fresh serving process would. */
+  def indexPrewarms: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "build_ivf_c16_i2" -> ((s, d) => { Ivf.cachedCentroids(s, d, 16, 2); () }),
+    "build_ivf_c16_i0" -> ((s, d) => { Ivf.cachedCentroids(s, d, 16, 0); () }),
+    "build_ivf_auto_i0" -> { (s, d) =>
+      Ivf.cachedCentroids(s, d, Similarity.autoCells(s, d), 0); ()
+    },
+    "build_pq_codebook" -> ((s, d) => { Pq.cachedCodebook(s, d, 8, 16, 1); () }),
+    "build_pca_fit" -> ((s, d) => { Vectors.cachedPcaFitK(s, d, 3, 2); () }),
+    "build_unigram_vocabs" -> ((s, d) => { Unigram.cachedVocabs(s, d); () }),
+    "build_suffix_index" -> ((s, d) => { SuffixRanks.cachedRanks(s, d); () }),
+    "build_ivf_incremental" -> ((s, d) => {
+      Ivf.cellCounts(s, d, 16, 2); ()
+    }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- reference flagship + text pipeline ------------------------------
@@ -218,6 +263,11 @@ object SparkEntry {
     "cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
     "ivf_topk" -> ((s, d) => Ivf.ivfTopK(s, d)),
+    // incremental index maintenance for the embedding side: fold a
+    // synthetic ingest batch into the served centroids (occupancy-
+    // weighted mini-batch update, drift-gated rebuild fallback) and
+    // search the merged corpus under the maintained index
+    "ivf_incremental_topk" -> ((s, d) => Ivf.incrementalQuery(s, d)),
     "pq_topk" -> ((s, d) => Pq.pqTopK(s, d)),
     "approx_stats" -> ((s, d) => Relational.approxStats(s, d)),
     "hll_rollup" -> ((s, d) => Relational.hllRollup(s, d)),
@@ -245,6 +295,10 @@ object SparkEntry {
     // alignment, malformed subset decodes empty) — the oracle rebuilds
     // every column from documents.text without seeing the container
     "media_wav" -> ((s, d) => Multimodal.mediaWav(s, d)),
+    // real BMP container walk (bfOffBits indirection, 4-byte row
+    // stride, bottom-up vs top-down row order; corrupted subset
+    // decodes empty) — oracle rebuilds every column from documents.text
+    "media_bmp" -> ((s, d) => Multimodal.mediaBmp(s, d)),
     // -- events ----------------------------------------------------------
     "hourly_rollup" -> ((s, d) => EventOps.hourlyRollup(s, d)),
     "sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
@@ -639,7 +693,7 @@ object SparkEntry {
     |FROM pos ORDER BY doc_id, pos""".stripMargin
 
   // suffix_ranks_incremental: the Spark side merges a re-keyed,
-  // text-REVERSED slice (every 7th doc) into the persisted index via
+  // text-REVERSED slice (every 29th doc, ~3%) into the persisted index via
   // SuffixRanks.incremental; the oracle knows nothing of the merge —
   // it rebuilds the dense rank over the synthetic merged corpus from
   // scratch, so stale old ranks, missed shifts, or mis-interleaved
@@ -791,6 +845,45 @@ object SparkEntry {
        |             -(list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))),
        |             c.cid) AS rn
        |    FROM q, cents c) WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |         list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+       |  FROM q JOIN probes p ON q.query_id = p.query_id
+       |       JOIN cells ce ON ce.cell = p.cid
+       |       JOIN e ON e.vec_id = ce.vec_id
+       |  WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id AS neighbor_id, rank, round(cos, 6) AS cos_sim
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** ivf_incremental_topk oracle: same probe/score/rank replay as
+    * [[IvfSearchOracle]], but over the MERGED corpus (original
+    * embeddings plus the re-keyed reversed every-17th slice, rebuilt
+    * here in SQL — the oracle never sees Spark's union) under the
+    * exported MAINTAINED index. Mis-assigned delta vectors, a stale
+    * centroid table, or a wrong merged id-space all mismatch.
+    */
+  private val IvfIncrSearchOracle: String =
+    s"""WITH cents AS (SELECT cid, CAST(cvec AS DOUBLE[]) AS cv
+       |               FROM read_parquet('$OracleAuxDir/ivf_incr_centroids/*.parquet')),
+       |cells AS (SELECT vec_id, cell FROM read_parquet('$OracleAuxDir/ivf_incr_cells/*.parquet')),
+       |mx AS (SELECT max(vec_id) + 1 AS m FROM embeddings),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |      UNION ALL
+       |      SELECT vec_id + (SELECT m FROM mx),
+       |             CAST(list_reverse(embedding) AS DOUBLE[])
+       |      FROM embeddings WHERE vec_id % 17 = 4),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |             -(list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))),
+       |             c.cid) AS rn
+       |    FROM q, cents c) WHERE rn <= 4),
        |scored AS (
        |  SELECT q.query_id, e.vec_id,
        |         list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
@@ -1316,6 +1409,47 @@ object SparkEntry {
         |       END AS preview_hex
         |FROM m LEFT JOIN ent USING (doc_id)
         |ORDER BY m.doc_id""".stripMargin,
+    // media_bmp: the decoded raster is the printable projection padded
+    // with spaces to w*ceil(len/w) where w = (len % 5) + 1 — a closed
+    // form replayed from documents.text; the corrupted subset
+    // (doc_id % 13 = 5) must decode EMPTY. A decoder that read the
+    // palette as pixels (ignored bfOffBits), kept the stride padding,
+    // or mis-ordered bottom-up rows mismatches on every column.
+    "media_bmp" ->
+      """WITH cl AS (
+        |  SELECT doc_id, 'image' AS kind,
+        |         CASE WHEN doc_id % 13 = 5 THEN ''
+        |              ELSE regexp_replace(text, '[^ -~]', '', 'g') END AS s
+        |  FROM documents),
+        |pad AS (
+        |  SELECT doc_id, kind,
+        |         CASE WHEN length(s) = 0 THEN ''
+        |              ELSE rpad(s, CAST(((length(s) % 5) + 1)
+        |                * ((length(s) + (length(s) % 5))
+        |                   // ((length(s) % 5) + 1)) AS INTEGER), ' ')
+        |         END AS ds
+        |  FROM cl),
+        |m AS (
+        |  SELECT doc_id, kind, hex(encode(ds)) AS hx,
+        |         octet_length(encode(ds)) AS n
+        |  FROM pad),
+        |nib AS (
+        |  SELECT m.doc_id, substr(m.hx, 2*t.i + 1, 1) AS hi, count(*) AS c
+        |  FROM m, UNNEST(range(m.n)) AS t(i)
+        |  GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT nib.doc_id,
+        |         round(-SUM((c::DOUBLE / m.n) * ln(c::DOUBLE / m.n)) / ln(2), 6) AS entropy
+        |  FROM nib JOIN m USING (doc_id)
+        |  GROUP BY 1)
+        |SELECT m.doc_id, m.kind, CAST(m.n AS BIGINT) AS n_bytes,
+        |       COALESCE(ent.entropy, 0.0) AS entropy,
+        |       CAST(CASE WHEN m.n = 0 THEN 0 ELSE (m.n - 1) // 64 + 1 END AS INT) AS frames_sampled,
+        |       CASE WHEN m.n = 0 THEN repeat('00', 16)
+        |            ELSE list_aggregate([substr(m.hx, 2*CAST(i * m.n // 16 AS BIGINT) + 1, 2) FOR i IN range(16)], 'string_agg', '')
+        |       END AS preview_hex
+        |FROM m LEFT JOIN ent USING (doc_id)
+        |ORDER BY m.doc_id""".stripMargin,
     "media_decode" ->
       """WITH cl AS (
         |  SELECT doc_id,
@@ -1489,6 +1623,7 @@ object SparkEntry {
     // independently. ivf_topk probes 4 cells, ann_topk (the IVF-routed
     // ANN entry point) probes 8 — same index, same SQL shape.
     "ivf_topk" -> IvfSearchOracle(nProbe = 4),
+    "ivf_incremental_topk" -> IvfIncrSearchOracle,
     "ann_topk" -> IvfSearchOracle(nProbe = 8),
     // PQ search oracle: codebook + codes cross as data; the ADC
     // lookup table (decimal partial dots), approximate candidate

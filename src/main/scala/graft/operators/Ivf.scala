@@ -388,13 +388,22 @@ object Ivf {
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5, nCells: Int = 16, nProbe: Int = 4,
       iters: Int = 2, prebuilt: Option[DataFrame] = None): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
     // The centroid table is the index artifact — k rows, consumed by
     // BOTH the corpus assignment and the query probes. cachedCentroids
     // hands back a local relation (no lineage to re-execute, nothing
     // persisted), so no checkpoint cut is needed here.
     val centroids = prebuilt.getOrElse(
       cachedCentroids(spark, dir, nCells, iters))
+    ivfTopKOver(Tables.embeddings(spark, dir), centroids,
+      nQueries, k, nProbe)
+  }
+
+  /** The search itself over an explicit corpus + centroid table — the
+    * serving path shared by [[ivfTopK]] and the incremental-maintenance
+    * demo (which searches a merged corpus under maintained centroids).
+    */
+  def ivfTopKOver(emb: DataFrame, centroids: DataFrame,
+      nQueries: Int = 10, k: Int = 5, nProbe: Int = 4): DataFrame = {
     val cells = assign(emb, centroids)
     val indexed = emb.join(cells, "vec_id")
 
@@ -416,5 +425,183 @@ object Ivf {
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("cos", cosine(col("qv"), col("embedding"))),
       k)
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental centroid maintenance: fold an ingest-batch-sized delta
+  // into a served centroid table without re-running the k-means||
+  // seeding + Lloyd iterations over the whole corpus — the
+  // embedding-side analog of SuffixRanks.incremental. An IVF index at
+  // 100 TB is built once and maintained; re-seeding on every ingest
+  // batch re-scans the corpus iters+rounds times, while the mini-batch
+  // update below touches the OLD corpus exactly once (a VecNearest
+  // assignment map + a k-row count aggregate — zero corpus-sized
+  // exchanges) and the delta once.
+  // ------------------------------------------------------------------
+
+  /** Per-cell occupancy of the SERVED index — the IVF "inverted list
+    * lengths" a real index stores alongside its centroids. Computed
+    * lazily (one assignment map + a k-row aggregate) and stamp-cached
+    * like the centroids themselves, so the index-build bench floors
+    * are unchanged and maintenance pays the pass only when the corpus
+    * it describes changed.
+    */
+  private val cellCountCache =
+    new graft.sources.StampedCache[(String, Int, Int), Map[Int, Long]]()
+
+  def cellCounts(spark: SparkSession, dir: String, nCells: Int,
+      iters: Int): Map[Int, Long] = {
+    val stamp = graft.sources.CorpusStamp.of(spark, s"$dir/embeddings.parquet")
+    cellCountCache.get((dir, nCells, iters), stamp) {
+      assign(Tables.embeddings(spark, dir),
+        cachedCentroids(spark, dir, nCells, iters))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+  }
+
+  /** Bench hook: force the next incremental maintenance to re-derive
+    * the occupancy pass (so a flagged rerun measures the maintenance,
+    * not a cache hit). */
+  private[graft] def invalidateCellCounts(dir: String, nCells: Int,
+      iters: Int): Unit = cellCountCache.invalidate((dir, nCells, iters))
+
+  /** The pure update rule, exposed for the spec's closed-form check:
+    * each maintained centroid is the occupancy-weighted mean of the
+    * old centroid and its assigned delta mass,
+    *   c' = (n_c * c + sum_delta) / (n_c + m_c)
+    * computed per dimension in BigDecimal (the delta sums arrive as
+    * order-independent decimal(28,12) aggregates, and the driver fold
+    * is a fixed-order k x dim loop), so maintenance is bit-identical
+    * under any partitioning — the determinism contract every graft
+    * build step carries. Cells with no delta mass keep their centroid
+    * bit-for-bit.
+    */
+  private[graft] def mergeCentroids(
+      old: Seq[(Int, Seq[Float])],
+      counts: Map[Int, Long],
+      deltaStats: Map[Int, (Long, Seq[java.math.BigDecimal])])
+      : Seq[(Int, Seq[Float])] =
+    old.map { case (cid, cvec) =>
+      deltaStats.get(cid) match {
+        case None => (cid, cvec)
+        case Some((m, sums)) =>
+          val n = counts.getOrElse(cid, 0L)
+          val denom = new java.math.BigDecimal(n + m)
+          val merged = cvec.zip(sums).map { case (c, s) =>
+            new java.math.BigDecimal(c.toDouble)
+              .multiply(new java.math.BigDecimal(n))
+              .add(s)
+              .divide(denom, 12, java.math.RoundingMode.HALF_UP)
+              .floatValue()
+          }
+          (cid, merged)
+      }
+    }
+
+  /** Maintain the cached (dir, nCells, iters) centroid table against a
+    * delta corpus: assign the delta to its nearest served centroids
+    * (a VecNearest map — delta-sized, zero exchanges beyond the k-row
+    * aggregate) and fold each cell's delta mass into the centroid by
+    * the occupancy-weighted mean above. DRIFT GATE: when the delta
+    * outweighs `maxDeltaFrac` of the old corpus the mini-batch update
+    * is no longer a small perturbation of the k-means geometry — fall
+    * back to a full re-seed + Lloyd rebuild over the merged corpus
+    * (the SuffixRanks.incremental MaxDeltaClasses precedent: an
+    * incremental path must know when it stops being one).
+    *
+    * Returns the maintained (cid, cvec) table as a local relation,
+    * like [[cachedCentroids]]. Install it under the mutated corpus's
+    * stamp via [[installCentroids]] so query jobs over the new corpus
+    * serve it without a rebuild ([[graft.sources.StampedCache.put]]).
+    */
+  def incrementalCentroids(spark: SparkSession, dir: String,
+      delta: DataFrame, nCells: Int, iters: Int,
+      maxDeltaFrac: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val old = cachedCentroids(spark, dir, nCells, iters)
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+      .sortBy(_._1)
+    if (old.isEmpty)
+      return buildCentroids(delta, nCells, iters)
+    val dim = old.head._2.length
+    val counts = cellCounts(spark, dir, nCells, iters)
+    // delta assignment + per-cell mass in ONE aggregate (the Lloyd
+    // update shape: count + dim decimal sums keyed on cell)
+    val cidLit = typedLit(old.map(_._1))
+    val candLit = typedLit(old.map(_._2))
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("embedding"), i + 1).cast("decimal(28,12)"))
+        .as(s"s$i"))
+    val stats = delta
+      .select(element_at(cidLit,
+        graft.plans.VecNearest(col("embedding"), candLit)
+          .getField("pos") + 1).as("cell"),
+        col("embedding"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("m"), sums: _*)
+      .collect()
+      .map { r =>
+        r.getInt(0) -> (r.getLong(1),
+          (0 until dim).map(i => Option(r.getDecimal(i + 2))
+            .getOrElse(java.math.BigDecimal.ZERO)))
+      }.toMap
+    val oldN = counts.values.sum
+    val deltaN = stats.values.map(_._1).sum
+    if (oldN == 0 || deltaN > maxDeltaFrac * oldN) {
+      // drift gate tripped: full re-seed over the merged corpus
+      buildCentroids(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding")
+          .unionByName(delta.select("vec_id", "embedding")),
+        nCells, iters)
+    } else {
+      mergeCentroids(old, counts, stats).toDF("cid", "cvec")
+    }
+  }
+
+  /** Install a maintained centroid table into the process cache under
+    * `dir`'s CURRENT corpus stamp — the ingest-side wiring: after a
+    * batch lands (mutating the corpus, hence the stamp), the
+    * maintainer installs the updated table so every subsequent
+    * cachedCentroids call over the mutated corpus serves it instead
+    * of paying the full rebuild the staleness contract would
+    * otherwise force.
+    */
+  def installCentroids(spark: SparkSession, dir: String, nCells: Int,
+      iters: Int, centroids: DataFrame): Unit = {
+    val stamp = graft.sources.CorpusStamp.of(spark, s"$dir/embeddings.parquet")
+    val rows = centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    centroidCache.put((dir, nCells, iters), stamp, rows)
+  }
+
+  /** Registry delta: every 17th embedding (~6%), re-keyed past the
+    * current max id, vector REVERSED — genuinely new points with the
+    * same norm profile, an ingest-batch-sized perturbation that stays
+    * under the drift gate at every SF.
+    */
+  def syntheticDelta(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    emb.crossJoin(broadcast(emb.agg(max(col("vec_id")).as("mx"))))
+      .filter(col("vec_id") % 17 === 4)
+      .select((col("vec_id") + col("mx") + 1).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+  }
+
+  /** Registry form: maintain the served (16, 2) index against the
+    * synthetic delta and search the MERGED corpus under the maintained
+    * centroids. The oracle replays probe selection, scoring, and
+    * ranking from the exported maintained index over the same merged
+    * corpus (rebuilt in SQL) — the established IVF oracle pattern; the
+    * update rule itself is spec-gated (closed-form check + recall
+    * parity with a full rebuild + the drift-gate fallback corner).
+    */
+  def incrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val maintained = incrementalCentroids(
+      spark, dir, syntheticDelta(spark, dir), 16, 2)
+    val merged = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .unionByName(syntheticDelta(spark, dir))
+    ivfTopKOver(merged, maintained)
   }
 }

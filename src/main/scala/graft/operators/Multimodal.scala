@@ -127,6 +127,12 @@ object Multimodal {
           pcm = u16(body) == 1 // PCM; bit depth/channels ride the header
         else if (id == "data") {
           if (!pcm) return Array.emptyByteArray
+          // a data size running past the DECLARED RIFF extent is the
+          // container lying about itself — decode empty (salvage is
+          // only for PHYSICAL truncation, where the declared layout is
+          // consistent but the tail bytes are missing); bounding by
+          // p.length alone would salvage bytes outside the container
+          if (body + sz > 8L + u32(4)) return Array.emptyByteArray
           val n = math.max(0L, math.min(sz, p.length - body)).toInt
           return java.util.Arrays.copyOfRange(p, body.toInt, body.toInt + n)
         }
@@ -187,6 +193,148 @@ object Multimodal {
     import spark.implicits._
     val ds = wavMediaTable(spark, dir).as[MediaRecord]
     extractFeatures(ds, WavCodec)
+      .toDF()
+      .select(col("doc_id"), col("kind"), col("n_bytes"),
+        col("entropy"), col("frames_sampled"),
+        hex(col("preview")).as("preview_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** A SECOND real container family through the same codec seam: BMP
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER, 8-bit palette, BI_RGB).
+    * WAV proved a chunk WALK; BMP proves the other header-walk
+    * pathologies a raster container has — offset INDIRECTION (pixel
+    * data lives wherever the declared `bfOffBits` says, past a palette
+    * and a variable-length gap, so a fixed-offset shortcut reads the
+    * palette), 4-byte row-stride padding, and row ORDER (positive
+    * height = bottom-up, the BMP default, vs negative = top-down) —
+    * the decoder reassembles LOGICAL row order either way.
+    *
+    * Contract on bad input: empty decode, never a throw (the WavCodec
+    * contract). Unlike WAV there is NO truncation salvage: bottom-up
+    * row order puts the logically-first samples physically LAST, so a
+    * cut-off download has no meaningful leading prefix — a raster that
+    * does not fit inside both the declared `bfSize` extent and the
+    * physical buffer decodes empty. [[graft.MultimodalSpec]] pins each
+    * corner.
+    */
+  object BmpCodec extends Codec {
+    override def decode(p: Array[Byte]): Array[Byte] = {
+      def u32(i: Long): Long =
+        (p(i.toInt) & 0xffL) | (p(i.toInt + 1) & 0xffL) << 8 |
+          (p(i.toInt + 2) & 0xffL) << 16 | (p(i.toInt + 3) & 0xffL) << 24
+      def u16(i: Long): Int =
+        (p(i.toInt) & 0xff) | (p(i.toInt + 1) & 0xff) << 8
+      if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte)
+        return Array.emptyByteArray
+      // reads are bounded by BOTH the declared file extent and the
+      // physical buffer — whichever is shorter (the WAV lesson: a
+      // container lying about itself must not expose bytes outside it)
+      val declared = math.min(p.length.toLong, u32(2))
+      if (declared < 54) return Array.emptyByteArray
+      val off = u32(10)
+      val biSize = u32(14)
+      if (biSize < 40 || 14 + biSize > declared) return Array.emptyByteArray
+      val w = u32(18).toInt // i32: width must be positive
+      val hRaw = u32(22).toInt // i32: sign selects row order
+      val planes = u16(26)
+      val bpp = u16(28)
+      val comp = u32(30)
+      if (w <= 0 || hRaw == 0 || planes != 1 || bpp != 8 || comp != 0)
+        return Array.emptyByteArray
+      val h = math.abs(hRaw.toLong)
+      val stride = (w + 3L) / 4L * 4L
+      if (off < 14 + biSize || off + h * stride > declared)
+        return Array.emptyByteArray
+      val raster = w * h
+      if (raster > Int.MaxValue) return Array.emptyByteArray
+      val out = new Array[Byte](raster.toInt)
+      var r = 0L
+      while (r < h) {
+        val phys = if (hRaw > 0) h - 1 - r else r // bottom-up vs top-down
+        System.arraycopy(p, (off + phys * stride).toInt,
+          out, (r * w).toInt, w)
+        r += 1
+      }
+      out
+    }
+  }
+
+  /** Synthesize a canonical 8-bit-palette BMP holding `s`'s bytes as
+    * pixels. Width cycles 1..5 by length (so the 4-byte stride pad is
+    * exercised at every remainder), the final row's tail pads with
+    * spaces (the decoded stream is `rpad(s, w*ceil(len/w), ' ')` — a
+    * closed form the oracle replays), row order alternates bottom-up /
+    * top-down by length parity, and a variable-length gap sits between
+    * the palette and the pixel data so only a decoder honoring
+    * `bfOffBits` finds the raster. `malformed` corrupts the magic.
+    */
+  def bmpEncode(s: String, malformed: Boolean = false): Array[Byte] = {
+    val px = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val w = (px.length % 5) + 1
+    val h = (px.length + w - 1) / w
+    val stride = (w + 3) / 4 * 4
+    val topDown = px.length % 2 == 0
+    val gap = px.length % 7
+    val off = 14 + 40 + 256 * 4 + gap
+    val total = off + h * stride
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put((if (malformed) "BX" else "BM").getBytes("US-ASCII"))
+    b.putInt(total) // bfSize
+    b.putInt(0) // reserved
+    b.putInt(off) // bfOffBits — the indirection under test
+    b.putInt(40) // biSize (BITMAPINFOHEADER)
+    b.putInt(w)
+    b.putInt(if (topDown) -h else h)
+    b.putShort(1) // planes
+    b.putShort(8) // bits per pixel
+    b.putInt(0) // BI_RGB
+    b.putInt(h * stride) // biSizeImage
+    b.putInt(2835).putInt(2835) // 72 dpi
+    b.putInt(256).putInt(0) // clrUsed, clrImportant
+    (0 until 256).foreach { i => // grayscale BGRA palette
+      b.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte)
+    }
+    (0 until gap).foreach(_ => b.put(0x5a.toByte))
+    val rows = if (topDown) 0 until h else (h - 1) to 0 by -1
+    rows.foreach { r =>
+      val row = new Array[Byte](stride)
+      var i = 0
+      while (i < w) {
+        val idx = r * w + i
+        row(i) = if (idx < px.length) px(idx) else ' '.toByte
+        i += 1
+      }
+      b.put(row)
+    }
+    b.array()
+  }
+
+  /** Synthetic BMP media table: each document's printable-ASCII
+    * projection as 8-bit pixels inside a real BMP container; every
+    * 13th-ish doc (doc_id % 13 == 5) is corrupted — the oracle
+    * predicts those rows decode empty.
+    */
+  def bmpMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val enc = udf((s: String, bad: Boolean) => bmpEncode(s, bad))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), lit("image").as("kind"),
+        enc(regexp_replace(col("text"), "[^ -~]", ""),
+          col("doc_id") % 13 === 5).as("payload"))
+  }
+
+  /** Registry entry: the feature battery over [[BmpCodec]] — the
+    * oracle rebuilds every column from `documents.text` (the decoded
+    * raster is the space-padded printable projection, a closed form),
+    * so only a decoder that honors bfOffBits, reassembles bottom-up
+    * AND top-down rows, and strips the stride padding matches — and
+    * the corrupted subset must decode empty.
+    */
+  def mediaBmp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = bmpMediaTable(spark, dir).as[MediaRecord]
+    extractFeatures(ds, BmpCodec)
       .toDF()
       .select(col("doc_id"), col("kind"), col("n_bytes"),
         col("entropy"), col("frames_sampled"),

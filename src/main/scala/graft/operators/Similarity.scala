@@ -57,7 +57,7 @@ object Similarity {
     * (cos desc, vec_id) with deterministic ties, emit
     * (query_id, neighbor_id, rank, cos_sim@6dp) ordered.
     */
-  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored

@@ -169,21 +169,40 @@ object SuffixRanks {
       spark, s"$dir/documents.parquet")
     val path = rankDirCache.get(dir, stamp) {
       val out = indexPath(dir, stamp)
+      val outP = new org.apache.hadoop.fs.Path(out)
       val success = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
       val fs = success.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(success))
+      if (!fs.exists(success)) {
+        // Two processes over the same corpus can both miss: build into
+        // a process-unique attempt dir and PROMOTE by rename — the
+        // stamp path only ever appears fully formed (_SUCCESS already
+        // inside), first promotion wins, losers discard their attempt.
+        // A shared-path mode("overwrite") build would instead delete a
+        // concurrent (or committed, in-use) build mid-write/mid-read.
+        val attempt = new org.apache.hadoop.fs.Path(
+          out + f".attempt-${java.util.UUID.randomUUID()}")
         suffixRanks(graft.sources.Tables.documents(spark, dir))
-          .write.mode("overwrite").parquet(out)
+          .write.parquet(attempt.toString)
+        if (fs.exists(outP) || !fs.rename(attempt, outP)) {
+          fs.delete(attempt, true) // lost the race — serve the winner
+        }
+        if (!fs.exists(success)) throw new IllegalStateException(
+          s"suffix-index promotion left no committed dir at $out")
+      }
       out
     }
     spark.read.parquet(path)
   }
 
-  /** Bench hook: drop the in-process entry AND the persisted index so
-    * the next cachedRanks call measures a genuine rebuild (a rerun
-    * served from `_SUCCESS` would launder a build regression into
-    * "noise"). */
+  /** Bench hook: drop the in-process entry AND retire the persisted
+    * index so the next cachedRanks call measures a genuine rebuild (a
+    * rerun served from `_SUCCESS` would launder a build regression into
+    * "noise"). Retire = rename ASIDE, never delete: another process may
+    * still be streaming the old files, and a rename leaves its open
+    * handles (and the dir itself, under the new name) intact — the
+    * retired dir is tmp-rooted and pruned by retention like any
+    * superseded stamp. */
   private[graft] def invalidateIndex(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     rankDirCache.invalidate(dir)
@@ -191,7 +210,12 @@ object SuffixRanks {
       spark, s"$dir/documents.parquet")
     val p = new org.apache.hadoop.fs.Path(indexPath(dir, stamp))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) { fs.delete(p, true); () }
+    if (fs.exists(p)) {
+      val retired = new org.apache.hadoop.fs.Path(
+        p.toString + f".retired-${java.util.UUID.randomUUID()}")
+      if (!fs.rename(p, retired)) throw new IllegalStateException(
+        s"could not retire suffix index at $p")
+    }
   }
 
   /** Registry shape: ordered (doc_id, pos, r), served from the cached
@@ -408,7 +432,7 @@ object SuffixRanks {
   }
 
   /** Registry form: re-ingest a deterministic slice of the corpus
-    * (every 7th document, re-keyed past the current max id, text
+    * (every 29th document (~3%), re-keyed past the current max id, text
     * REVERSED so the delta contributes genuinely new windows that
     * interleave everywhere, not just duplicates) and merge it into the
     * persisted index. The oracle replays the merged corpus's dense

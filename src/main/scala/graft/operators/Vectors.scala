@@ -185,9 +185,15 @@ object Vectors {
     }
   }
 
-  /** Bench hook: force the next cachedPcaFitK call to refit. */
+  /** Bench hook: force the next cachedPcaFitK call to refit. Drops
+    * EVERY same-(dir, iters) entry with kk >= k, not just the exact
+    * key: the prefix path above serves a k-request from any larger
+    * same-stamp fit, so an exact-key invalidate would leave a servable
+    * alias and the forced rebuild would silently time a cache hit. */
   private[graft] def invalidatePcaFit(dir: String, iters: Int, k: Int)
-      : Unit = pcaCache.invalidate((dir, iters, k))
+      : Unit = pcaCache.invalidateWhere {
+    case (d, it, kk) => d == dir && it == iters && kk >= k
+  }
 
   /** k-component fit by orthogonalized power iteration: component c's
     * iterate s = C v has the already-extracted components projected

@@ -116,4 +116,21 @@ final class StampedCache[K, V] {
     * index-build rerun must measure the BUILD, not a cache hit that
     * would launder a real build regression into "noise". */
   def invalidate(key: K): Unit = { m.remove(key); () }
+
+  /** Install a value under (key, stamp) unconditionally — the
+    * incremental-maintenance hook: a maintained artifact (e.g. a
+    * delta-updated centroid table) is placed under the MUTATED
+    * corpus's stamp so subsequent reads serve it instead of paying a
+    * full rebuild. Unlike get(), an existing same-stamp entry is
+    * replaced, not served. */
+  def put(key: K, stamp: Long, v: V): Unit = { m.put(key, (stamp, v)); () }
+
+  /** Drop every entry matching `p` — for caches that serve one request
+    * from another entry (the PCA prefix path serves k from any kk >= k
+    * fit), where a single-key invalidate leaves a servable alias and
+    * the forced rebuild would silently time a cache hit. */
+  def invalidateWhere(p: K => Boolean): Unit = {
+    import scala.jdk.CollectionConverters._
+    m.keySet.asScala.filter(p).foreach(m.remove)
+  }
 }

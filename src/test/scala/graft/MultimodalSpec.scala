@@ -115,6 +115,67 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("BmpCodec round-trips bmpEncode: every width/stride/row-order/gap") {
+    // n mod 5 covers every width 1..5 (stride pad 3,2,1,0,3), n mod 2
+    // covers both row orders, n mod 7 covers every palette->pixel gap
+    for (n <- 0 to 120) {
+      val text = ("sphinx of black quartz judge my vow " * 4).take(n)
+      val w = (n % 5) + 1
+      val raster = if (n == 0) 0 else w * ((n + w - 1) / w)
+      val expected = text.padTo(raster, ' ').getBytes("US-ASCII").toSeq
+      val got = Multimodal.BmpCodec.decode(Multimodal.bmpEncode(text)).toSeq
+      assert(got === expected,
+        s"round-trip failed at n=$n (w=$w, topDown=${n % 2 == 0}, gap=${n % 7})")
+    }
+  }
+
+  test("BmpCodec malformed corners decode empty, never throw") {
+    val text = "bottom up raster rows" // n=21: w=2, bottom-up, gap=0
+    val good = Multimodal.bmpEncode(text)
+    def bytes(xs: Array[Byte]) = Multimodal.BmpCodec.decode(xs).toSeq
+    assert(bytes(good).nonEmpty)
+    // corrupted magic (the bmpMediaTable malformed subset)
+    assert(bytes(Multimodal.bmpEncode(text, malformed = true)) === Seq.empty)
+    // not a BMP at all / too short for the headers
+    assert(bytes("plainly not a bitmap".getBytes("US-ASCII")) === Seq.empty)
+    assert(bytes(Array[Byte]('B', 'M', 3)) === Seq.empty)
+    assert(bytes(Array.emptyByteArray) === Seq.empty)
+    def mut(i: Int, v: Byte): Array[Byte] = {
+      val c = good.clone; c(i) = v; c
+    }
+    def mutI32(i: Int, v: Int): Array[Byte] = {
+      val c = good.clone
+      c(i) = v.toByte; c(i + 1) = (v >> 8).toByte
+      c(i + 2) = (v >> 16).toByte; c(i + 3) = (v >> 24).toByte
+      c
+    }
+    // zero / negative width, zero height
+    assert(bytes(mutI32(18, 0)) === Seq.empty)
+    assert(bytes(mutI32(18, -3)) === Seq.empty)
+    assert(bytes(mutI32(22, 0)) === Seq.empty)
+    // planes != 1, bpp != 8, compressed (BI_RLE8)
+    assert(bytes(mut(26, 2)) === Seq.empty)
+    assert(bytes(mut(28, 24)) === Seq.empty)
+    assert(bytes(mut(30, 1)) === Seq.empty)
+    // bfOffBits pointing before the DIB header end, or past the extent
+    assert(bytes(mutI32(10, 14)) === Seq.empty)
+    assert(bytes(mutI32(10, good.length)) === Seq.empty)
+    // declared bfSize shrunk so the raster runs past the extent: empty
+    // (the container lies about itself — the WAV declared-extent rule)
+    assert(bytes(mutI32(2, good.length - 4)) === Seq.empty)
+    // physically truncated raster: empty, no salvage — bottom-up order
+    // puts the logically-first samples physically last
+    assert(bytes(java.util.Arrays.copyOf(good, good.length - 2)) === Seq.empty)
+    // inflated height claiming rows past both extents: empty
+    assert(bytes(mutI32(22, 1000000)) === Seq.empty)
+    // the gap indirection is honored: the decoder reads pixels at
+    // bfOffBits, so the variable gap bytes never leak into the output
+    val gapText = text + " x" // n=23: gap = 23 % 7 = 2
+    val decoded = Multimodal.BmpCodec.decode(Multimodal.bmpEncode(gapText))
+    assert(!decoded.contains(0x5a.toByte) ||
+      gapText.contains('Z'), "gap filler leaked into decoded pixels")
+  }
+
   test("WavCodec malformed corners decode empty, truncation salvages") {
     val good = Multimodal.wavEncode("hello wav world")
     def bytes(xs: Array[Byte]) = Multimodal.WavCodec.decode(xs).toSeq
@@ -144,6 +205,16 @@ class MultimodalSpec extends SparkTestBase {
     val tiny = 4 + 8 + 16
     shrunk(4) = tiny.toByte; shrunk(5) = 0; shrunk(6) = 0; shrunk(7) = 0
     assert(bytes(shrunk) === Seq.empty)
+    // data SIZE runs past the declared RIFF extent while the physical
+    // bytes exist (appended junk outside the container): the container
+    // lies about itself — must decode empty, never salvage bytes from
+    // beyond the declared extent
+    val dataAt = good.indices.find(i => i + 4 <= good.length &&
+      new String(good, i, 4, "US-ASCII") == "data").get
+    val inflated = java.util.Arrays.copyOf(good, good.length + 64)
+    inflated(dataAt + 4) = ((good.length - dataAt - 8) + 64).toByte
+    assert(bytes(inflated) === Seq.empty,
+      "oversized data chunk must not salvage out-of-container bytes")
     // data before a valid PCM fmt: empty (header-less samples are
     // uninterpretable)
     val fmtAt = 12
@@ -173,5 +244,29 @@ class MultimodalSpec extends SparkTestBase {
     }
     // the malformed subset actually exists at this SF
     assert(out.exists(r => r.getLong(0) % 11 == 7 && r.getLong(2) == 0L))
+  }
+
+  test("media_bmp query: decoded columns match the padded closed form") {
+    val out = Multimodal.mediaBmp(spark, sf("sf0.001")).collect()
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), regexp_replace(col("text"), "[^ -~]", "")
+        .as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length === docs.size)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val s = if (id % 13 == 5) "" else docs(id)
+      val w = (s.length % 5) + 1
+      val raster = if (s.isEmpty) 0 else w * ((s.length + w - 1) / w)
+      assert(r.getLong(2) === raster.toLong,
+        s"doc $id: n_bytes != space-padded raster size")
+      if (raster == 0) {
+        assert(r.getDouble(3) === 0.0)
+        assert(r.getInt(4) === 0)
+        assert(r.getString(5) === "00" * 16)
+      }
+    }
+    // the corrupted subset actually exists at this SF
+    assert(out.exists(r => r.getLong(0) % 13 == 5 && r.getLong(2) == 0L))
   }
 }

@@ -12,7 +12,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * flagship + three compute-heavy pipelines on a 6x-replicated sf0.1
   * corpus in two fresh JVMs (a JVM holds one SparkContext, so local[1]
   * vs local[8] cannot share one) and requires >= 1.5x wall-clock
-  * speedup.
+  * speedup — measured as the MEDIAN ratio of three interleaved
+  * local[1]/local[8] pairs, because a single pair on this host class
+  * can swing 3x on CPU-budget throttling alone (BASELINE.md r14
+  * amendment; the r15 false failure).
   *
   * Query and corpus sizing matter here: at plain sf0.1 every query is
   * fixed-overhead-dominated (planning + per-stage scheduling), and
@@ -90,10 +93,29 @@ class SpeedupGateSpec extends AnyFunSuite {
       }
       rm(dirF)
     }
-    val t1 = probeSeconds(1)
-    val t8 = probeSeconds(8)
-    val speedup = t1 / t8
-    info(f"local[1] = $t1%.1f s, local[8] = $t8%.1f s, speedup = $speedup%.2fx")
+    // Median of 3 INTERLEAVED pairs, not one pair: this host's CPU
+    // budget is documented to swing 3x between identical back-to-back
+    // runs (BASELINE.md r14 amendment; the r15 end-of-round artifact
+    // recorded 0.64x from a single pair while the in-round run of the
+    // same commit measured 2.75x). Interleaving 1,8,1,8,1,8 puts both
+    // sides of each ratio inside the same throttling window, and the
+    // median outvotes a one-off stall — the same methodology every
+    // bench floor in BASELINE.md already uses.
+    val Pairs = 3
+    val pairs = (1 to Pairs).map { i =>
+      val t1 = probeSeconds(1)
+      val t8 = probeSeconds(8)
+      info(f"pair $i: local[1] = $t1%.1f s, local[8] = $t8%.1f s, " +
+        f"ratio = ${t1 / t8}%.2fx")
+      (t1, t8)
+    }
+    val ratios = pairs.map { case (t1, t8) => t1 / t8 }
+    val speedup = ratios.sorted.apply(Pairs / 2)
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    info(f"median speedup = $speedup%.2fx over $Pairs pairs " +
+      f"(ratios ${ratios.map(r => f"$r%.2f").mkString(", ")}; " +
+      f"host load $load%.2f)")
     // the measurement is part of the round's archived record, like
     // bench and correctness — a scalability claim that lives only in a
     // test log dies with the session. Round number inferred from the
@@ -104,10 +126,17 @@ class SpeedupGateSpec extends AnyFunSuite {
       .foldLeft(0)(math.max) + 1
     val out = new java.io.PrintWriter(f"SPEEDUP_r$n%02d.json")
     try out.write(
-      f"""{"queries":"${Queries.mkString(",")}","mult":$Mult,"local1_sec":$t1%.3f,"local8_sec":$t8%.3f,"speedup":$speedup%.3f,"floor":$floor}""")
+      f"""{"queries":"${Queries.mkString(",")}","mult":$Mult,""" +
+        f""""local1_sec":[${pairs.map(p => f"${p._1}%.3f").mkString(",")}],""" +
+        f""""local8_sec":[${pairs.map(p => f"${p._2}%.3f").mkString(",")}],""" +
+        f""""ratios":[${ratios.map(r => f"$r%.3f").mkString(",")}],""" +
+        f""""speedup":$speedup%.3f,"floor":$floor,""" +
+        f""""pairs":$Pairs,"interleaved":true,"host_load_avg":$load%.2f}""")
     finally out.close()
     assert(speedup >= floor,
-      f"parallel speedup $speedup%.2fx below the ${floor}%.1fx gate " +
-        f"(local[1] $t1%.1f s vs local[8] $t8%.1f s) — something serialized")
+      f"median parallel speedup $speedup%.2fx over $Pairs interleaved " +
+        f"pairs below the ${floor}%.1fx gate " +
+        f"(ratios ${ratios.map(r => f"$r%.2f").mkString(", ")}) — " +
+        "something serialized")
   }
 }
