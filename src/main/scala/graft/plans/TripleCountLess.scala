@@ -135,3 +135,192 @@ object TripleCountLess {
       ColumnBridge.expression(a3), ColumnBridge.expression(v1),
       ColumnBridge.expression(v2), ColumnBridge.expression(v3), orEq))
 }
+
+/** Executor-side holder for broadcast sorted-long-array payloads (one
+  * to three parallel arrays). Primitive arrays Java-serialize at ~8
+  * bytes/element; the literal-children encoding these broadcast
+  * variants replace shipped the same longs as BOXED GenericArrayData
+  * inside the expression tree — measured 158.8 MiB task binary per
+  * stage at the 2M-class MaxDeltaClasses cap (TripleCapProbe), vs
+  * ~48 MB of raw longs.
+  */
+final class SortedLongs(val a1: Array[Long], val a2: Array[Long],
+    val a3: Array[Long]) extends Serializable
+
+/** [[TripleCountLess]] with the sorted triple arrays carried as a REAL
+  * broadcast variable instead of literal children — the at-cap path of
+  * the suffix-rank merge (SuffixRanks.incremental): the arrays ship
+  * once per executor via the broadcast protocol and the task binary
+  * stays plan-sized. Same binary search, same codegen shape, same
+  * null-probe-yields-0 contract; the arrays themselves are non-null by
+  * construction so the expression is non-nullable.
+  */
+case class TripleCountLessBcast(
+    bc: org.apache.spark.broadcast.Broadcast[SortedLongs],
+    v1: Expression, v2: Expression, v3: Expression, orEq: Boolean)
+    extends Expression with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(v1, v2, v3)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType, LongType)
+
+  @transient private lazy val arrs = bc.value
+
+  override def eval(input: InternalRow): Any = {
+    val p1 = v1.eval(input); val p2 = v2.eval(input); val p3 = v3.eval(input)
+    if (p1 == null || p2 == null || p3 == null) return 0
+    val w1 = p1.asInstanceOf[Long]
+    val w2 = p2.asInstanceOf[Long]
+    val w3 = p3.asInstanceOf[Long]
+    val b1 = arrs.a1; val b2 = arrs.a2; val b3 = arrs.a3
+    var lo = 0
+    var hi = b1.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val e1 = b1(mid); val e2 = b2(mid); val e3 = b3(mid)
+      val less = e1 < w1 || (e1 == w1 && (e2 < w2 || (e2 == w2 &&
+        (if (orEq) e3 <= w3 else e3 < w3))))
+      if (less) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val bcRef = ctx.addReferenceObj("tripleBcast", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[SortedLongs]].getName)
+    // resolved ONCE per generated-class instance, not per row
+    val arrsVar = ctx.addMutableState("graft.plans.SortedLongs", "tcArrs",
+      v => s"$v = (graft.plans.SortedLongs) $bcRef.value();")
+    val p1 = v1.genCode(ctx); val p2 = v2.genCode(ctx)
+    val p3 = v3.genCode(ctx)
+    val lo = ctx.freshName("lo")
+    val hi = ctx.freshName("hi")
+    val mid = ctx.freshName("mid")
+    val e1 = ctx.freshName("e1"); val e2 = ctx.freshName("e2")
+    val e3 = ctx.freshName("e3")
+    val cmp3 = if (orEq) "<=" else "<"
+    def nn(e: Expression, g: ExprCode): String =
+      if (e.nullable) s"${g.isNull}" else "false"
+    ev.copy(code = code"""
+      |${p1.code}
+      |${p2.code}
+      |${p3.code}
+      |boolean ${ev.isNull} = false;
+      |int ${ev.value} = 0;
+      |if (!(${nn(v1, p1)} || ${nn(v2, p2)} || ${nn(v3, p3)})) {
+      |  int $lo = 0;
+      |  int $hi = $arrsVar.a1().length;
+      |  while ($lo < $hi) {
+      |    int $mid = ($lo + $hi) >>> 1;
+      |    long $e1 = $arrsVar.a1()[$mid];
+      |    long $e2 = $arrsVar.a2()[$mid];
+      |    long $e3 = $arrsVar.a3()[$mid];
+      |    if ($e1 < ${p1.value} || ($e1 == ${p1.value} &&
+      |        ($e2 < ${p2.value} || ($e2 == ${p2.value} &&
+      |          $e3 $cmp3 ${p3.value})))) {
+      |      $lo = $mid + 1;
+      |    } else {
+      |      $hi = $mid;
+      |    }
+      |  }
+      |  ${ev.value} = $lo;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TripleCountLessBcast =
+    copy(v1 = newChildren(0), v2 = newChildren(1), v3 = newChildren(2))
+
+  override def prettyName: String =
+    if (orEq) "triple_count_less_eq_bcast" else "triple_count_less_bcast"
+}
+
+object TripleCountLessBcast {
+  def apply(bc: org.apache.spark.broadcast.Broadcast[SortedLongs],
+      v1: Column, v2: Column, v3: Column, orEq: Boolean): Column =
+    ColumnBridge.column(TripleCountLessBcast(bc,
+      ColumnBridge.expression(v1), ColumnBridge.expression(v2),
+      ColumnBridge.expression(v3), orEq))
+}
+
+/** Single-array strictly-less count over a broadcast sorted long
+  * array — [[ArrayCountLess]]'s exact long semantics with the array as
+  * a broadcast variable, for the suffix merge's insertion-point shift
+  * (step 3), whose array is delta-only-class-sized and hits the same
+  * boxed-literal blowup at the cap. Probe contract matches the long
+  * ArrayCountLess variant: counts elements < probe; null probe yields
+  * 0 (unreachable in the merge — ranks are non-null).
+  */
+case class LongCountLessBcast(
+    bc: org.apache.spark.broadcast.Broadcast[SortedLongs],
+    v: Expression)
+    extends Expression with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(v)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+
+  @transient private lazy val arr = bc.value.a1
+
+  override def eval(input: InternalRow): Any = {
+    val p = v.eval(input)
+    if (p == null) return 0
+    val w = p.asInstanceOf[Long]
+    val b = arr
+    var lo = 0
+    var hi = b.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (b(mid) < w) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val bcRef = ctx.addReferenceObj("longsBcast", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[SortedLongs]].getName)
+    val arrVar = ctx.addMutableState("long[]", "lclArr",
+      x => s"$x = ((graft.plans.SortedLongs) $bcRef.value()).a1();")
+    val p = v.genCode(ctx)
+    val lo = ctx.freshName("lo")
+    val hi = ctx.freshName("hi")
+    val mid = ctx.freshName("mid")
+    def nn(e: Expression, g: ExprCode): String =
+      if (e.nullable) s"${g.isNull}" else "false"
+    ev.copy(code = code"""
+      |${p.code}
+      |boolean ${ev.isNull} = false;
+      |int ${ev.value} = 0;
+      |if (!${nn(v, p)}) {
+      |  int $lo = 0;
+      |  int $hi = $arrVar.length;
+      |  while ($lo < $hi) {
+      |    int $mid = ($lo + $hi) >>> 1;
+      |    if ($arrVar[$mid] < ${p.value}) {
+      |      $lo = $mid + 1;
+      |    } else {
+      |      $hi = $mid;
+      |    }
+      |  }
+      |  ${ev.value} = $lo;
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LongCountLessBcast =
+    copy(v = newChildren(0))
+
+  override def prettyName: String = "long_count_less_bcast"
+}
+
+object LongCountLessBcast {
+  def apply(bc: org.apache.spark.broadcast.Broadcast[SortedLongs],
+      v: Column): Column =
+    ColumnBridge.column(LongCountLessBcast(bc, ColumnBridge.expression(v)))
+}
