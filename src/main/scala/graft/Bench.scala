@@ -501,9 +501,11 @@ object Bench {
       "build_ivf_c16_i2", "build_ivf_c16_i0", "build_ivf_auto_i0",
       "build_pq_codebook", "build_pca_fit", "build_unigram_vocabs",
       "build_suffix_index", "suffix_ranks_incremental", "media_wav",
-      // round-16: incremental IVF maintenance (the delta-bounded
-      // counterpart to build_ivf_c16_i2) and the second container codec
-      "build_ivf_incremental", "ivf_incremental_topk", "media_bmp")
+      // round-16: incremental IVF/PQ maintenance (the delta-bounded
+      // counterparts to the full index builds) and the second container
+      // codec
+      "build_ivf_incremental", "ivf_incremental_topk", "media_bmp",
+      "build_pq_incremental", "pq_incremental_topk")
     val byName = results.toMap
     // a renamed/removed registry entry silently shrinking the headline map
     // would go unnoticed — surface it

@@ -150,8 +150,6 @@ object Pq {
       k: Int = 5, m: Int = 8, ks: Int = 16, iters: Int = 1,
       rerank: Int = 50, dim: Int = 64,
       prebuilt: Option[DataFrame] = None): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val subs = subvectors(emb, m, dim)
     // the codebook is the index artifact (M*ks rows); it feeds the
     // corpus encoding AND every query LUT — built at most once per
     // process (cachedCodebook hands back a local relation, nothing to
@@ -161,6 +159,17 @@ object Pq {
     // here.
     val codebook = prebuilt.getOrElse(
       cachedCodebook(spark, dir, m, ks, iters, dim))
+    pqTopKOver(Tables.embeddings(spark, dir), codebook,
+      nQueries, k, m, rerank, dim)
+  }
+
+  /** The search itself over an explicit corpus + codebook — the serving
+    * path shared by [[pqTopK]] and the incremental-maintenance demo
+    * (which searches a merged corpus under a maintained codebook). */
+  def pqTopKOver(emb: DataFrame, codebook: DataFrame,
+      nQueries: Int = 10, k: Int = 5, m: Int = 8,
+      rerank: Int = 50, dim: Int = 64): DataFrame = {
+    val subs = subvectors(emb, m, dim)
     val codes = assign(subs, codebook)
 
     // ADC lookup table: partial dot of each query subvector with each
@@ -206,5 +215,138 @@ object Pq {
         .join(broadcast(queries), Seq("query_id"))
         .withColumn("cos", Similarity.cosine(col("qv"), col("embedding"))),
       k)
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental codebook maintenance — the [[Ivf.incrementalCentroids]]
+  // pattern per subspace: fold an ingest-batch delta into the served
+  // codebook by the occupancy-weighted mean, instead of re-running the
+  // per-subspace Lloyd build over the whole corpus. Occupancy comes
+  // from ONE lazily-cached encoding pass over the old corpus (a
+  // broadcast-join argmin + an (M*ks)-row aggregate — zero corpus-sized
+  // exchanges); the delta pays one encoding pass of its own.
+  // ------------------------------------------------------------------
+
+  /** Per-(sub, code) occupancy of the SERVED codebook — PQ's inverted
+    * list lengths. Stamp-cached like the codebook itself. */
+  private val codeCountCache =
+    new graft.sources.StampedCache[(String, Int, Int, Int, Int),
+      Map[(Int, Int), Long]]()
+
+  def codeCounts(spark: SparkSession, dir: String, m: Int, ks: Int,
+      iters: Int, dim: Int = 64): Map[(Int, Int), Long] = {
+    val stamp = graft.sources.CorpusStamp.of(spark, s"$dir/embeddings.parquet")
+    codeCountCache.get((dir, m, ks, iters, dim), stamp) {
+      assign(subvectors(Tables.embeddings(spark, dir), m, dim),
+        cachedCodebook(spark, dir, m, ks, iters, dim))
+        .groupBy(col("sub"), col("code")).agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    }
+  }
+
+  /** Bench hook: force the next maintenance to re-derive occupancy. */
+  private[graft] def invalidateCodeCounts(dir: String, m: Int, ks: Int,
+      iters: Int, dim: Int = 64): Unit =
+    codeCountCache.invalidate((dir, m, ks, iters, dim))
+
+  /** The pure update rule (spec'd closed-form): per (sub, code),
+    * c' = (n·c + Σdelta) / (n + m_c) in fixed-order BigDecimal —
+    * bit-deterministic; untouched codewords unchanged. */
+  private[graft] def mergeCodebook(
+      old: Seq[(Int, Int, Seq[Double])],
+      counts: Map[(Int, Int), Long],
+      deltaStats: Map[(Int, Int), (Long, Seq[java.math.BigDecimal])])
+      : Seq[(Int, Int, Seq[Double])] =
+    old.map { case (sub, code, cword) =>
+      deltaStats.get((sub, code)) match {
+        case None => (sub, code, cword)
+        case Some((mc, sums)) =>
+          val n = counts.getOrElse((sub, code), 0L)
+          val denom = new java.math.BigDecimal(n + mc)
+          val merged = cword.zip(sums).map { case (c, s) =>
+            new java.math.BigDecimal(c)
+              .multiply(new java.math.BigDecimal(n))
+              .add(s)
+              .divide(denom, 12, java.math.RoundingMode.HALF_UP)
+              .doubleValue()
+          }
+          (sub, code, merged)
+      }
+    }
+
+  /** Maintain the cached codebook against a delta corpus: encode the
+    * delta's subvectors under the served codebook (one broadcast-join
+    * argmin — delta-sized) and fold each (sub, code)'s delta mass by
+    * the occupancy-weighted mean. DRIFT GATE as in
+    * [[Ivf.incrementalCentroids]]: a delta outweighing `maxDeltaFrac`
+    * of the corpus falls back to a full per-subspace Lloyd rebuild
+    * over the merged corpus. Returns the maintained (sub, code, cword)
+    * table as a local relation; [[installCodebook]] places it under a
+    * mutated corpus's stamp.
+    */
+  def incrementalCodebook(spark: SparkSession, dir: String,
+      delta: DataFrame, m: Int, ks: Int, iters: Int, dim: Int = 64,
+      maxDeltaFrac: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val old = cachedCodebook(spark, dir, m, ks, iters, dim)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    if (old.isEmpty)
+      return buildCodebook(subvectors(delta, m, dim), ks, iters)
+    val subDim = dim / m
+    val counts = codeCounts(spark, dir, m, ks, iters, dim)
+    val oldBook = old.toDF("sub", "code", "cword")
+    val sums = (0 until subDim).map(i =>
+      sum(element_at(col("svec"), i + 1).cast("decimal(28,12)"))
+        .as(s"s$i"))
+    val stats = assign(subvectors(delta, m, dim), oldBook)
+      .join(subvectors(delta, m, dim), Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("mc"), sums: _*)
+      .collect()
+      .map { r =>
+        (r.getInt(0), r.getInt(1)) -> (r.getLong(2),
+          (0 until subDim).map(i => Option(r.getDecimal(i + 3))
+            .getOrElse(java.math.BigDecimal.ZERO)))
+      }.toMap
+    // corpus/delta sizes: one code per vector in each subspace — use
+    // subspace 0's totals
+    val oldN = counts.collect { case ((0, _), n) => n }.sum
+    val deltaN = stats.collect { case ((0, _), (mc, _)) => mc }.sum
+    if (oldN == 0 || deltaN > maxDeltaFrac * oldN) {
+      buildCodebook(subvectors(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding")
+          .unionByName(delta.select("vec_id", "embedding")), m, dim),
+        ks, iters)
+    } else {
+      mergeCodebook(old, counts, stats).toDF("sub", "code", "cword")
+    }
+  }
+
+  /** Install a maintained codebook under `dir`'s CURRENT corpus stamp —
+    * the ingest-side wiring (see [[Ivf.installCentroids]]). */
+  def installCodebook(spark: SparkSession, dir: String, m: Int, ks: Int,
+      iters: Int, codebook: DataFrame, dim: Int = 64): Unit = {
+    val stamp = graft.sources.CorpusStamp.of(spark, s"$dir/embeddings.parquet")
+    val rows = codebook.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    codebookCache.put((dir, m, ks, iters, dim), stamp, rows)
+  }
+
+  /** Registry form: maintain the served (8, 16, 1) codebook against
+    * [[Ivf.syntheticDelta]] (the shared every-17th reversed-vector
+    * ingest batch) and search the MERGED corpus under it. Oracle =
+    * the pq_topk ADC/candidate/re-rank replay from the exported
+    * maintained codebook + merged codes; the update rule is spec-gated
+    * (PqIncrementalSpec).
+    */
+  def incrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val maintained = incrementalCodebook(
+      spark, dir, Ivf.syntheticDelta(spark, dir), 8, 16, 1)
+    val merged = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .unionByName(Ivf.syntheticDelta(spark, dir))
+    pqTopKOver(merged, maintained)
   }
 }
