@@ -49,7 +49,12 @@ class QueriesSpec extends SparkTestBase {
     "rank_corr", "pagerank_neardup", "zorder_key",
     // day-table non-equi window pairing: the build side is the tiny
     // per-day sketch table (cardinality = days), the intended plan
-    "rolling_users_7d")
+    "rolling_users_7d",
+    // the incremental-maintenance demos inherit syntheticDelta's 1-row
+    // max(vec_id) broadcast scalar (the q22 shape), and the IVF one
+    // also probes the broadcast 16-row centroid panel (the ivf_topk
+    // shape) — both intended
+    "ivf_incremental_topk", "pq_incremental_topk")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs and returns rows on sf0.001") {
