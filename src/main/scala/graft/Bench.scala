@@ -238,6 +238,69 @@ object Bench {
         overGate(dt, baseline(k)) => k
     }
 
+  /** One arm of the ingest-maintenance bench pair: ingest a 25% doc
+    * subsample, build the store suffix index (deployment posture: the
+    * index exists before the next batch), ingest the every-29th
+    * re-keyed reversed delta (the suffix_ranks_incremental fixture),
+    * then run the first post-ingest query. With `maintained` the
+    * commit's registered maintainer installs the delta-merged index
+    * (verified — a silently-skipped maintenance would measure the
+    * rebuild arm twice and the entry FAILS instead); without it the
+    * query pays the staleness rebuild.
+    */
+  private def ingestQueryRunner(spark: SparkSession, maintained: Boolean)
+      : String => Long = { dir =>
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[graft.streaming.EventStreams.CDoc].collect()
+    val mx = docs.map(_.doc_id).max + 1
+    val delta = docs.filter(_.doc_id % 29 == 3)
+      .map(d => graft.streaming.EventStreams.CDoc(
+        d.doc_id + mx, d.lang, d.text.reverse))
+    val snap = java.nio.file.Files
+      .createTempDirectory("graft_bench_maint").resolve("store").toString
+    val width = math.max(1L, 2 * mx / 64)
+    if (maintained)
+      graft.sources.ArtifactMaintenance.register(snap, "suffix")(
+        graft.operators.SuffixRanks.storeMaintainer)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EventStreams.CDoc]
+    val q = graft.streaming.EventStreams.curatedIngest(input.toDF(), snap,
+      bucketer = graft.streaming.BucketStore.RangeBuckets("doc_id", width))
+    try {
+      input.addData(docs.toSeq: _*)
+      q.processAllAvailable()
+      graft.operators.SuffixRanks.storeRankTable(spark, snap).count()
+      input.addData(delta.toSeq: _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      graft.sources.ArtifactMaintenance.clear(snap)
+    }
+    if (maintained) {
+      // BEFORE the query: once a query runs, a rebuild would register
+      // the same post-commit stamp and mask a silently-skipped install
+      val post = graft.sources.CorpusStamp.of(spark, snap)
+      val ok = graft.operators.SuffixRanks.servedStoreIndex(snap)
+        .exists(_._1 == post)
+      if (!ok) throw new IllegalStateException(
+        "ingest_maintained_query: maintenance did not install — the " +
+          "entry would silently measure the rebuild arm")
+    }
+    val t0 = System.nanoTime()
+    val rows = graft.operators.SuffixRanks.storeRankTable(spark, snap).count()
+    val qSec = (System.nanoTime() - t0) / 1e9
+    val arm = if (maintained) "maintained" else "rebuild"
+    System.err.println(
+      f"[bench] ingest_${arm}_query: post-ingest first query $qSec%.2f s " +
+        s"($rows rows)")
+    rows
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -300,10 +363,20 @@ object Bench {
     // timing), so the isolation probe doesn't pay ~60 s of forced
     // rebuilds it didn't ask for
     val prewarmMap = SparkEntry.indexPrewarms.toMap
+    // an indexBuilds entry without an indexPrewarms twin would throw
+    // inside the try below, be swallowed as "prewarm failed", and leave
+    // that family's caches COLD under SPARK_GRAFT_ONLY — skewing exactly
+    // the isolation measurement the prewarm protects. Surface the drift
+    // loudly and fall back to the build thunk (warm, just not forced).
+    val unpaired = SparkEntry.indexBuilds.map(_._1)
+      .filterNot(prewarmMap.contains)
+    if (unpaired.nonEmpty)
+      System.err.println("[bench] indexBuilds without an indexPrewarms " +
+        s"twin (falling back to the build thunk): ${unpaired.mkString(", ")}")
     val buildResults: Seq[(String, Double)] =
       SparkEntry.indexBuilds.flatMap { case (name, run) =>
         if (only.exists(names => !names.contains(name))) {
-          try prewarmMap(name)(spark, sfDir)
+          try prewarmMap.getOrElse(name, run)(spark, sfDir)
           catch { case e: Throwable =>
             System.err.println(s"[bench] prewarm $name failed: ${e.getMessage}")
           }
@@ -374,6 +447,18 @@ object Bench {
         graft.sources.LetterSink.writePartitioned(idx, out)
         spark.read.text(out).count()
       },
+      // Ingest→maintenance wiring, both arms (ArtifactMaintenance):
+      // identical pipelines — ingest a corpus, build the store suffix
+      // index, ingest a delta batch, run the FIRST post-ingest query —
+      // differing only in whether the suffix maintainer is registered.
+      // The difference between the two archived numbers isolates
+      // maintain-vs-rebuild, and each arm prints its query-phase
+      // seconds to stderr (the post-ingest first-query latency the
+      // wiring exists to shrink). Corpus is a 25% doc subsample: the
+      // contrast is scale-free and the full corpus would add ~100 s of
+      // suite wall-clock for no extra information.
+      "ingest_maintained_query" -> ingestQueryRunner(spark, maintained = true),
+      "ingest_rebuild_query" -> ingestQueryRunner(spark, maintained = false),
       "write_curated_ingest" -> { dir =>
         import spark.implicits._
         implicit val sqlCtx = spark.sqlContext
@@ -505,7 +590,13 @@ object Bench {
       // counterparts to the full index builds) and the second container
       // codec
       "build_ivf_incremental", "ivf_incremental_topk", "media_bmp",
-      "build_pq_incremental", "pq_incremental_topk")
+      "build_pq_incremental", "pq_incremental_topk",
+      // round-17: the ingest→maintenance wiring pair (post-ingest
+      // first-query latency, maintained vs staleness-rebuild) and the
+      // two new incremental maintainers (PCA warm-start, unigram vocab)
+      "ingest_maintained_query", "ingest_rebuild_query",
+      "build_pca_incremental", "pca_incremental",
+      "build_unigram_incremental", "unigram_incremental")
     val byName = results.toMap
     // a renamed/removed registry entry silently shrinking the headline map
     // would go unnoticed — surface it

@@ -129,7 +129,12 @@ object SparkEntry {
     // pieces, dropped characters, or wrong frequencies break the chain
     // (Unigram's oracle-decomposition Scaladoc); DP optimality itself
     // is UnigramSpec's exhaustive-enumeration bit-equality test.
-    "unigram_segs" -> ((s, d) => Unigram.segTable(s, d)))
+    "unigram_segs" -> ((s, d) => Unigram.segTable(s, d)),
+    // the incremental demo's segmentations (merged word table under the
+    // maintained vocabularies): the unigram_incremental oracle replays
+    // its census→EM chain from these exactly as unigram_train does
+    // from unigram_segs
+    "unigram_incr_segs" -> ((s, d) => Unigram.incrSegTable(s, d)))
 
   /** One-time index builds for the ANN family, with the SAME parameters
     * the registry entries below use (ivf_topk/ann_topk/semantic_dedup →
@@ -185,9 +190,12 @@ object SparkEntry {
     },
     // unigram-LM tokenizer fit: trained offline once like the ANN
     // indexes; unigram_seed/train/tokenize and tokenizer_compare's
-    // unigram leg all serve from the cached vocabularies
+    // unigram leg all serve from the cached vocabularies. The persisted
+    // word table is retired too, so the forced rebuild measures the
+    // corpus scan as well (not a disk-served table).
     "build_unigram_vocabs" -> { (s, d) =>
       Unigram.invalidateVocabs(d)
+      Unigram.invalidateWordFreqs(s, d)
       Unigram.cachedVocabs(s, d); ()
     },
     // suffix-rank index: built offline once and PERSISTED (parquet) —
@@ -210,6 +218,21 @@ object SparkEntry {
     "build_pq_incremental" -> { (s, d) =>
       Pq.invalidateCodeCounts(d, 8, 16, 1)
       Pq.incrementalCodebook(s, d, Ivf.syntheticDelta(s, d), 8, 16, 1); ()
+    },
+    // incremental PCA maintenance: one warm iteration from the served
+    // fit (built by build_pca_fit above) over the merged corpus — the
+    // delta-bounded-iteration alternative to a cold refit. Nothing of
+    // the maintenance itself is cached, so reruns measure the work.
+    "build_pca_incremental" -> { (s, d) =>
+      Vectors.incrementalPcaFitK(s, d, Ivf.syntheticDelta(s, d), 3, 1); ()
+    },
+    // incremental unigram maintenance: delta census merged into the
+    // PERSISTED word table (built by build_unigram_vocabs above —
+    // serving from it IS the maintenance) + the census/EM tail; no
+    // corpus re-scan. Forced fresh via its own demo cache.
+    "build_unigram_incremental" -> { (s, d) =>
+      Unigram.invalidateIncrVocabs(d)
+      Unigram.cachedIncrVocabs(s, d); ()
     })
 
   /** Warm (no forced invalidation) variants of [[indexBuilds]], for
@@ -234,6 +257,12 @@ object SparkEntry {
     }),
     "build_pq_incremental" -> ((s, d) => {
       Pq.codeCounts(s, d, 8, 16, 1); ()
+    }),
+    "build_pca_incremental" -> ((s, d) => {
+      Vectors.cachedPcaFitK(s, d, 3, 2); ()
+    }),
+    "build_unigram_incremental" -> ((s, d) => {
+      Unigram.cachedIncrVocabs(s, d); ()
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -394,6 +423,7 @@ object SparkEntry {
     "label_centroids" -> ((s, d) => Vectors.labelCentroids(s, d)),
     "vec_quantize" -> ((s, d) => Vectors.vecQuantize(s, d)),
     "pca_top_component" -> ((s, d) => Vectors.pcaTopComponent(s, d)),
+    "pca_incremental" -> ((s, d) => Vectors.pcaIncremental(s, d)),
     "abtt_debias" -> ((s, d) => Vectors.abttDebias(s, d)),
     "pca_components" -> ((s, d) => Vectors.pcaComponents(s, d)),
     "bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
@@ -428,6 +458,7 @@ object SparkEntry {
     "bpe_tokenize" -> ((s, d) => Bpe.tokenizeDocs(s, d, BpeK)),
     "unigram_seed" -> ((s, d) => Unigram.seed(s, d)),
     "unigram_train" -> ((s, d) => Unigram.train(s, d)),
+    "unigram_incremental" -> ((s, d) => Unigram.incrementalTrain(s, d)),
     "unigram_tokenize" -> ((s, d) => Unigram.tokenizeDocs(s, d)),
     "tokenizer_compare" -> ((s, d) => Unigram.compareWithBpe(s, d, BpeK)),
     "doc_perplexity" -> ((s, d) => TextAnalysis.docPerplexity(s, d)),
@@ -567,8 +598,12 @@ object SparkEntry {
 
   /** The unigram CTE chain sans the WITH/dtoks header, so it can also
     * be appended to [[bpeVocabCte]] (which defines the identical
-    * `dtoks`) for the combined tokenizer-comparison oracle. */
-  private def unigramBodyCte(throughRound: Int): String = {
+    * `dtoks`) for the combined tokenizer-comparison oracle.
+    * `segsTable` picks which exported segmentation aux feeds the EM
+    * rebuild — `unigram_segs` (base corpus) or `unigram_incr_segs`
+    * (the incremental demo's merged corpus). */
+  private def unigramBodyCte(throughRound: Int,
+      segsTable: String = "unigram_segs"): String = {
     val base = """wf AS MATERIALIZED (
       |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM dtoks WHERE length(word) > 0 GROUP BY word),
       |census AS MATERIALIZED (
@@ -590,7 +625,7 @@ object SparkEntry {
     val sb = new StringBuilder(base)
     if (throughRound >= 1)
       sb.append(s""",
-        |segs AS MATERIALIZED (SELECT round, word, n, seg FROM read_parquet('$OracleAuxDir/unigram_segs/*.parquet'))"""
+        |segs AS MATERIALIZED (SELECT round, word, n, seg FROM read_parquet('$OracleAuxDir/$segsTable/*.parquet'))"""
         .stripMargin)
     val nCh = "(SELECT count(*) FROM chars)"
     val tgt = s"greatest(1, ${Unigram.VocabSize} - $nCh)"
@@ -621,6 +656,32 @@ object SparkEntry {
     * Unigram.vocabDf emits. */
   private def unigramVocabSql(r: Int): String =
     unigramCte(r) + s"""
+      |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INTEGER) AS "rank",
+      |  piece, CAST(length(piece) AS INTEGER) AS len, CAST(cnt AS BIGINT) AS cnt
+      |FROM vocab$r ORDER BY "rank"""".stripMargin
+
+  /** unigram_incremental oracle: the full unigram census→EM→prune
+    * rebuild — but over the MERGED corpus (original documents ∪ the
+    * re-keyed reversed every-29th delta, rebuilt here in SQL — the
+    * suffix_ranks_incremental fixture) with the incremental demo's
+    * exported segmentations. The Spark side never re-scans the old
+    * corpus (persisted word table + delta census); the oracle knows
+    * nothing of the split and recomputes the merged word table
+    * wholesale, so a stale count, a missed delta word, or a wrong
+    * prune all hash-mismatch.
+    */
+  private def unigramIncrVocabSql(r: Int): String =
+    """WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+      |docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + m AS doc_id, reverse(text) AS text
+      |  FROM documents, mx WHERE doc_id % 29 = 3),
+      |dtoks AS (
+      |  SELECT doc_id, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+      |  FROM docs2),
+      |""".stripMargin +
+      unigramBodyCte(r, segsTable = "unigram_incr_segs") + s"""
       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INTEGER) AS "rank",
       |  piece, CAST(length(piece) AS INTEGER) AS len, CAST(cnt AS BIGINT) AS cnt
       |FROM vocab$r ORDER BY "rank"""".stripMargin
@@ -1007,6 +1068,49 @@ object SparkEntry {
        |ORDER BY component, dim""".stripMargin
   }
 
+  /** pca_incremental oracle: the served fit (the cold pcaCtes blocks
+    * over the ORIGINAL corpus → `fin`), then the merged corpus rebuilt
+    * in SQL (original ∪ re-keyed reversed every-17th — the
+    * IvfIncrSearchOracle fixture), its exact decimal mean, and the warm
+    * power iteration(s) starting FROM `fin` — precisely what
+    * Vectors.incrementalPcaFitK computes, block for block, so the
+    * comparison is a full-precision hash match like the other PCA
+    * oracles. A maintenance that served a stale mean, skipped the warm
+    * iteration, or warm-started from the wrong vector all mismatch.
+    */
+  private def pcaIncrOracle(iters: Int, warmIters: Int): String = {
+    def wIter(k: Int): String = {
+      val p = if (k == 1) "fin" else s"uv${k - 1}"
+      s"""ud$k AS MATERIALIZED (SELECT x, list_dot_product(x, (SELECT v FROM $p)) - list_dot_product((SELECT mv FROM mv2), (SELECT v FROM $p)) AS dd FROM e2),
+         |ug$k AS MATERIALIZED (SELECT j, sum(CAST(dd * x[j] AS DECIMAL(28,12))) AS a
+         |  FROM ud$k, unnest(range(1, 65)) AS t(j) GROUP BY j),
+         |ub$k AS MATERIALIZED (SELECT sum(CAST(dd AS DECIMAL(28,12))) AS b FROM ud$k),
+         |us$k AS MATERIALIZED (SELECT g.j, CAST(g.a AS DOUBLE) - mj2.m * CAST((SELECT b FROM ub$k) AS DOUBLE) AS s
+         |  FROM ug$k g JOIN mj2 ON mj2.j = g.j),
+         |usv$k AS MATERIALIZED (SELECT list(s ORDER BY j) AS sv FROM us$k),
+         |uv$k AS MATERIALIZED (SELECT CASE WHEN list_dot_product(sv, sv) = 0 THEN list_transform(sv, z -> 0.0)
+         |  ELSE list_transform(sv, z -> z / sqrt(list_dot_product(sv, sv))) END AS v FROM usv$k),""".stripMargin
+    }
+    s"""${pcaCtes(iters)},
+       |e2 AS MATERIALIZED (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+       |  WHERE embedding IS NOT NULL
+       |  UNION ALL
+       |  SELECT CAST(list_reverse(embedding) AS DOUBLE[]) FROM embeddings
+       |  WHERE vec_id % 17 = 4 AND embedding IS NOT NULL),
+       |cnt2 AS MATERIALIZED (SELECT count(*) AS n FROM e2),
+       |mj2 AS MATERIALIZED (
+       |  SELECT j, CAST(sum(CAST(x[j] AS DECIMAL(20,6))) AS DOUBLE) / (SELECT n FROM cnt2) AS m
+       |  FROM e2, unnest(range(1, 65)) AS t(j) GROUP BY j),
+       |mv2 AS MATERIALIZED (SELECT list(m ORDER BY j) AS mv FROM mj2),
+       |${(1 to warmIters).map(wIter).mkString("\n")}
+       |ufin AS MATERIALIZED (SELECT v FROM uv$warmIters)
+       |SELECT CAST(t.j AS BIGINT) AS dim, round(mj2.m, 6) AS mu,
+       |  round(ufin.v[t.j], 6) AS loading
+       |FROM unnest(range(1, 65)) AS t(j) JOIN mj2 ON mj2.j = t.j CROSS JOIN ufin
+       |ORDER BY dim""".stripMargin
+  }
+
   /** abtt_debias oracle: same fit CTEs, then the per-row projection /
     * residual replayed with the identical IEEE expression tree (see
     * Vectors.abttDebias — the expanded ||x−μ||² form exists exactly so
@@ -1027,6 +1131,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "pca_top_component" -> pcaOracle(3),
+    "pca_incremental" -> pcaIncrOracle(3, 1),
     "abtt_debias" -> abttOracle(3),
     "pca_components" -> pcaComponentsOracle(3),
     "inverted_index" ->
@@ -2801,6 +2906,7 @@ object SparkEntry {
     "bpe_tokenize" -> BpeTokenizeSql,
     "unigram_seed" -> unigramVocabSql(0),
     "unigram_train" -> unigramVocabSql(Unigram.Rounds),
+    "unigram_incremental" -> unigramIncrVocabSql(Unigram.Rounds),
     "unigram_tokenize" -> UnigramTokenizeSql,
     "tokenizer_compare" -> TokenizerCompareSql,
     "suffix_ranks" -> SuffixRanksSql,

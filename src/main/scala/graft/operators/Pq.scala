@@ -300,8 +300,21 @@ object Pq {
     val sums = (0 until subDim).map(i =>
       sum(element_at(col("svec"), i + 1).cast("decimal(28,12)"))
         .as(s"s$i"))
-    val stats = assign(subvectors(delta, m, dim), oldBook)
-      .join(subvectors(delta, m, dim), Seq("vec_id", "sub"))
+    // one delta pass: the per-(vec_id, sub) argmin CARRIES the
+    // subvector through the min_by (svec is constant within the group),
+    // so the maintenance needs neither a second subvectors() scan nor
+    // the assign-then-self-join shuffle the first cut paid — the same
+    // single-aggregate shape as Ivf.incrementalCentroids. Bit-parity:
+    // the surviving (sub, code, svec) rows are exactly the old
+    // join-back's, and the decimal sums are order-independent.
+    val stats = subvectors(delta, m, dim)
+      .join(broadcast(oldBook), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"), col("svec"),
+        sqDist(col("svec"), col("cword")).as("d"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(struct(col("code"), col("svec")),
+        struct(col("d"), col("code"))).as("r"))
+      .select(col("sub"), col("r.code").as("code"), col("r.svec").as("svec"))
       .groupBy(col("sub"), col("code"))
       .agg(count(lit(1)).as("mc"), sums: _*)
       .collect()

@@ -167,33 +167,38 @@ object SuffixRanks {
       : DataFrame = {
     val stamp = graft.sources.CorpusStamp.of(
       spark, s"$dir/documents.parquet")
-    val path = rankDirCache.get(dir, stamp) {
-      val out = indexPath(dir, stamp)
+    spark.read.parquet(servePersisted(spark, dir, stamp,
+      suffixRanks(graft.sources.Tables.documents(spark, dir))))
+  }
+
+  /** Serve the persisted stamp-named index for `key` (building it from
+    * `build` only when neither the in-process cache nor the on-disk
+    * `_SUCCESS` dir has it), returning the committed dir. Two processes
+    * over the same corpus can both miss: each builds into a
+    * process-unique attempt dir and PROMOTES by rename — the stamp path
+    * only ever appears fully formed (_SUCCESS already inside), first
+    * promotion wins, losers discard their attempt. A shared-path
+    * mode("overwrite") build would instead delete a concurrent (or
+    * committed, in-use) build mid-write/mid-read.
+    */
+  private def servePersisted(spark: org.apache.spark.sql.SparkSession,
+      key: String, stamp: Long, build: => DataFrame): String =
+    rankDirCache.get(key, stamp) {
+      val out = indexPath(key, stamp)
       val outP = new org.apache.hadoop.fs.Path(out)
       val success = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
       val fs = success.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(success)) {
-        // Two processes over the same corpus can both miss: build into
-        // a process-unique attempt dir and PROMOTE by rename — the
-        // stamp path only ever appears fully formed (_SUCCESS already
-        // inside), first promotion wins, losers discard their attempt.
-        // A shared-path mode("overwrite") build would instead delete a
-        // concurrent (or committed, in-use) build mid-write/mid-read.
         val attempt = new org.apache.hadoop.fs.Path(
           out + f".attempt-${java.util.UUID.randomUUID()}")
-        suffixRanks(graft.sources.Tables.documents(spark, dir))
-          .write.parquet(attempt.toString)
-        if (fs.exists(outP) || !fs.rename(attempt, outP)) {
-          fs.delete(attempt, true) // lost the race — serve the winner
-        }
+        build.write.parquet(attempt.toString)
+        graft.sources.AtomicPromote(spark, fs, attempt, outP)
         if (!fs.exists(success)) throw new IllegalStateException(
           s"suffix-index promotion left no committed dir at $out")
       }
       out
     }
-    spark.read.parquet(path)
-  }
 
   /** Bench hook: drop the in-process entry AND retire the persisted
     * index so the next cachedRanks call measures a genuine rebuild (a
@@ -453,17 +458,129 @@ object SuffixRanks {
   def incrementalQuery(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
-    // ~3% of the corpus — an ingest-batch-sized delta at every SF
-    // (1/7 exceeded MaxDeltaClasses at sf1 and degraded the demo to
-    // the full-rebuild fallback)
-    val delta = docs
+    incremental(cachedRanks(spark, dir), docs, syntheticDocDelta(docs))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** The shared document-side incremental-demo fixture (the embedding
+    * analog is [[Ivf.syntheticDelta]]): every 29th document (~3%),
+    * re-keyed past the current max id, text REVERSED so the delta
+    * contributes genuinely new material, not duplicates. ~3% stays an
+    * ingest-batch-sized delta at every SF (1/7 exceeded
+    * [[MaxDeltaClasses]] at sf1 and degraded the suffix demo to the
+    * full-rebuild fallback). Consumed by the suffix and unigram
+    * incremental demos; the oracles rebuild the identical merged
+    * corpus in SQL.
+    */
+  private[graft] def syntheticDocDelta(docs: DataFrame): DataFrame =
+    docs
       .crossJoin(broadcast(docs.agg(max(col("doc_id")).as("mx"))))
       .filter(col("doc_id") % 29 === 3)
       .select((col("doc_id") + col("mx") + 1).as("doc_id"),
         reverse(col("text")).as("text"))
-    incremental(cachedRanks(spark, dir), docs, delta)
-      .orderBy(col("doc_id"), col("pos"))
+
+  // ------------------------------------------------------------------
+  // Store-keyed index family + the ingest-commit maintainer: the same
+  // persisted stamp-named index, built over a curatedIngest store's
+  // admitted docs instead of a testdata dir, and — when registered via
+  // graft.sources.ArtifactMaintenance — delta-MERGED on every ingest
+  // commit so the first post-ingest query serves the maintained index
+  // with zero rebuild (the end-to-end pipeline behavior the three
+  // incremental maintainers exist for).
+  // ------------------------------------------------------------------
+
+  /** Cache key prefix for store-rooted corpora: disjoint from testdata
+    * dir keys (those are absolute paths and cannot start with the
+    * prefix). */
+  private def storeKey(path: String): String = s"store:$path"
+
+  /** Test/probe hook: the (stamp, committed dir) currently served for
+    * the store at `path`, if any — the E2E spec's "no rebuild" probe
+    * is path-local (a maintained install pre-creates the post-commit
+    * stamp dir; a query that rebuilds would have to create it). */
+  private[graft] def servedStoreIndex(path: String): Option[(Long, String)] =
+    rankDirCache.peek(storeKey(path))
+
+  /** The suffix-rank index over `path`'s admitted docs
+    * ([[graft.streaming.EventStreams.admittedDocs]]), stamped to the
+    * store's committed generation ([[graft.sources.CorpusStamp]]) and
+    * persisted exactly like [[cachedRanks]]. With [[storeMaintainer]]
+    * registered, an ingest commit installs the delta-merged table
+    * under the new stamp before any query arrives — this then serves
+    * it straight from disk.
+    */
+  def storeRankTable(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val stamp = graft.sources.CorpusStamp.of(spark, path)
+    spark.read.parquet(servePersisted(spark, storeKey(path), stamp,
+      suffixRanks(graft.streaming.EventStreams.admittedDocs(spark, path))))
   }
+
+  /** Install a maintained rank table for the store at `path` under its
+    * CURRENT (post-commit) stamp: persist it to the stamp-named dir
+    * through the same attempt + atomic-promotion discipline, and point
+    * the in-process cache at it — subsequent [[storeRankTable]] calls,
+    * in this process or any other, serve it with no rebuild. If a
+    * committed dir already exists under the stamp (a racing builder
+    * won), it is served as-is: builds and maintenance are
+    * bit-deterministic, so the two tables are identical.
+    */
+  def installStoreRanks(spark: org.apache.spark.sql.SparkSession,
+      path: String, ranks: DataFrame): Unit = {
+    val stamp = graft.sources.CorpusStamp.of(spark, path)
+    val out = indexPath(storeKey(path), stamp)
+    val outP = new org.apache.hadoop.fs.Path(out)
+    val success = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
+      val attempt = new org.apache.hadoop.fs.Path(
+        out + f".attempt-${java.util.UUID.randomUUID()}")
+      ranks.write.parquet(attempt.toString)
+      graft.sources.AtomicPromote(spark, fs, attempt, outP)
+      if (!fs.exists(success)) throw new IllegalStateException(
+        s"suffix-index install left no committed dir at $out")
+    }
+    rankDirCache.put(storeKey(path), stamp, out)
+  }
+
+  /** The suffix family's [[graft.sources.ArtifactMaintenance]]
+    * maintainer. On a PURE-APPEND commit whose served index matches
+    * the pre-commit stamp, it merges the admitted delta via
+    * [[incremental]] (zero corpus-sized exchanges) and installs the
+    * result under the post-commit stamp. Everything else skips:
+    *
+    *  - non-pure commit: an eviction/tombstone of a previously
+    *    committed doc is a DELETION from the index corpus, which the
+    *    additive merge cannot express (the drift-gate posture — an
+    *    incremental path must know when it stops being one);
+    *  - no served index, or one built under a different stamp (process
+    *    restart, a skipped commit in between): there is nothing sound
+    *    to extend.
+    *
+    * Skipping is always safe — the commit already flipped the stamp,
+    * so the next [[storeRankTable]] access rebuilds correctly; the
+    * maintainer is purely the zero-rebuild fast path. Under
+    * pureAppend, "old docs" is exactly the current admitted corpus
+    * minus the delta ids, so no superseded generation is ever read
+    * (the store prunes those at commit).
+    */
+  def storeMaintainer: graft.sources.ArtifactMaintenance.Maintainer =
+    (spark, c) => {
+      if (c.pureAppend) {
+        rankDirCache.peek(storeKey(c.path)) match {
+          case Some((s, oldDir)) if s == c.preStamp =>
+            val oldIndex = spark.read.parquet(oldDir)
+            val oldDocs = graft.streaming.EventStreams
+              .admittedDocs(spark, c.path)
+              .join(broadcast(c.delta.select(col("doc_id"))),
+                Seq("doc_id"), "left_anti")
+            installStoreRanks(spark, c.path,
+              incremental(oldIndex, oldDocs,
+                c.delta.select(col("doc_id"), col("text"))))
+          case _ => () // cold/mismatched: correct rebuild on next access
+        }
+      }
+    }
 
   /** Per-doc repeated-span profile from the suffix ranks: how many of
     * the doc's PrefixLen-char windows occur elsewhere in the corpus

@@ -209,8 +209,28 @@ object Vectors {
     * None = empty corpus.
     */
   private def pcaFitK(spark: SparkSession, dir: String, iters: Int,
-      k: Int): Option[(Array[Double], Seq[(Double, Array[Double])])] = {
-    val emb = Tables.embeddings(spark, dir)
+      k: Int): Option[(Array[Double], Seq[(Double, Array[Double])])] =
+    pcaFitOver(Tables.embeddings(spark, dir), iters, k, coldInit)
+
+  /** Cold-start v0 for component c: e_{c mod dim} (see [[pcaFitK]]'s
+    * determinism note). */
+  private def coldInit(c: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(j => if (j == c % dim) 1.0 else 0.0)
+
+  /** The fit itself over an EXPLICIT corpus with an explicit
+    * per-component starting vector — shared by the cold build
+    * ([[pcaFitK]]: v0 = e_{c+1}) and the warm-start incremental
+    * maintenance ([[incrementalPcaFitK]]: v0 = the served component,
+    * already near the fixed point, so 1–2 iterations replace the cold
+    * build's fixed count). Everything else — the one-scan battery
+    * aggregate per iteration, decimal sums, Gram-Schmidt, Rayleigh
+    * estimate — is identical between the two callers, which is what
+    * makes the warm path oracle-replayable with the same CTE blocks.
+    */
+  private def pcaFitOver(corpus: DataFrame, iters: Int,
+      k: Int, init: (Int, Int) => Array[Double])
+      : Option[(Array[Double], Seq[(Double, Array[Double])])] = {
+    val emb = corpus
       .select(col("embedding")).filter(col("embedding").isNotNull)
     // 1-row dim probe (the Ivf.buildCentroids pattern)
     val probe = emb.select(size(col("embedding")).as("d"))
@@ -234,10 +254,10 @@ object Vectors {
 
     val comps = scala.collection.mutable.ArrayBuffer[(Double, Array[Double])]()
     (0 until k).foreach { c =>
-      // v0 for component c = e_{c+1}: deterministic, and distinct per
-      // component so a later component does not start parallel to an
-      // earlier one's converged direction
-      var v = Array.tabulate(dim)(j => if (j == c % dim) 1.0 else 0.0)
+      // cold v0 for component c = e_{c+1}: deterministic, and distinct
+      // per component so a later component does not start parallel to
+      // an earlier one's converged direction
+      var v = init(c, dim)
       var lastNorm = 0.0
       (1 to iters).foreach { _ =>
         // μ·v on the driver, index order (== list_dot_product)
@@ -279,6 +299,118 @@ object Vectors {
       comps += ((lastNorm, v))
     }
     Some((mu, comps.toSeq))
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental PCA-fit maintenance — the Ivf.incrementalCentroids
+  // posture for the one embedding artifact that was still rebuild-only:
+  // warm-start the power iteration from the SERVED components over the
+  // merged corpus. A served fit is (nearly) a fixed point of the merged
+  // corpus's iteration map when the delta is ingest-batch-sized, so
+  // 1–2 warm iterations replace the cold build's fixed count — each
+  // iteration is still one corpus scan + a (dim+1)-column battery
+  // aggregate, so the saving is the iteration COUNT (and the k-fold
+  // repetition for multi-component fits), not the scan shape.
+  // ------------------------------------------------------------------
+
+  /** Maintain the served (dir, iters, k) fit against a delta corpus:
+    * re-run [[pcaFitOver]] over the MERGED corpus for `warmIters`
+    * iterations starting each component from its served direction
+    * (Gram-Schmidt against the already-maintained earlier components,
+    * exactly as the cold build orthogonalizes). The merged mean is the
+    * same exact decimal mean pass the cold fit runs — order-independent
+    * sums over old ∪ delta rows ARE the merged-corpus sums, so `mu` is
+    * bit-equal to a cold refit's.
+    *
+    * DRIFT GATE: a delta outweighing `maxDeltaFrac` of the old corpus
+    * is no longer a small perturbation of the covariance geometry (the
+    * warm start loses its near-fixed-point argument) — fall back to the
+    * full cold refit over the merged corpus, bit-equal to a fresh
+    * build. No served fit (cold cache, empty corpus) falls back the
+    * same way.
+    *
+    * Unlike the IVF/PQ/suffix merges this maintenance is NOT bit-equal
+    * to its full rebuild — power iteration from two different starting
+    * vectors converges to the same eigenspace, not the same bits (and
+    * on a flat-spectrum corpus neither fixed-count arm is converged at
+    * all) — so the contract is CONVERGENCE parity: one more power
+    * step's ‖C v‖ estimate of the maintained component must match or
+    * beat the cold refit's (PcaIncrementalSpec; measured it BEATS it —
+    * the served start is worth more than the extra cold iterations),
+    * plus full oracle replay of the warm iterations themselves
+    * (`pca_incremental`): the maintained fit is exactly reproducible,
+    * just not the refit's bits.
+    */
+  def incrementalPcaFitK(spark: SparkSession, dir: String,
+      delta: DataFrame, iters: Int, k: Int, warmIters: Int = 1,
+      maxDeltaFrac: Double = 0.5)
+      : Option[(Array[Double], Seq[(Double, Array[Double])])] = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val merged = emb.unionByName(delta.select(col("vec_id"), col("embedding")))
+    cachedPcaFitK(spark, dir, iters, k) match {
+      case Some((_, comps)) if comps.size >= k =>
+        val oldN = emb.filter(col("embedding").isNotNull).count()
+        val deltaN = delta.filter(col("embedding").isNotNull).count()
+        if (oldN == 0 || deltaN > maxDeltaFrac * oldN)
+          pcaFitOver(merged, iters, k, coldInit)
+        else
+          pcaFitOver(merged, warmIters, k, (c, _) => comps(c)._2)
+      case _ => pcaFitOver(merged, iters, k, coldInit)
+    }
+  }
+
+  /** Spec hook: the cold fit over an explicit corpus — the comparison
+    * arm for the warm-start parity and drift-gate bit-equality specs. */
+  private[graft] def refitOver(corpus: DataFrame, iters: Int, k: Int)
+      : Option[(Array[Double], Seq[(Double, Array[Double])])] =
+    pcaFitOver(corpus, iters, k, coldInit)
+
+  /** Spec hook: ‖C v‖ over `corpus`'s centered covariance for a UNIT
+    * candidate direction — the convergence measure the warm-start spec
+    * compares arms with (one more power step's Rayleigh-style norm
+    * estimate; larger = closer to the top eigenspace). Implemented as
+    * a 1-iteration fit seeded with v, whose recorded eigenvalue IS
+    * that norm. */
+  private[graft] def normCv(corpus: DataFrame, v: Array[Double]): Double =
+    pcaFitOver(corpus, 1, 1, (_, _) => v).map(_._2.head._1).getOrElse(0.0)
+
+  /** Install a maintained fit under `dir`'s CURRENT corpus stamp — the
+    * ingest-side wiring (see [[graft.operators.Ivf.installCentroids]]):
+    * subsequent cachedPcaFitK calls over the mutated corpus serve it
+    * (including smaller-k prefix requests) instead of paying a refit.
+    */
+  def installPcaFit(spark: SparkSession, dir: String, iters: Int, k: Int,
+      fit: Option[(Array[Double], Seq[(Double, Array[Double])])]): Unit = {
+    val stamp =
+      graft.sources.CorpusStamp.of(spark, s"$dir/embeddings.parquet")
+    pcaCache.put((dir, iters, k), stamp, fit)
+  }
+
+  /** Registry form: maintain the served 1-component fit against
+    * [[graft.operators.Ivf.syntheticDelta]] (the shared every-17th
+    * reversed-vector ingest batch) with ONE warm iteration and emit the
+    * maintained (dim, mu, loading) table — pcaTopComponent's shape over
+    * the merged corpus. The oracle replays the whole chain in SQL: the
+    * served fit (the cold pcaCtes blocks over the original corpus),
+    * then the merged-corpus mean and the warm iteration from that fit —
+    * full-precision hash match, no tolerance.
+    */
+  def pcaIncremental(spark: SparkSession, dir: String,
+      iters: Int = 3, warmIters: Int = 1): DataFrame = {
+    import spark.implicits._
+    incrementalPcaFitK(spark, dir, Ivf.syntheticDelta(spark, dir),
+      iters, 1, warmIters) match {
+      case None =>
+        Seq.empty[(Long, Double, Double)].toDF("dim", "mu", "loading")
+      case Some((mu, comps)) =>
+        val v = comps.head._2
+        mu.indices.map(j => (j + 1L, mu(j), v(j)))
+          .toDF("dim", "mu_raw", "loading_raw")
+          .select(col("dim"), round(col("mu_raw"), 6).as("mu"),
+            round(col("loading_raw"), 6).as("loading"))
+          .orderBy(col("dim"))
+    }
   }
 
   /** Top-k principal components (k=2 shipped): the full ABTT recipe

@@ -105,6 +105,18 @@ final class StampedCache[K, V] {
     }
   }
 
+  /** The entry currently held under `key` — stamp INCLUDED, no
+    * validation — for the ingest-maintenance hooks: a maintainer fired
+    * AFTER a commit must reach the artifact served under the
+    * PRE-commit stamp (a stamped get() would see the flipped stamp and
+    * rebuild over the already-mutated corpus, folding the delta in
+    * twice). The caller checks the returned stamp against the captured
+    * pre-commit stamp; a mismatch means the held artifact does not
+    * describe the corpus the delta extends, and the maintainer must
+    * fall back (skip — the flipped stamp already invalidates).
+    */
+  def peek(key: K): Option[(Long, V)] = Option(m.get(key))
+
   /** Current entries whose stamp matches, for prefix-serving lookups
     * (the PCA cache serves smaller k from a larger fit). */
   def snapshot(stamp: Long): Map[K, V] = {

@@ -380,6 +380,13 @@ object EventStreams {
             col("doc_id")).as("r"))
           .select(col("r.doc_id"), col("r.lang"), col("r.text"), col("fp"),
             lit(false).as("out"))
+        // ingest-maintenance wiring (ArtifactMaintenance): capture the
+        // PRE-commit corpus stamp up front — maintainers use it to
+        // prove the artifact they hold describes exactly the corpus
+        // this batch extends. Zero cost when nothing is registered.
+        val maintain = graft.sources.ArtifactMaintenance.registered(path)
+        val preStamp =
+          if (maintain) graft.sources.CorpusStamp.of(spark, path) else 0L
         val hPath = new org.apache.hadoop.fs.Path(path)
         val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // bucketed manifest-generation snapshot (BucketStore): a
@@ -581,6 +588,30 @@ object EventStreams {
           .select(col("doc_id_2").as("doc_id")).distinct()
           .withColumn("hit", lit(true))
           .localCheckpoint())
+        // Maintenance payload, materialized BEFORE the snapshot commit:
+        // the admitted delta's lineage reads the pre-commit generation,
+        // which the commit prunes — a post-commit evaluation would die
+        // on the vanished files. `admitted` = the batch's genuinely new
+        // docs minus same-batch near-dup knockouts (they enter the
+        // snapshot tombstoned, so they are not part of any curated
+        // corpus an artifact covers). pureAppend: conservative — any
+        // fingerprint conflict with prior rows (a possible eviction) or
+        // any OLD doc newly tombstoned disqualifies the additive merge;
+        // maintainers skip and the flipped stamp forces the correct
+        // rebuild on next access.
+        val maintPayload: Option[(org.apache.spark.sql.DataFrame, Boolean)] =
+          if (!maintain) None
+          else phase("maintenance-payload") {
+            val admitted = newDocs
+              .join(newlyOut.select(col("doc_id")), Seq("doc_id"), "left_anti")
+              .select(col("doc_id"), col("lang"), col("text"))
+              .localCheckpoint()
+            val oldTombstoned = newlyOut
+              .join(broadcast(batch.select(col("doc_id")).distinct()),
+                Seq("doc_id"), "left_anti")
+            val pure = conflictIds.forall(_.isEmpty) && oldTombstoned.isEmpty
+            Some((admitted, pure))
+          }
         // postings commit BEFORE the snapshot: a crash in between
         // replays the batch against intact history (idempotent batch
         // partition rewrite), whereas the reverse order could commit
@@ -595,6 +626,7 @@ object EventStreams {
         // touched (an old admitted doc losing to a new lower-id
         // near-dup): pull exactly those buckets in for the out-flag
         // rewrite. Everything else stays on disk untouched.
+        var committedSnapshot = false
         if (bucketedLayout) {
           val t1 = touched1.toSet
           val extraBuckets = phase("victim-buckets")(
@@ -609,9 +641,11 @@ object EventStreams {
               col("out") || coalesce(col("hit"), lit(false)))
             .drop("hit")
           val touchedAll = touched1 ++ extraBuckets
-          if (touchedAll.nonEmpty) // empty batch: snapshot unchanged
+          if (touchedAll.nonEmpty) { // empty batch: snapshot unchanged
             phase("snapshot-commit")(
               BucketStore.commit(updated, bucketer, touchedAll, path))
+            committedSnapshot = true
+          }
         } else {
           val updated = merged
             .join(newlyOut, Seq("doc_id"), "left_outer")
@@ -622,9 +656,22 @@ object EventStreams {
           // (Emptiness is decided from the batch, not by evaluating
           // the corpus-sized merge twice: with no prior snapshot the
           // merge is exactly the batch keepers.)
-          if (snapshotOpt.isDefined || !batchKeepers.isEmpty)
+          if (snapshotOpt.isDefined || !batchKeepers.isEmpty) {
             phase("snapshot-commit-full")(
               BucketStore.commitAll(updated, bucketer, path))
+            committedSnapshot = true
+          }
+        }
+        // fire registered artifact maintainers AFTER the commit (they
+        // install under the post-commit stamp), with the pre-commit
+        // stamp and the pre-materialized delta. Failures are isolated
+        // inside fire() — the staleness contract owns correctness.
+        maintPayload.foreach { case (delta, pure) =>
+          if (committedSnapshot)
+            phase("artifact-maintenance")(
+              graft.sources.ArtifactMaintenance.fire(spark,
+                graft.sources.ArtifactMaintenance.Commit(
+                  path, preStamp, delta, pure)))
         }
         // COMPACTION POLICY ([[compactPostings]], previously
         // offline/manual): once the posting history accumulates
@@ -647,7 +694,8 @@ object EventStreams {
         // drop the per-batch checkpoints (gram table, conflict probe,
         // knockout set): a stream runs unboundedly many batches, and
         // blocks left to the ContextCleaner accumulate in the meantime
-        (Seq(postingGrams, newlyOut) ++ conflictIds.toSeq).foreach { df =>
+        (Seq(postingGrams, newlyOut) ++ conflictIds.toSeq ++
+          maintPayload.map(_._1).toSeq).foreach { df =>
           df.queryExecution.analyzed.collectFirst {
             case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
           }.foreach(_.unpersist(blocking = false))
@@ -737,6 +785,19 @@ object EventStreams {
     BucketStore.read(spark, path).getOrElse(
       throw new IllegalStateException(
         s"no committed snapshot at $path"))
+
+  /** All ADMITTED (non-tombstoned) docs of a curatedIngest store, text
+    * included — the corpus the store-keyed offline-index families
+    * (e.g. [[graft.operators.SuffixRanks.storeRankTable]]) are built
+    * over. Quality gates stay a read-time concern of
+    * [[curatedSnapshot]]: a low-quality doc still participates in
+    * dedup/index evidence, so the index corpus is the raw admitted
+    * text.
+    */
+  def admittedDocs(spark: SparkSession, path: String): DataFrame =
+    readSnapshot(spark, path)
+      .filter(!col("out"))
+      .select(col("doc_id"), col("lang"), col("text"))
 
   /** The curated corpus as of the last committed batch: tombstones
     * dropped, then the batch pipeline's quality gates — same output

@@ -47,8 +47,13 @@ class IvfIncrementalSpec extends SparkTestBase {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
-  test("maintained index serves the merged corpus at rebuild-grade recall") {
-    val dir = sf("sf0.001")
+  /** Recall floor at BOTH committed SFs: a future fold bug that
+    * degrades the merged GEOMETRY while staying oracle-consistent with
+    * its own exported index (the oracle replays probe/score/rank FROM
+    * the maintained centroids, so it cannot see geometric decay)
+    * cannot land silently. */
+  private def recallCase(sfName: String): Unit = {
+    val dir = sf(sfName)
     val delta = Ivf.syntheticDelta(spark, dir)
     val merged = graft.sources.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding").unionByName(delta)
@@ -69,11 +74,20 @@ class IvfIncrementalSpec extends SparkTestBase {
     val rebuilt = Ivf.buildCentroids(merged, 16, 2)
     val rMaint = recallOf(maintained)
     val rRebuild = recallOf(rebuilt)
-    info(f"recall@5 over merged corpus: maintained $rMaint%.2f, rebuilt $rRebuild%.2f")
+    info(f"[$sfName] recall@5 over merged corpus: " +
+      f"maintained $rMaint%.2f, rebuilt $rRebuild%.2f")
     assert(rMaint >= 0.3, s"maintained recall too low: $rMaint")
     assert(rMaint >= rRebuild - 0.15,
       s"maintained index serves materially worse than a rebuild " +
         f"($rMaint%.2f vs $rRebuild%.2f)")
+  }
+
+  test("maintained index serves at rebuild-grade recall (sf0.001)") {
+    recallCase("sf0.001")
+  }
+
+  test("maintained index serves at rebuild-grade recall (sf0.01)") {
+    recallCase("sf0.01")
   }
 
   test("drift gate: an outweighing delta falls back to a true rebuild") {

@@ -42,8 +42,11 @@ class PqIncrementalSpec extends SparkTestBase {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
-  test("maintained codebook serves the merged corpus at rebuild-grade recall") {
-    val dir = sf("sf0.001")
+  /** Recall floor at BOTH committed SFs — see IvfIncrementalSpec's
+    * rationale: the oracle replays from the exported maintained
+    * codebook and cannot see geometric decay; this can. */
+  private def recallCase(sfName: String): Unit = {
+    val dir = sf(sfName)
     val delta = Ivf.syntheticDelta(spark, dir)
     val merged = graft.sources.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding").unionByName(delta)
@@ -64,11 +67,20 @@ class PqIncrementalSpec extends SparkTestBase {
     val rebuilt = Pq.buildCodebook(Pq.subvectors(merged, 8, 64), 16, 1)
     val rMaint = recallOf(maintained)
     val rRebuild = recallOf(rebuilt)
-    info(f"PQ recall@5 over merged corpus: maintained $rMaint%.2f, rebuilt $rRebuild%.2f")
+    info(f"[$sfName] PQ recall@5 over merged corpus: " +
+      f"maintained $rMaint%.2f, rebuilt $rRebuild%.2f")
     assert(rMaint >= 0.3, s"maintained PQ recall too low: $rMaint")
     assert(rMaint >= rRebuild - 0.15,
       f"maintained codebook serves materially worse than a rebuild " +
         f"($rMaint%.2f vs $rRebuild%.2f)")
+  }
+
+  test("maintained codebook serves at rebuild-grade recall (sf0.001)") {
+    recallCase("sf0.001")
+  }
+
+  test("maintained codebook serves at rebuild-grade recall (sf0.01)") {
+    recallCase("sf0.01")
   }
 
   test("drift gate: an outweighing delta falls back to a true rebuild") {

@@ -156,6 +156,69 @@ class UnigramSpec extends SparkTestBase {
     }
   }
 
+  test("incremental maintenance == full retrain, bit-equal; install " +
+      "serves the maintained vocabularies") {
+    import graft.operators.SuffixRanks
+    import graft.sources.Tables
+    // fresh mutable corpus dir (the StalenessSpec fixture pattern), so
+    // the persisted-word-table artifact and install paths are exercised
+    // without touching the shared testdata caches
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_unigram_incr").toString
+    val base = Tables.documents(spark, sf("sf0.001"))
+      .orderBy(col("doc_id")).limit(40)
+    base.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val docs = Tables.documents(spark, tmp)
+    val delta = SuffixRanks.syntheticDocDelta(docs)
+    // maintained fit: persisted word table + delta census, NO corpus
+    // re-scan — must equal the full retrain over the merged corpus
+    // bit-for-bit (integer counts, associative addition: no drift gate
+    // exists because there is nothing to drift)
+    val maintained = Unigram.incrementalVocabs(spark, tmp, delta)
+    val merged = docs.select(col("doc_id"), col("text"))
+      .unionByName(delta.select(col("doc_id"), col("text")))
+    val retrained = Unigram.retrainOver(merged)
+    assert(maintained === retrained,
+      "incremental vocabularies diverged from the full retrain")
+    // the persisted word-table artifact exists under the corpus stamp
+    val stamp = graft.sources.CorpusStamp.of(
+      spark, s"$tmp/documents.parquet")
+    val safe = tmp.replaceAll("[^A-Za-z0-9._-]", "_")
+    val wordDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_unigram_words", safe,
+      f"s$stamp%016x")
+    assert(java.nio.file.Files.exists(wordDir.resolve("_SUCCESS")),
+      "word table must be persisted under its stamp-named directory")
+    // the ingest: mutate the corpus to the merged content, install the
+    // maintained fit — the post-ingest cachedVocabs must serve it.
+    // Because maintenance == retrain bit-for-bit, serve-vs-retrain is
+    // unobservable on the REAL value; prove install-serving with a
+    // sentinel-modified copy (tmp-dir-only probe: if cachedVocabs
+    // returns the sentinel it served the install; a retrain would
+    // return the true fit), then re-install the correct one.
+    // cut the lineage before the self-overwrite: merged READS the same
+    // parquet dir the mutation rewrites
+    val mergedCp = merged.localCheckpoint()
+    val mergedWords = graft.functions.TextOps.explodedWords(mergedCp)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    mergedCp.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val stamp2 = graft.sources.CorpusStamp.of(
+      spark, s"$tmp/documents.parquet")
+    assert(stamp2 !== stamp, "mutation must flip the stamp")
+    val sentinel = maintained.init :+ maintained.last.map(p =>
+      p.copy(cnt = p.cnt + 1000000))
+    Unigram.installVocabs(spark, tmp, sentinel, mergedWords)
+    val wordDir2 = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_unigram_words", safe,
+      f"s$stamp2%016x")
+    assert(java.nio.file.Files.exists(wordDir2.resolve("_SUCCESS")),
+      "install must persist the merged word table under the new stamp")
+    assert(Unigram.cachedVocabs(spark, tmp) === sentinel,
+      "post-ingest access must serve the installed fit, not retrain")
+    Unigram.installVocabs(spark, tmp, maintained, mergedWords)
+    assert(Unigram.cachedVocabs(spark, tmp) === maintained)
+  }
+
   test("segTable: rounds cover the word table; segs concat to words") {
     val segs = Unigram.segTable(spark, sf("sf0.001"))
     val bad = segs
