@@ -596,7 +596,9 @@ object Bench {
       // two new incremental maintainers (PCA warm-start, unigram vocab)
       "ingest_maintained_query", "ingest_rebuild_query",
       "build_pca_incremental", "pca_incremental",
-      "build_unigram_incremental", "unigram_incremental")
+      "build_unigram_incremental", "unigram_incremental",
+      // round-17: the entropy-coded codec (zlib inflate + CRC walk)
+      "media_png")
     val byName = results.toMap
     // a renamed/removed registry entry silently shrinking the headline map
     // would go unnoticed — surface it

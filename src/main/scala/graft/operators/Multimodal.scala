@@ -342,6 +342,273 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** A THIRD real container family through the same codec seam: PNG
+    * (8-bit grayscale, non-interlaced) — the ENTROPY-CODED payload the
+    * WAV/BMP header walks cannot prove. Their pixel bytes sit at an
+    * affine offset of the header fields; here the raster rides a zlib
+    * DEFLATE stream ([[java.util.zip.Inflater]]), so no arithmetic on
+    * the header reaches a single pixel — the decoder must actually
+    * decompress, and the compressed length has no closed-form relation
+    * to the output length. On top of the inflate seam, the format
+    * carries the remaining container pathologies: per-chunk CRC32
+    * VALIDATION (a bit-flipped chunk must decode empty, not propagate
+    * garbage — WAV/BMP have no integrity field at all), a multi-chunk
+    * data stream (IDAT split at an arbitrary boundary; the zlib stream
+    * is the CONCATENATION, so inflating chunks independently fails),
+    * an ancillary chunk (tEXt) the walk must skip, and per-row FILTERS
+    * (each scanline is predicted from its neighbors before
+    * compression; the encoder cycles all five — None/Sub/Up/Average/
+    * Paeth — so reconstruction must implement each, including the
+    * Paeth tie-break order).
+    *
+    * Contract on bad input: empty decode, never a throw (the WavCodec
+    * contract). Like BMP there is NO truncation salvage — a truncated
+    * DEFLATE stream has no trustworthy prefix (the back-references an
+    * LZ77 window carries mean a missing tail can invalidate earlier
+    * output interpretation, and the stream's Adler/CRC never gets
+    * verified), so any of: bad signature, CRC mismatch, chunk running
+    * past the buffer, IHDR not first / wrong geometry / unsupported
+    * bit depth / color type / interlace, non-contiguous IDAT chunks,
+    * missing IEND, inflate error, inflated size != h*(1+w), or an
+    * unknown filter type decodes EMPTY. [[graft.MultimodalSpec]] pins
+    * each corner.
+    */
+  object PngCodec extends Codec {
+    private val SIG = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0d, 0x0a, 0x1a, 0x0a)
+    override def decode(p: Array[Byte]): Array[Byte] = {
+      def u32(i: Int): Long = // PNG is big-endian, unlike WAV/BMP
+        (p(i) & 0xffL) << 24 | (p(i + 1) & 0xffL) << 16 |
+          (p(i + 2) & 0xffL) << 8 | (p(i + 3) & 0xffL)
+      if (p.length < SIG.length + 12 ||
+          !java.util.Arrays.equals(
+            java.util.Arrays.copyOf(p, SIG.length), SIG))
+        return Array.emptyByteArray
+      var off = SIG.length
+      var w = 0L; var h = 0L
+      var sawIhdr = false; var sawIend = false; var idatDone = false
+      val idat = new java.io.ByteArrayOutputStream()
+      val crc = new java.util.zip.CRC32
+      while (!sawIend) {
+        if (off + 8 > p.length) return Array.emptyByteArray
+        val sz = u32(off)
+        if (sz > Int.MaxValue - 12 || off + 12 + sz > p.length)
+          return Array.emptyByteArray
+        val szI = sz.toInt
+        val id = new String(p, off + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        crc.reset()
+        crc.update(p, off + 4, 4 + szI) // CRC covers type + data
+        if (crc.getValue != u32(off + 8 + szI))
+          return Array.emptyByteArray // integrity, not just structure
+        val body = off + 8
+        id match {
+          case "IHDR" =>
+            // must be the FIRST chunk, exactly once, 13 bytes
+            if (sawIhdr || off != SIG.length || szI != 13)
+              return Array.emptyByteArray
+            sawIhdr = true
+            w = u32(body); h = u32(body + 4)
+            val bitDepth = p(body + 8) & 0xff
+            val colorType = p(body + 9) & 0xff
+            val compression = p(body + 10) & 0xff
+            val filterMethod = p(body + 11) & 0xff
+            val interlace = p(body + 12) & 0xff
+            if (w <= 0 || h <= 0 || w * h > Int.MaxValue ||
+                bitDepth != 8 || colorType != 0 || compression != 0 ||
+                filterMethod != 0 || interlace != 0)
+              return Array.emptyByteArray
+          case "IDAT" =>
+            // IDAT chunks must be CONSECUTIVE (PNG spec 5.6): a
+            // non-IDAT chunk between two IDATs is malformed
+            if (!sawIhdr || idatDone) return Array.emptyByteArray
+            idat.write(p, body, szI)
+          case "IEND" =>
+            if (szI != 0) return Array.emptyByteArray
+            sawIend = true
+          case _ =>
+            if (!sawIhdr) return Array.emptyByteArray
+            if (idat.size > 0) idatDone = true
+        }
+        off = body + szI + 4
+      }
+      if (idat.size == 0) return Array.emptyByteArray
+      // the entropy seam: output size is h*(1+w) by CONTRACT, but no
+      // byte of it exists until the zlib stream actually inflates
+      val rowBytes = 1 + w.toInt // filter byte + w pixels (8-bit gray)
+      val expect = h.toInt * rowBytes
+      val raw = new Array[Byte](expect)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var got = 0
+        while (got < expect && !inf.finished()) {
+          val n = inf.inflate(raw, got, expect - got)
+          if (n == 0 && inf.needsInput()) return Array.emptyByteArray
+          got += n
+        }
+        // a stream that is short, long, or unfinished lies about the
+        // geometry the header declared — reject, no salvage
+        if (got != expect || !inf.finished())
+          return Array.emptyByteArray
+      } catch {
+        case _: java.util.zip.DataFormatException =>
+          return Array.emptyByteArray
+      } finally inf.end()
+      // reconstruct the per-row filters (PNG spec 9.2; bpp = 1)
+      val wi = w.toInt; val hi = h.toInt
+      val out = new Array[Byte](wi * hi)
+      var r = 0
+      while (r < hi) {
+        val ft = raw(r * rowBytes) & 0xff
+        var x = 0
+        while (x < wi) {
+          val f = raw(r * rowBytes + 1 + x) & 0xff
+          val a = if (x > 0) out(r * wi + x - 1) & 0xff else 0
+          val b = if (r > 0) out((r - 1) * wi + x) & 0xff else 0
+          val c = if (x > 0 && r > 0) out((r - 1) * wi + x - 1) & 0xff
+                  else 0
+          val recon = ft match {
+            case 0 => f
+            case 1 => f + a
+            case 2 => f + b
+            case 3 => f + (a + b) / 2
+            case 4 => // Paeth: nearest to p, ties break a, then b
+              val pp = a + b - c
+              val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+              val pc = math.abs(pp - c)
+              f + (if (pa <= pb && pa <= pc) a
+                   else if (pb <= pc) b else c)
+            case _ => return Array.emptyByteArray
+          }
+          out(r * wi + x) = (recon & 0xff).toByte
+          x += 1
+        }
+        r += 1
+      }
+      out
+    }
+  }
+
+  /** Synthesize a canonical 8-bit-grayscale PNG holding `s`'s bytes as
+    * pixels. Width cycles 1..6 by length, the final row's tail pads
+    * with spaces (decoded stream = `rpad(s, w*ceil(len/w), ' ')` — the
+    * BMP closed form with a different modulus), the per-row filter
+    * type cycles 0..4 by row (all five reconstructions exercised in
+    * one image), the zlib stream splits into two IDAT chunks at a
+    * length-dependent boundary, and a variable-length tEXt chunk sits
+    * between IHDR and the first IDAT so the walk must skip ancillary
+    * chunks. `malformed` corrupts the signature.
+    */
+  def pngEncode(s: String, malformed: Boolean = false): Array[Byte] = {
+    val px = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val w = (px.length % 6) + 1
+    val h = (px.length + w - 1) / w
+    val raster = new Array[Byte](w * h)
+    java.util.Arrays.fill(raster, ' '.toByte)
+    System.arraycopy(px, 0, raster, 0, px.length)
+    // filter each scanline per PNG spec 9.2 (bpp = 1), cycling types
+    val raw = new Array[Byte](h * (1 + w))
+    var r = 0
+    while (r < h) {
+      val ft = r % 5
+      raw(r * (1 + w)) = ft.toByte
+      var x = 0
+      while (x < w) {
+        val cur = raster(r * w + x) & 0xff
+        val a = if (x > 0) raster(r * w + x - 1) & 0xff else 0
+        val b = if (r > 0) raster((r - 1) * w + x) & 0xff else 0
+        val c = if (x > 0 && r > 0) raster((r - 1) * w + x - 1) & 0xff
+                else 0
+        val filt = ft match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case _ =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            cur - (if (pa <= pb && pa <= pc) a
+                   else if (pb <= pc) b else c)
+        }
+        raw(r * (1 + w) + 1 + x) = (filt & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](512)
+    while (!deflater.finished())
+      zBuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val z = zBuf.toByteArray
+    val split = math.min(z.length, (px.length % 11) + 1)
+    val txt = ("k " + "v" * (px.length % 7))
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    if (malformed) { // corrupt the signature's high byte
+      val sig = out.toByteArray; sig(0) = 'Q'.toByte
+      out.reset(); out.write(sig, 0, 8)
+    }
+    def chunk(id: String, data: Array[Byte]): Unit = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length) // BE default
+      b.putInt(data.length)
+      b.put(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      b.put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(b.array(), 4, 4 + data.length)
+      b.putInt(crc.getValue.toInt)
+      out.write(b.array(), 0, b.capacity())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("tEXt", txt) // ancillary — the walk must skip it
+    chunk("IDAT", java.util.Arrays.copyOfRange(z, 0, split))
+    if (split < z.length)
+      chunk("IDAT", java.util.Arrays.copyOfRange(z, split, z.length))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Synthetic PNG media table: each document's printable-ASCII
+    * projection as 8-bit grayscale pixels inside a real PNG container;
+    * every 17th-ish doc (doc_id % 17 == 3) is corrupted — the oracle
+    * predicts those rows decode empty.
+    */
+  def pngMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val enc = udf((s: String, bad: Boolean) => pngEncode(s, bad))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), lit("image").as("kind"),
+        enc(regexp_replace(col("text"), "[^ -~]", ""),
+          col("doc_id") % 17 === 3).as("payload"))
+  }
+
+  /** Registry entry: the feature battery over [[PngCodec]] — the
+    * oracle rebuilds every column from `documents.text` (the decoded
+    * raster is the space-padded printable projection at width
+    * (len % 6) + 1, a closed form), so only a decoder that walks CRC-
+    * valid chunks, concatenates the split IDAT stream, actually
+    * INFLATES it, and reconstructs all five filter types matches —
+    * and the corrupted subset must decode empty.
+    */
+  def mediaPng(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = pngMediaTable(spark, dir).as[MediaRecord]
+    extractFeatures(ds, PngCodec)
+      .toDF()
+      .select(col("doc_id"), col("kind"), col("n_bytes"),
+        col("entropy"), col("frames_sampled"),
+        hex(col("preview")).as("preview_hex"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Synthetic media table: deterministic binary payloads derived from
     * document text (stand-in for real image/audio bytes), with typed
     * metadata columns a real pipeline would carry.

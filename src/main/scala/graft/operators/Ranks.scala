@@ -30,8 +30,9 @@ object Ranks {
     *     the DISTINCT-(kind, v) table, so a mega-tie (the zero-filled
     *     degenerate docs all sharing v = 0) is ONE row there. Buckets
     *     come from per-kind equi-depth splits over distinct values;
-    *     the only windows run per (kind) over nB bucket-count rows and
-    *     per (kind, bucket) over |distinct|/nB rows.
+    *     bucket offsets fold into a per-kind _b -> offset MAP inside
+    *     one tiny aggregate (no per-kind window stage), and the only
+    *     window runs per (kind, bucket) over |distinct|/nB rows.
     *  2. TIE — same-(kind, v) rows with smaller id: computed ONLY for
     *     rows in tie groups (cnt > 1; singleton groups — virtually all
     *     of a real corpus — skip the machinery entirely). Ids inside a
@@ -99,59 +100,111 @@ object Ranks {
       // feeds the splits aggregate AND the bucketed chain (the
       // avgRank2Kinds compute-dedup cut)
       .persist()
-    val splits = dv.groupBy(col("_k"))
+    // ONE per-kind panel: the equi-depth splits and the kind size ride
+    // the same tiny aggregate and the same broadcast join (previously
+    // two aggregates and two broadcast joins — and rankByKey sits in
+    // SuffixRanks' doubling loop, so each saved stage pays log n times).
+    // Persisted (kinds rows) because `bucketed` is consumed twice —
+    // the offsets chain and the below chain — and an uncached panel
+    // would re-run the percentile aggregate over dv for each.
+    val panel = dv.groupBy(col("_k"))
       .agg(expr(s"percentile_approx(_v, array($probs), 1000)")
-        .as("_splits"))
-    val bucketed = dv.join(broadcast(splits), Seq("_k"))
+        .as("_splits"),
+        sum(col("_cnt")).as("_nk"))
+      .persist()
+    // No explicit repartition here, deliberately: a shared
+    // repartition(_k, _b) would let EnsureRequirements elide the
+    // offsets aggregate's and wIn's exchanges, but AQE stage reuse did
+    // not dedup the two consumers' repartition subtrees in SuffixRanks'
+    // doubling loop (measured: build_suffix_index 29.7 -> 37.2 s), so
+    // the |dv|-row shuffle materialized twice. As is, the offsets
+    // aggregate ships only map-side-combined (kind, bucket) partials
+    // and wIn ships |dv| rows once — strictly less data moved.
+    val bucketed = dv.join(broadcast(panel), Seq("_k"))
       .withColumn("_b", graft.plans.ArrayCountLess(col("_splits"), col("_v")))
       .drop("_splits")
-    val wOff = Window.partitionBy(col("_k")).orderBy(col("_b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // per-kind bucket offsets as ONE broadcast struct per kind — a
+    // _b -> rows-before-bucket MAP — instead of a (kind, bucket) window
+    // stage: the cumulative sum folds over the sorted nB-entry bucket
+    // panel inside the aggregate (O(nB^2) on <= nB rows per kind,
+    // trivial), so the edges for ALL kinds travel in a single map
+    // lookup joined once on _k
     val offsets = bucketed.groupBy(col("_k"), col("_b"))
-      .agg(sum(col("_cnt")).as("_ps"))
-      .withColumn("_off", coalesce(sum(col("_ps")).over(wOff), lit(0L)))
-      .select(col("_k"), col("_b"), col("_off"))
+      .agg(sum(col("_cnt")).as("_bc"))
+      .groupBy(col("_k"))
+      .agg(sort_array(collect_list(struct(col("_b"), col("_bc"))))
+        .as("_lst"))
+      .select(col("_k"), map_from_entries(transform(col("_lst"),
+        (x, i) => struct(x("_b"),
+          aggregate(slice(col("_lst"), lit(1), i), lit(0L),
+            (a, y) => a + y("_bc"))))).as("_offmap"))
     val wIn = Window.partitionBy(col("_k"), col("_b")).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val below = bucketed.join(broadcast(offsets), Seq("_k", "_b"))
+    val below = bucketed.join(broadcast(offsets), Seq("_k"))
       .withColumn("_below",
-        col("_off") + coalesce(sum(col("_cnt")).over(wIn), lit(0L)))
-      .select(col("_k"), col("_v"), col("_cnt"), col("_below"))
+        element_at(col("_offmap"), col("_b")) +
+          coalesce(sum(col("_cnt")).over(wIn), lit(0L)))
+      .select(col("_k"), col("_v"), col("_cnt"), col("_nk"), col("_below"))
 
     // ---- term 2: same-v rows with smaller id (tie groups only) ----
-    // rows feeds three consumers (solo, the id-splits aggregate, the
-    // sub-bucketed tie chain) — cut once; the recompute from here is
-    // one equi-join over cached inputs, not the caller's lineage.
+    // rows feeds the solo branch and the tie chain — cut once; the
+    // recompute from here is one equi-join over cached inputs, not the
+    // caller's lineage.
     val rows = in.join(below, Seq("_k", "_v")).persist()
     val solo = rows.filter(col("_cnt") === 1)
       .withColumn("_tie", lit(0L))
     val tied = rows.filter(col("_cnt") > 1)
+    // persisted (1 row): idSplits feeds the tie chain, which is
+    // consumed twice (the cell-offset aggregate and the final join's
+    // probe side) — uncached, the percentile aggregate over the tie
+    // rows would run per consumer
     val idSplits = tied
       .agg(expr(
         s"percentile_approx(CAST(_id AS DOUBLE), array($probs), 1000)")
         .as("_isp"))
+      .persist()
+    // The tie group (kind, v) is keyed as (_k, _below) from here on:
+    // _below is strictly increasing in v within a kind, so the groups
+    // are identical — and _below is a LONG, so the tie-side exchanges
+    // carry no float-normalization wrappers (double grouping keys get
+    // normalize-wrapped by windows/joins but not by aggregates, which
+    // blocks any partitioning from satisfying both). No explicit
+    // shared repartition here for the same measured reason as
+    // `bucketed` above: AQE stage reuse does not dedup the two
+    // consumers' repartition subtrees inside SuffixRanks' doubling
+    // loop, so the tied rows would ship twice. As is, the cell
+    // aggregate ships map-side-combined cell partials, wRow ships the
+    // tied rows once, and wCell ships the tiny cell table. The
+    // mega-tie stays split: _ib is in every clustering key, so one
+    // giant (k, v) group spreads over nB cells.
     val tiedB = tied
       .crossJoin(broadcast(idSplits))
       .withColumn("_ib",
         graft.plans.ArrayCountLess(col("_isp"), col("_id").cast("double")))
       .drop("_isp")
-    val wCell = Window.partitionBy(col("_k"), col("_v")).orderBy(col("_ib"))
+    val wCell = Window.partitionBy(col("_k"), col("_below"))
+      .orderBy(col("_ib"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cellOff = tiedB
-      .groupBy(col("_k"), col("_v"), col("_ib"))
+      .groupBy(col("_k"), col("_below"), col("_ib"))
       .agg(count(lit(1)).as("_cc"))
       .withColumn("_coff", coalesce(sum(col("_cc")).over(wCell), lit(0L)))
-      .select(col("_k"), col("_v"), col("_ib"), col("_coff"))
-    val wRow = Window.partitionBy(col("_k"), col("_v"), col("_ib"))
+      .select(col("_k").as("_ck"), col("_below").as("_cb"),
+        col("_ib").as("_ci"), col("_coff"))
+    val wRow = Window.partitionBy(col("_k"), col("_below"), col("_ib"))
       .orderBy(col("_id"))
     val tiedRanked = tiedB
-      .join(broadcast(cellOff), Seq("_k", "_v", "_ib"))
+      .join(broadcast(cellOff),
+        col("_k") === col("_ck") && col("_below") === col("_cb") &&
+          col("_ib") === col("_ci"))
+      .drop("_ck", "_cb", "_ci")
       .withColumn("_tie", col("_coff") + row_number().over(wRow) - 1)
       .drop("_ib", "_coff")
 
     // ---- assemble: pct = rank0 / (n_kind - 1), Spark's own corner
-    // included (a singleton kind is 0.0, not 0/0). Kind sizes come
-    // from the cached distinct table, not another pass over `in`. ----
+    // included (a singleton kind is 0.0, not 0/0). Kind sizes ride the
+    // per-kind panel through the row chain (_nk), so no extra
+    // aggregate or join runs here. ----
     // No |id| < 2^53 guard: the double cast of _id feeds ONLY the
     // sub-bucket assignment, and the machinery is splits-agnostic —
     // ANY bucket boundaries yield the same prefix sums, so ids that
@@ -160,8 +213,6 @@ object Ranks {
     // eager check here would also execute the caller's full upstream
     // lineage just to CONSTRUCT the plan; id-uniqueness within
     // (kind, v) stays the one documented caller contract.
-    val nk = dv.groupBy(col("_k")).agg(sum(col("_cnt")).as("_nk"))
     solo.unionByName(tiedRanked)
-      .join(broadcast(nk), Seq("_k"))
   }
 }

@@ -473,8 +473,12 @@ object TextAnalysis {
     * pass without inheriting the presentation sort.
     */
   private[graft] def perplexityScores(docs: DataFrame): DataFrame = {
+    // persisted (vocabulary rows, Heaps-bounded): uni feeds the vocab
+    // scalar AND the per-bigram prefix join — uncached, the corpus
+    // explode + word aggregate would run once per consumer
     val uni = TextOps.explodedWords(docs)
       .groupBy(col("word")).agg(count(lit(1)).as("c1"))
+      .persist()
     val vocab = uni.agg(count(lit(1)).as("v"))
     // posexplode + lead bigram assembly (see Dedup.docNgrams — the
     // array-HOF path is interpreted); the bigram travels as a 64-bit

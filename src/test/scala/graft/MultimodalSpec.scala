@@ -223,6 +223,142 @@ class MultimodalSpec extends SparkTestBase {
     assert(bytes(corruptFmt) === Seq.empty)
   }
 
+  test("PngCodec round-trips pngEncode: every width/filter/split/tEXt") {
+    // n mod 6 covers every width 1..6, n >= 5 rows exercises all five
+    // cycling filters, n mod 11 covers every IDAT split boundary, and
+    // n mod 7 covers every ancillary tEXt length
+    for (n <- 0 to 120) {
+      val text = ("pack my box with five dozen liquor jugs " * 3).take(n)
+      val w = (n % 6) + 1
+      val raster = if (n == 0) 0 else w * ((n + w - 1) / w)
+      val expected = text.padTo(raster, ' ').getBytes("US-ASCII").toSeq
+      val got = Multimodal.PngCodec.decode(Multimodal.pngEncode(text)).toSeq
+      assert(got === expected,
+        s"round-trip failed at n=$n (w=$w, split=${(n % 11) + 1})")
+    }
+  }
+
+  test("PngCodec malformed corners decode empty, never throw") {
+    val text = "entropy coded raster payload rows!!" // 35 chars: w=6, 6 rows
+    val good = Multimodal.pngEncode(text)
+    def bytes(xs: Array[Byte]) = Multimodal.PngCodec.decode(xs).toSeq
+    assert(bytes(good).nonEmpty)
+    // local chunk splice kit: parse sig + (type, data) list, rebuild
+    // with fresh CRCs — lets the semantic rejections be tested apart
+    // from the CRC rejection
+    def chunks(p: Array[Byte]): Seq[(String, Array[Byte])] = {
+      var off = 8
+      val out = Seq.newBuilder[(String, Array[Byte])]
+      while (off < p.length) {
+        val len = java.nio.ByteBuffer.wrap(p, off, 4).getInt
+        out += ((new String(p, off + 4, 4, "US-ASCII"),
+          java.util.Arrays.copyOfRange(p, off + 8, off + 8 + len)))
+        off += 12 + len
+      }
+      out.result()
+    }
+    def build(cs: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte), 0, 8)
+      cs.foreach { case (id, data) =>
+        val b = java.nio.ByteBuffer.allocate(12 + data.length)
+        b.putInt(data.length).put(id.getBytes("US-ASCII")).put(data)
+        val crc = new java.util.zip.CRC32
+        crc.update(b.array(), 4, 4 + data.length)
+        b.putInt(crc.getValue.toInt)
+        out.write(b.array(), 0, b.capacity())
+      }
+      out.toByteArray
+    }
+    val cs = chunks(good)
+    assert(cs.count(_._1 == "IDAT") === 2, "fixture should split IDAT")
+    assert(bytes(build(cs)) === bytes(good), "splice kit is faithful")
+    // corrupted signature (the pngMediaTable malformed subset)
+    assert(bytes(Multimodal.pngEncode(text, malformed = true)) === Seq.empty)
+    // not a PNG at all / too short / empty
+    assert(bytes("plainly not a png container".getBytes("US-ASCII"))
+      === Seq.empty)
+    assert(bytes(Array[Byte](0x89.toByte, 'P', 'N')) === Seq.empty)
+    assert(bytes(Array.emptyByteArray) === Seq.empty)
+    // a single flipped bit in IDAT data: CRC must catch it (WAV/BMP
+    // have no integrity field — this is the new contract under test)
+    val idatAt = good.indexOfSlice("IDAT".getBytes("US-ASCII"))
+    val flip = good.clone; flip(idatAt + 6) = (flip(idatAt + 6) ^ 1).toByte
+    assert(bytes(flip) === Seq.empty, "corrupt IDAT must fail CRC")
+    // CRC is validated on ancillary chunks too
+    val textAt = good.indexOfSlice("tEXt".getBytes("US-ASCII"))
+    val flip2 = good.clone
+    flip2(textAt + 4) = (flip2(textAt + 4) ^ 1).toByte
+    assert(bytes(flip2) === Seq.empty, "corrupt tEXt must fail CRC")
+    // unsupported geometry/format, each with a VALID re-computed CRC
+    def mutIhdr(f: Array[Byte] => Unit): Array[Byte] =
+      build(cs.map { case ("IHDR", d) =>
+        val c = d.clone; f(c); ("IHDR", c)
+      case other => other })
+    assert(bytes(mutIhdr(d => d(8) = 16)) === Seq.empty) // bit depth
+    assert(bytes(mutIhdr(d => d(9) = 2)) === Seq.empty) // RGB color type
+    assert(bytes(mutIhdr(d => d(12) = 1)) === Seq.empty) // Adam7
+    assert(bytes(mutIhdr(d => { d(0) = 0; d(1) = 0; d(2) = 0; d(3) = 0 }))
+      === Seq.empty) // width 0
+    // declared height +1: the zlib stream inflates SHORT of h*(1+w) —
+    // only the inflate seam can catch this, no header arithmetic does
+    assert(bytes(mutIhdr(d => d(7) = (d(7) + 1).toByte)) === Seq.empty)
+    // truncation: no salvage anywhere (a cut DEFLATE stream has no
+    // trustworthy prefix)
+    assert(bytes(java.util.Arrays.copyOf(good, good.length - 13))
+      === Seq.empty)
+    // missing IEND (truncate exactly the final chunk): empty
+    assert(bytes(java.util.Arrays.copyOf(good, good.length - 12))
+      === Seq.empty)
+    // IHDR not first / duplicate / interleaved IDAT: all structural
+    assert(bytes(build(cs.filter(_._1 != "IHDR"))) === Seq.empty)
+    val Seq(ihdr, tx, id1, id2, iend) = cs
+    assert(bytes(build(Seq(tx, ihdr, id1, id2, iend))) === Seq.empty,
+      "IHDR must be the first chunk")
+    assert(bytes(build(Seq(ihdr, id1, tx, id2, iend))) === Seq.empty,
+      "IDAT chunks must be consecutive")
+    assert(bytes(build(Seq(ihdr, tx, iend))) === Seq.empty,
+      "no IDAT at all")
+    // unknown filter type: craft a 2x1 image whose scanline is
+    // filter 5 — structurally perfect, semantically invalid
+    val badRaw = Array[Byte](5, 'a', 'b')
+    val df = new java.util.zip.Deflater()
+    df.setInput(badRaw); df.finish()
+    val zb = new Array[Byte](64)
+    val zn = df.deflate(zb); df.end()
+    val ihdr21 = java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(1).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    assert(bytes(build(Seq(("IHDR", ihdr21),
+      ("IDAT", java.util.Arrays.copyOf(zb, zn)),
+      ("IEND", Array.emptyByteArray)))) === Seq.empty)
+  }
+
+  test("media_png query: decoded columns match the padded closed form") {
+    val out = Multimodal.mediaPng(spark, sf("sf0.001")).collect()
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), regexp_replace(col("text"), "[^ -~]", "")
+        .as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length === docs.size)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val s = if (id % 17 == 3) "" else docs(id)
+      val w = (s.length % 6) + 1
+      val raster = if (s.isEmpty) 0 else w * ((s.length + w - 1) / w)
+      assert(r.getLong(2) === raster.toLong,
+        s"doc $id: n_bytes != space-padded raster size")
+      if (raster == 0) {
+        assert(r.getDouble(3) === 0.0)
+        assert(r.getInt(4) === 0)
+        assert(r.getString(5) === "00" * 16)
+      }
+    }
+    // the corrupted subset actually exists at this SF
+    assert(out.exists(r => r.getLong(0) % 17 == 3 && r.getLong(2) == 0L))
+  }
+
   test("media_wav query: decoded columns match the text-derived closed form") {
     val out = Multimodal.mediaWav(spark, sf("sf0.001")).collect()
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
