@@ -411,6 +411,96 @@ object Unigram {
     vocabCache.put(dir, stamp, vocabs)
   }
 
+  // ------------------------------------------------------------------
+  // Store-keyed vocabulary family + the ingest-commit maintainer: the
+  // unigram analog of SuffixRanks' store family. The persisted word
+  // table and the fit cache key to a curatedIngest store's admitted
+  // docs; registered via graft.sources.ArtifactMaintenance, every
+  // pure-append commit merges the delta census into the persisted
+  // table and installs retrained-tail vocabularies under the
+  // post-commit stamp — the first post-ingest tokenizer access serves
+  // them with zero corpus scan. This is the second family through the
+  // same hook (after the suffix index), proving the registration is a
+  // contract, not a one-off.
+  // ------------------------------------------------------------------
+
+  /** Cache key prefix for store-rooted corpora — disjoint from
+    * testdata dir keys (absolute paths cannot start with it). */
+  private def storeKey(path: String): String = s"store:$path"
+
+  /** Probe hook: (stamp, committed word-table dir) currently served
+    * for the store — the E2E spec's no-rebuild evidence. */
+  private[graft] def servedStoreWords(path: String): Option[(Long, String)] =
+    wordDirCache.peek(storeKey(path))
+
+  /** The persisted (word, n) census over the store's admitted docs
+    * ([[graft.streaming.EventStreams.admittedDocs]]), stamped to the
+    * store's committed generation. */
+  private def storeWordFreqs(spark: SparkSession, path: String)
+      : DataFrame = {
+    val stamp = graft.sources.CorpusStamp.of(spark, path)
+    val p = wordDirCache.get(storeKey(path), stamp) {
+      writeWordTable(spark, storeKey(path), stamp, wordFreqsOf(
+        graft.streaming.EventStreams.admittedDocs(spark, path)))
+    }
+    spark.read.parquet(p)
+  }
+
+  /** The store's trained per-round vocabularies: cold = one corpus
+    * scan into the persisted word table + the EM tail; maintained =
+    * served straight from the commit-time install. */
+  def storeVocabs(spark: SparkSession, path: String): Seq[Seq[PieceCnt]] = {
+    val stamp = graft.sources.CorpusStamp.of(spark, path)
+    vocabCache.get(storeKey(path), stamp) {
+      fitVocabsFromWords(storeWordFreqs(spark, path))
+    }
+  }
+
+  /** Final trained vocabulary table for a store — [[train]]'s shape. */
+  def storeTrain(spark: SparkSession, path: String): DataFrame =
+    vocabDf(spark, storeVocabs(spark, path).last)
+
+  /** Install maintained vocabularies and the merged word table that
+    * produced them under the store's CURRENT (post-commit) stamp —
+    * the next increment then also skips the corpus scan. Durability
+    * and races follow [[writeWordTable]]'s attempt + atomic-promotion
+    * discipline; a racing cold builder's table is bit-identical, so
+    * first-promotion-wins is unobservable. */
+  def installStoreVocabs(spark: SparkSession, path: String,
+      vocabs: Seq[Seq[PieceCnt]], words: DataFrame): Unit = {
+    val stamp = graft.sources.CorpusStamp.of(spark, path)
+    wordDirCache.put(storeKey(path), stamp,
+      writeWordTable(spark, storeKey(path), stamp, words))
+    vocabCache.put(storeKey(path), stamp, vocabs)
+  }
+
+  /** The unigram family's [[graft.sources.ArtifactMaintenance]]
+    * maintainer. On a PURE-APPEND commit whose served word table was
+    * built under exactly the pre-commit stamp, it merges the delta's
+    * word census into the persisted table (word counts are exact
+    * integers and addition is associative, so the merged table IS the
+    * merged corpus's table — the maintained vocabularies are bit-equal
+    * to a retrain, no drift gate needed) and installs the re-run
+    * census+EM tail under the post-commit stamp. Everything else
+    * skips: a non-pure commit deletes words the additive merge cannot
+    * subtract, and a cold/mismatched table has nothing sound to
+    * extend. Skipping is always safe — the flipped stamp forces a
+    * correct rebuild on next access. */
+  def storeMaintainer: graft.sources.ArtifactMaintenance.Maintainer =
+    (spark, c) => {
+      if (c.pureAppend) {
+        wordDirCache.peek(storeKey(c.path)) match {
+          case Some((s, oldDir)) if s == c.preStamp =>
+            val merged = spark.read.parquet(oldDir)
+              .unionByName(wordFreqsOf(c.delta))
+              .groupBy(col("word")).agg(sum(col("n")).as("n"))
+            installStoreVocabs(spark, c.path,
+              fitVocabsFromWords(merged), merged)
+          case _ => () // cold/mismatched: correct rebuild on next access
+        }
+      }
+    }
+
   /** Process memo of the incremental DEMO's maintained vocabularies
     * (the [[SuffixRanks.syntheticDocDelta]] fixture): the registry
     * query, the `unigram_incr_segs` oracle export, and the bench entry

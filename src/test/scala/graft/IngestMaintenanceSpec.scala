@@ -119,6 +119,59 @@ class IngestMaintenanceSpec extends SparkTestBase {
     } finally ArtifactMaintenance.clear(path)
   }
 
+  test("two families on one store: a pure-append commit maintains the " +
+      "unigram vocabularies alongside the suffix index, bit-equal to " +
+      "a retrain, with zero post-ingest corpus scan") {
+    import graft.operators.Unigram
+    val path = freshStore()
+    // BOTH families ride the same commit — the registry is a contract,
+    // not a single-purpose hook
+    ArtifactMaintenance.register(path, "suffix")(SuffixRanks.storeMaintainer)
+    ArtifactMaintenance.register(path, "unigram")(Unigram.storeMaintainer)
+    try {
+      val b1 = (500L to 529L).map(doc)
+      val b2 = (600L to 619L).map(doc)
+      var wordsAtCommit: Option[(Long, String)] = None
+      var mtimeAtCommit = 0L
+      ingest(path, Seq(b1, b2)) {
+        case 0 =>
+          // cold build on first access registers the served word table
+          Unigram.storeVocabs(spark, path)
+          assert(Unigram.servedStoreWords(path).isDefined,
+            "cold fit must register the served word table")
+          SuffixRanks.storeRankTable(spark, path).count()
+        case 1 =>
+          // the maintainer ran INSIDE the commit for BOTH families
+          wordsAtCommit = Unigram.servedStoreWords(path)
+          assert(wordsAtCommit.isDefined, "unigram maintainer did not install")
+          val (stamp, dir) = wordsAtCommit.get
+          assert(stamp === graft.sources.CorpusStamp.of(spark, path),
+            "installed word table must carry the POST-commit stamp")
+          assert(Files.exists(Paths.get(dir, "_SUCCESS")))
+          mtimeAtCommit =
+            Files.getLastModifiedTime(Paths.get(dir, "_SUCCESS")).toMillis
+          assert(SuffixRanks.servedStoreIndex(path).exists(
+            _._1 === stamp), "suffix maintainer must also have installed")
+        case _ => ()
+      }
+      // first post-ingest access serves the maintained vocabularies
+      // without touching the word table on disk (no rebuild, no merge)
+      val served = Unigram.storeVocabs(spark, path)
+      assert(Unigram.servedStoreWords(path) === wordsAtCommit)
+      val (_, dir) = wordsAtCommit.get
+      assert(Files.getLastModifiedTime(Paths.get(dir, "_SUCCESS")).toMillis
+        === mtimeAtCommit,
+        "post-ingest access re-promoted the word table — a rebuild happened")
+      // the maintained vocabularies ARE the retrain's, bit-for-bit
+      // (integer word counts merge associatively — no drift gate)
+      val retrained = Unigram.retrainOver(
+        EventStreams.admittedDocs(spark, path))
+      assert(served === retrained,
+        "maintained vocabularies diverged from a full retrain")
+      assert(served.last.nonEmpty)
+    } finally ArtifactMaintenance.clear(path)
+  }
+
   test("non-pure commit (old doc tombstoned) skips maintenance and " +
       "falls back to a correct rebuild on access") {
     val path = freshStore()
