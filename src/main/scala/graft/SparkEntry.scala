@@ -397,6 +397,12 @@ object SparkEntry {
     "q16_supplier_variety" -> ((s, d) => TpcH.q16SupplierVariety(s, d)),
     "q15_top_supplier" -> ((s, d) => TpcH.q15TopSupplier(s, d)),
     "q17_small_quantity" -> ((s, d) => TpcH.q17SmallQuantity(s, d)),
+    // r17: the last three TPC-H members (partsupp-adapted shapes —
+    // correlated MIN, scalar-subquery HAVING, nested IN chain)
+    "q2_min_cost_supplier" -> ((s, d) => TpcH.q2MinCostSupplier(s, d)),
+    "q11_important_stock" -> ((s, d) => TpcH.q11ImportantStock(s, d)),
+    "q20_promotion_suppliers" ->
+      ((s, d) => TpcH.q20PromotionSuppliers(s, d)),
     "q18_large_orders" -> ((s, d) => TpcH.q18LargeOrders(s, d)),
     "q19_disjunctive" -> ((s, d) => TpcH.q19Disjunctive(s, d)),
     "q21_waiting_suppliers" -> ((s, d) => TpcH.q21WaitingSuppliers(s, d)),
@@ -2350,6 +2356,78 @@ object SparkEntry {
         |JOIN part ON l_partkey = p_partkey
         |JOIN pa ON lineitem.l_partkey = pa.l_partkey
         |WHERE p_brand = 'Brand#3' AND l_quantity < qty_limit""".stripMargin,
+    // q2 adaptation: the supply relation derives from lineitem
+    // (supplier s supplies part p at unit cost min(extendedprice /
+    // quantity)); the double division is identical IEEE on both
+    // engines and MIN is an exact selection, so the cost = min_cost
+    // equality join-back is safe cross-engine.
+    "q2_min_cost_supplier" ->
+      """WITH rsupp AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |supply AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eligible AS (
+        |  SELECT l_partkey, cost, s_acctbal, s_name, n_name
+        |  FROM supply JOIN rsupp ON l_suppkey = s_suppkey),
+        |mc AS (
+        |  SELECT l_partkey, min(cost) AS min_cost
+        |  FROM eligible GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+        |       round(min_cost, 4) AS min_cost
+        |FROM eligible e
+        |JOIN mc ON e.l_partkey = mc.l_partkey AND e.cost = mc.min_cost
+        |JOIN part ON e.l_partkey = p_partkey
+        |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    // q11 adaptation: per-part revenue of one nation's suppliers
+    // stands in for partsupp stock value; the fraction threshold runs
+    // entirely in DECIMAL on both engines (0.0008 is a decimal
+    // literal in DuckDB and a BigDecimal literal in the Spark code),
+    // so a boundary part cannot flip.
+    "q11_important_stock" ->
+      """WITH val AS (
+        |  SELECT l_partkey AS p_partkey,
+        |         sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS value
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(value) AS total FROM val)
+        |SELECT p_partkey, CAST(value AS DOUBLE) AS value
+        |FROM val, tot
+        |WHERE value > total * 0.0008
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+    // q20 adaptation: shipped 1997 quantity stands in for partsupp
+    // availqty on both sides of the correlated comparison, which runs
+    // in exact decimal as sq * 2 > tq (no 0.5 double multiply).
+    "q20_promotion_suppliers" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'ECONOMY'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT l_partkey, sum(sq) AS tq FROM shipped GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT s.l_suppkey
+        |  FROM shipped s JOIN totals t ON s.l_partkey = t.l_partkey
+        |  WHERE s.sq * 2 > t.tq)
+        |ORDER BY s_name""".stripMargin,
     "q21_waiting_suppliers" ->
       """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
         |FROM lineitem l1

@@ -518,14 +518,33 @@ object Ivf {
   def incrementalCentroids(spark: SparkSession, dir: String,
       delta: DataFrame, nCells: Int, iters: Int,
       maxDeltaFrac: Double = 0.5): DataFrame = {
-    import spark.implicits._
     val old = cachedCentroids(spark, dir, nCells, iters)
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
       .sortBy(_._1)
     if (old.isEmpty)
       return buildCentroids(delta, nCells, iters)
+    incrementalOver(spark, old, cellCounts(spark, dir, nCells, iters),
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      delta, nCells, iters, maxDeltaFrac)._1
+  }
+
+  /** Corpus-agnostic core of the incremental update: old centroids +
+    * occupancy arrive EXPLICITLY (a maintainer holds them from the
+    * pre-commit state — re-deriving through the stamped caches after
+    * the commit flipped the stamp would trigger the very rebuild the
+    * maintenance exists to avoid), and the drift fallback rebuilds
+    * over `oldCorpus` ∪ delta. Also returns the updated per-cell
+    * occupancy (old counts + delta assignment mass) so a store
+    * maintainer can install it for the NEXT increment — None when the
+    * drift gate forced a rebuild (the maintained geometry changed, so
+    * occupancy must be re-derived lazily).
+    */
+  private[graft] def incrementalOver(spark: SparkSession,
+      old: Seq[(Int, Seq[Float])], counts: Map[Int, Long],
+      oldCorpus: => DataFrame, delta: DataFrame, nCells: Int, iters: Int,
+      maxDeltaFrac: Double): (DataFrame, Option[Map[Int, Long]]) = {
+    import spark.implicits._
     val dim = old.head._2.length
-    val counts = cellCounts(spark, dir, nCells, iters)
     // delta assignment + per-cell mass in ONE aggregate (the Lloyd
     // update shape: count + dim decimal sums keyed on cell)
     val cidLit = typedLit(old.map(_._1))
@@ -550,12 +569,15 @@ object Ivf {
     val deltaN = stats.values.map(_._1).sum
     if (oldN == 0 || deltaN > maxDeltaFrac * oldN) {
       // drift gate tripped: full re-seed over the merged corpus
-      buildCentroids(
-        Tables.embeddings(spark, dir).select("vec_id", "embedding")
-          .unionByName(delta.select("vec_id", "embedding")),
-        nCells, iters)
+      (buildCentroids(
+        oldCorpus.unionByName(delta.select("vec_id", "embedding")),
+        nCells, iters), None)
     } else {
-      mergeCentroids(old, counts, stats).toDF("cid", "cvec")
+      (mergeCentroids(old, counts, stats).toDF("cid", "cvec"),
+        Some(old.map { case (cid, _) =>
+          cid -> (counts.getOrElse(cid, 0L) +
+            stats.get(cid).map(_._1).getOrElse(0L))
+        }.toMap))
     }
   }
 
@@ -603,5 +625,101 @@ object Ivf {
       .select("vec_id", "embedding")
       .unionByName(syntheticDelta(spark, dir))
     ivfTopKOver(merged, maintained)
+  }
+
+  // ------------------------------------------------------------------
+  // Store-keyed centroid family + the vectorIngest maintainer: the
+  // same stamped-cache centroids, keyed to an EventStreams.vectorIngest
+  // store's vectors, delta-folded on every pure-append commit — the
+  // embedding-side completion of the suffix/unigram document families'
+  // ingest wiring.
+  // ------------------------------------------------------------------
+
+  /** Cache key prefix for store-rooted corpora — disjoint from
+    * testdata dir keys (absolute paths cannot start with it). */
+  private def storeKey(path: String): String = s"store:$path"
+
+  /** Probe hook: the (stamp, centroid rows) currently served for the
+    * store — the E2E spec's no-rebuild evidence. */
+  private[graft] def servedStoreCentroids(path: String, nCells: Int,
+      iters: Int): Option[(Long, Seq[(Int, Seq[Float])])] =
+    centroidCache.peek((storeKey(path), nCells, iters))
+
+  /** Centroids over a [[graft.streaming.EventStreams.vectorIngest]]
+    * store, stamp-cached like the dir form: cold = one k-means build
+    * over the store's vectors; maintained = served from the
+    * commit-time install. */
+  def storeCentroids(spark: SparkSession, path: String, nCells: Int,
+      iters: Int): DataFrame = {
+    val stamp = graft.sources.CorpusStamp.of(spark, path)
+    val rows = centroidCache.get((storeKey(path), nCells, iters), stamp) {
+      buildCentroids(
+        graft.streaming.EventStreams.admittedVectors(spark, path)
+          .select("vec_id", "embedding"),
+        nCells, iters)
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    }
+    import spark.implicits._
+    rows.toDF("cid", "cvec")
+  }
+
+  /** Per-cell occupancy of the served store index, stamp-cached —
+    * populated lazily on first access (one assignment map + a k-row
+    * aggregate) or installed by the maintainer with the exact updated
+    * counts. */
+  def storeCellCounts(spark: SparkSession, path: String, nCells: Int,
+      iters: Int): Map[Int, Long] = {
+    val stamp = graft.sources.CorpusStamp.of(spark, path)
+    cellCountCache.get((storeKey(path), nCells, iters), stamp) {
+      assign(graft.streaming.EventStreams.admittedVectors(spark, path),
+        storeCentroids(spark, path, nCells, iters))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+  }
+
+  /** The IVF family's [[graft.sources.ArtifactMaintenance]]
+    * maintainer, for [[graft.streaming.EventStreams.vectorIngest]]
+    * stores. On a PURE-APPEND commit whose served centroids were
+    * built under exactly the pre-commit stamp, it folds the delta in
+    * via [[incrementalOver]] (occupancy comes from the cache when the
+    * pre-commit pass ran, else from ONE pass over the old corpus —
+    * admitted minus delta ids, sound under pure-append) and installs
+    * centroids AND updated occupancy under the post-commit stamp, so
+    * the first post-ingest query serves the maintained index and the
+    * NEXT increment needs no corpus pass at all. Anything else skips
+    * — the flipped stamp already forces a correct rebuild on access.
+    */
+  def storeMaintainer(nCells: Int = 16, iters: Int = 2,
+      maxDeltaFrac: Double = 0.5)
+      : graft.sources.ArtifactMaintenance.Maintainer = (spark, c) => {
+    if (c.pureAppend) {
+      val key = (storeKey(c.path), nCells, iters)
+      centroidCache.peek(key) match {
+        case Some((s, oldRows)) if s == c.preStamp && oldRows.nonEmpty =>
+          val old = oldRows.sortBy(_._1)
+          lazy val oldCorpus = graft.streaming.EventStreams
+            .admittedVectors(spark, c.path)
+            .select("vec_id", "embedding")
+            .join(broadcast(c.delta.select(col("vec_id"))),
+              Seq("vec_id"), "left_anti")
+          val counts = cellCountCache.peek(key) match {
+            case Some((cs, held)) if cs == c.preStamp => held
+            case _ =>
+              import spark.implicits._
+              assign(oldCorpus, old.toDF("cid", "cvec"))
+                .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+                .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          }
+          val delta = c.delta.select(col("vec_id"), col("embedding"))
+          val (maintained, newCounts) = incrementalOver(spark, old,
+            counts, oldCorpus, delta, nCells, iters, maxDeltaFrac)
+          val post = graft.sources.CorpusStamp.of(spark, c.path)
+          centroidCache.put(key, post, maintained.collect()
+            .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq)
+          newCounts.foreach(nc => cellCountCache.put(key, post, nc))
+        case _ => () // cold/mismatched: correct rebuild on next access
+      }
+    }
   }
 }

@@ -288,14 +288,31 @@ object Pq {
   def incrementalCodebook(spark: SparkSession, dir: String,
       delta: DataFrame, m: Int, ks: Int, iters: Int, dim: Int = 64,
       maxDeltaFrac: Double = 0.5): DataFrame = {
-    import spark.implicits._
     val old = cachedCodebook(spark, dir, m, ks, iters, dim)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
       .toSeq.sortBy(t => (t._1, t._2))
     if (old.isEmpty)
       return buildCodebook(subvectors(delta, m, dim), ks, iters)
+    incrementalOver(spark, old, codeCounts(spark, dir, m, ks, iters, dim),
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      delta, m, ks, iters, dim, maxDeltaFrac)._1
+  }
+
+  /** Corpus-agnostic core of the incremental update (the
+    * [[Ivf.incrementalOver]] pattern per subspace): old codebook +
+    * occupancy arrive EXPLICITLY — a maintainer holds them from the
+    * pre-commit state — and the drift fallback rebuilds over
+    * `oldCorpus` ∪ delta. Also returns the updated (sub, code)
+    * occupancy so a store maintainer can install it for the NEXT
+    * increment; None when the drift gate forced a rebuild.
+    */
+  private[graft] def incrementalOver(spark: SparkSession,
+      old: Seq[(Int, Int, Seq[Double])], counts: Map[(Int, Int), Long],
+      oldCorpus: => DataFrame, delta: DataFrame, m: Int, ks: Int,
+      iters: Int, dim: Int, maxDeltaFrac: Double)
+      : (DataFrame, Option[Map[(Int, Int), Long]]) = {
+    import spark.implicits._
     val subDim = dim / m
-    val counts = codeCounts(spark, dir, m, ks, iters, dim)
     val oldBook = old.toDF("sub", "code", "cword")
     val sums = (0 until subDim).map(i =>
       sum(element_at(col("svec"), i + 1).cast("decimal(28,12)"))
@@ -328,12 +345,15 @@ object Pq {
     val oldN = counts.collect { case ((0, _), n) => n }.sum
     val deltaN = stats.collect { case ((0, _), (mc, _)) => mc }.sum
     if (oldN == 0 || deltaN > maxDeltaFrac * oldN) {
-      buildCodebook(subvectors(
-        Tables.embeddings(spark, dir).select("vec_id", "embedding")
-          .unionByName(delta.select("vec_id", "embedding")), m, dim),
-        ks, iters)
+      (buildCodebook(subvectors(
+        oldCorpus.unionByName(delta.select("vec_id", "embedding")),
+        m, dim), ks, iters), None)
     } else {
-      mergeCodebook(old, counts, stats).toDF("sub", "code", "cword")
+      (mergeCodebook(old, counts, stats).toDF("sub", "code", "cword"),
+        Some(old.map { case (sub, code, _) =>
+          (sub, code) -> (counts.getOrElse((sub, code), 0L) +
+            stats.get((sub, code)).map(_._1).getOrElse(0L))
+        }.toMap))
     }
   }
 
@@ -361,5 +381,96 @@ object Pq {
       .select("vec_id", "embedding")
       .unionByName(Ivf.syntheticDelta(spark, dir))
     pqTopKOver(merged, maintained)
+  }
+
+  // ------------------------------------------------------------------
+  // Store-keyed codebook family + the vectorIngest maintainer — the
+  // PQ member of the embedding-store wiring (see Ivf's store section).
+  // ------------------------------------------------------------------
+
+  private def storeKey(path: String): String = s"store:$path"
+
+  /** Probe hook: the (stamp, codebook rows) currently served for the
+    * store. */
+  private[graft] def servedStoreCodebook(path: String, m: Int, ks: Int,
+      iters: Int, dim: Int = 64)
+      : Option[(Long, Seq[(Int, Int, Seq[Double])])] =
+    codebookCache.peek((storeKey(path), m, ks, iters, dim))
+
+  /** Codebook over a [[graft.streaming.EventStreams.vectorIngest]]
+    * store, stamp-cached like the dir form. */
+  def storeCodebook(spark: SparkSession, path: String, m: Int, ks: Int,
+      iters: Int, dim: Int = 64): DataFrame = {
+    val stamp = graft.sources.CorpusStamp.of(spark, path)
+    val rows = codebookCache.get((storeKey(path), m, ks, iters, dim),
+        stamp) {
+      buildCodebook(subvectors(
+        graft.streaming.EventStreams.admittedVectors(spark, path)
+          .select("vec_id", "embedding"), m, dim), ks, iters)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    }
+    import spark.implicits._
+    rows.toDF("sub", "code", "cword")
+  }
+
+  /** Per-(sub, code) occupancy of the served store codebook —
+    * populated lazily or installed exactly by the maintainer. */
+  def storeCodeCounts(spark: SparkSession, path: String, m: Int,
+      ks: Int, iters: Int, dim: Int = 64): Map[(Int, Int), Long] = {
+    val stamp = graft.sources.CorpusStamp.of(spark, path)
+    codeCountCache.get((storeKey(path), m, ks, iters, dim), stamp) {
+      assign(subvectors(
+        graft.streaming.EventStreams.admittedVectors(spark, path), m, dim),
+        storeCodebook(spark, path, m, ks, iters, dim))
+        .groupBy(col("sub"), col("code")).agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    }
+  }
+
+  /** The PQ family's [[graft.sources.ArtifactMaintenance]] maintainer
+    * for vectorIngest stores — the [[Ivf.storeMaintainer]] contract
+    * per subspace: pure-append + stamp-matched served codebook folds
+    * the delta and installs codebook + exact updated occupancy under
+    * the post-commit stamp; anything else skips to the staleness
+    * rebuild.
+    */
+  def storeMaintainer(m: Int = 8, ks: Int = 16, iters: Int = 1,
+      dim: Int = 64, maxDeltaFrac: Double = 0.5)
+      : graft.sources.ArtifactMaintenance.Maintainer = (spark, c) => {
+    if (c.pureAppend) {
+      val key = (storeKey(c.path), m, ks, iters, dim)
+      codebookCache.peek(key) match {
+        case Some((s, oldRows)) if s == c.preStamp && oldRows.nonEmpty =>
+          val old = oldRows.sortBy(t => (t._1, t._2))
+          lazy val oldCorpus = graft.streaming.EventStreams
+            .admittedVectors(spark, c.path)
+            .select("vec_id", "embedding")
+            .join(broadcast(c.delta.select(col("vec_id"))),
+              Seq("vec_id"), "left_anti")
+          val counts = codeCountCache.peek(key) match {
+            case Some((cs, held)) if cs == c.preStamp => held
+            case _ =>
+              import spark.implicits._
+              assign(subvectors(oldCorpus, m, dim),
+                old.toDF("sub", "code", "cword"))
+                .groupBy(col("sub"), col("code"))
+                .agg(count(lit(1)).as("n"))
+                .collect()
+                .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+                .toMap
+          }
+          val delta = c.delta.select(col("vec_id"), col("embedding"))
+          val (maintained, newCounts) = incrementalOver(spark, old,
+            counts, oldCorpus, delta, m, ks, iters, dim, maxDeltaFrac)
+          val post = graft.sources.CorpusStamp.of(spark, c.path)
+          codebookCache.put(key, post, maintained.collect()
+            .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+            .toSeq)
+          newCounts.foreach(nc => codeCountCache.put(key, post, nc))
+        case _ => () // cold/mismatched: correct rebuild on next access
+      }
+    }
   }
 }

@@ -426,4 +426,111 @@ object TpcH {
         (col("p_brand") === "Brand#3" && col("p_size").between(21, 30) &&
           col("l_quantity").between(20, 40)))
       .agg(revenue.as("revenue"), count(lit(1)).as("n_lines"))
+
+  /** TPC-H q2 shape: minimum-cost supplier per part within a region —
+    * the correlated-MIN-subquery pattern, decorrelated as an aggregate
+    * plus equality join-back. Adapted (no partsupp in the testdata):
+    * the supply relation derives from lineitem — supplier s supplies
+    * part p at unit cost min(l_extendedprice / l_quantity) over their
+    * shipments — and EUROPE scopes the supplier side. The double
+    * division is computed identically by both engines and MIN is an
+    * exact selection, so the cost = min_cost equality join is
+    * cross-engine safe. The supply table is consumed twice (per-part
+    * min + the join-back probe); nation/region and the filtered part
+    * dim broadcast; output is the canonical top-100 by account
+    * balance with a total-order tiebreak.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String,
+      region: String = "EUROPE"): DataFrame = {
+    val regionSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === region)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val supply = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+    val eligible = supply
+      .join(regionSupp, col("l_suppkey") === col("s_suppkey"))
+    val minCost = eligible.groupBy(col("l_partkey"))
+      .agg(min(col("cost")).as("min_cost"))
+    eligible
+      .join(minCost, Seq("l_partkey"))
+      .filter(col("cost") === col("min_cost"))
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_type"),
+        round(col("min_cost"), 4).as("min_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H q11 shape: per-part "stock value" for one nation's
+    * suppliers with a scalar-subquery HAVING (value > fraction x the
+    * grand total). Adapted (no partsupp): value = revenue over the
+    * nation's lineitems per part. The grand total rides a 1-row
+    * broadcast — the scalar subquery — and the threshold comparison
+    * runs ENTIRELY in decimal (the fraction literal is a BigDecimal,
+    * never a double), so a part sitting exactly on the boundary
+    * cannot flip between engines.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String,
+      nation: String = "NATION_3"): DataFrame = {
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name") === nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = Tables.lineitem(spark, dir)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("value"))
+    val total = value.agg(sum(col("value")).as("total"))
+    value.crossJoin(broadcast(total))
+      .filter(col("value") >
+        col("total") * lit(new java.math.BigDecimal("0.0008")))
+      .select(col("l_partkey").as("p_partkey"),
+        col("value").cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H q20 shape: the nested-IN-subquery chain — suppliers who
+    * shipped more than HALF of a part's total 1997 volume, for parts
+    * of one type, then the supplier dim is filtered by that derived
+    * set (IN -> left-semi join) and nation-annotated. Adapted (no
+    * partsupp): shipped lineitem quantity stands in for availqty on
+    * both sides of the correlated comparison, which runs in exact
+    * decimal (sq * 2 > tq — no 0.5 double multiply).
+    */
+  def q20PromotionSuppliers(spark: SparkSession, dir: String,
+      ptype: String = "ECONOMY"): DataFrame = {
+    val shipped = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_type") === ptype)
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+    val totals = shipped.groupBy(col("l_partkey"))
+      .agg(sum(col("sq")).as("tq"))
+    val bigShippers = shipped.join(totals, Seq("l_partkey"))
+      .filter(col("sq") * lit(2) > col("tq"))
+      .select(col("l_suppkey").as("s_suppkey"))
+    Tables.supplier(spark, dir)
+      .join(bigShippers, Seq("s_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_name"))
+  }
 }

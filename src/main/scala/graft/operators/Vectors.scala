@@ -387,6 +387,86 @@ object Vectors {
     pcaCache.put((dir, iters, k), stamp, fit)
   }
 
+  // ------------------------------------------------------------------
+  // Store-keyed fit family + the vectorIngest maintainer — the PCA
+  // member of the embedding-store wiring (see Ivf's store section).
+  // PCA differs from IVF/PQ in one structural way: the warm-start
+  // maintenance SCANS the merged corpus (power iteration is matrix-
+  // free over all vectors) — what it saves is iterations, not the
+  // pass; conveniently, the post-commit store IS the merged corpus,
+  // so the maintainer needs no old/delta split at all.
+  // ------------------------------------------------------------------
+
+  private def storeKey(path: String): String = s"store:$path"
+
+  /** Probe hook: the (stamp, fit) currently served for the store. */
+  private[graft] def servedStorePcaFit(path: String, iters: Int, k: Int)
+      : Option[(Long,
+        Option[(Array[Double], Seq[(Double, Array[Double])])])] =
+    pcaCache.peek((storeKey(path), iters, k))
+
+  /** Spec hook: the fit over an explicit corpus from explicit
+    * per-component starting vectors — the comparison arm for the
+    * store-maintainer bit-parity assertion. */
+  private[graft] def warmOver(corpus: DataFrame, warmIters: Int, k: Int,
+      starts: Seq[Array[Double]])
+      : Option[(Array[Double], Seq[(Double, Array[Double])])] =
+    pcaFitOver(corpus, warmIters, k, (c, _) => starts(c))
+
+  /** PCA fit over a [[graft.streaming.EventStreams.vectorIngest]]
+    * store, stamp-cached like the dir form (including the
+    * larger-fit-prefix serving). */
+  def storePcaFitK(spark: SparkSession, path: String, iters: Int,
+      k: Int): Option[(Array[Double], Seq[(Double, Array[Double])])] = {
+    val stamp = graft.sources.CorpusStamp.of(spark, path)
+    val prefix = pcaCache.snapshot(stamp).collectFirst {
+      case ((d, it, kk), Some((mu, comps)))
+        if d == storeKey(path) && it == iters && kk >= k =>
+          Some((mu, comps.take(k)))
+    }
+    prefix.getOrElse {
+      pcaCache.get((storeKey(path), iters, k), stamp) {
+        pcaFitOver(graft.streaming.EventStreams
+          .admittedVectors(spark, path), iters, k, coldInit)
+      }
+    }
+  }
+
+  /** The PCA family's [[graft.sources.ArtifactMaintenance]] maintainer
+    * for vectorIngest stores: on a pure-append commit whose served fit
+    * matches the pre-commit stamp, warm-start the power iteration from
+    * the served components over the (post-commit = merged) corpus —
+    * `warmIters` steps instead of the cold build's `iters` — and
+    * install under the post-commit stamp; the drift gate falls back to
+    * a cold refit over the same corpus (still installed: unlike IVF/PQ
+    * the rebuild IS the maintenance here, just with cold starts).
+    * Anything else skips to the staleness rebuild.
+    */
+  def storeMaintainer(iters: Int = 3, k: Int = 1, warmIters: Int = 1,
+      maxDeltaFrac: Double = 0.5)
+      : graft.sources.ArtifactMaintenance.Maintainer = (spark, c) => {
+    if (c.pureAppend) {
+      val key = (storeKey(c.path), iters, k)
+      pcaCache.peek(key) match {
+        case Some((s, Some((_, comps))))
+            if s == c.preStamp && comps.size >= k =>
+          val merged = graft.streaming.EventStreams
+            .admittedVectors(spark, c.path)
+          val deltaN = c.delta.filter(col("embedding").isNotNull).count()
+          val totalN = merged.filter(col("embedding").isNotNull).count()
+          val oldN = totalN - deltaN
+          val fit =
+            if (oldN <= 0 || deltaN > maxDeltaFrac * oldN)
+              pcaFitOver(merged, iters, k, coldInit)
+            else
+              pcaFitOver(merged, warmIters, k, (cc, _) => comps(cc)._2)
+          pcaCache.put(key, graft.sources.CorpusStamp.of(spark, c.path),
+            fit)
+        case _ => () // cold/mismatched: correct rebuild on next access
+      }
+    }
+  }
+
   /** Registry form: maintain the served 1-component fit against
     * [[graft.operators.Ivf.syntheticDelta]] (the shared every-17th
     * reversed-vector ingest batch) with ONE warm iteration and emit the

@@ -799,6 +799,114 @@ object EventStreams {
       .filter(!col("out"))
       .select(col("doc_id"), col("lang"), col("text"))
 
+  /** Embedding-store ingest — the vector-side counterpart of
+    * [[curatedIngest]], for the corpora the embedding-artifact
+    * families (IVF centroids, PQ codebooks, PCA fits) are built over.
+    * Far simpler semantics than the curated document path — vectors
+    * carry no near-dup scoring and no tombstones; the store is an
+    * id-keyed, append-only snapshot:
+    *
+    *  - within a batch, one row per vec_id (deterministic: min over
+    *    the full payload struct — arrays order lexicographically —
+    *    the curated path's redelivery posture);
+    *  - a vec_id already committed is IGNORED (first write wins — an
+    *    embedding is immutable; re-embedding a corpus is a rebuild,
+    *    not an upsert), and its arrival marks the commit
+    *    NON-pure-append so registered maintainers skip
+    *    (conservative: the producer may have meant an update, and
+    *    while the store stayed append-only, a skipped maintainer
+    *    costs one rebuild, never correctness);
+    *  - buckets ride [[BucketStore]] manifest generations exactly
+    *    like the curated snapshot: O(touched buckets) per commit, a
+    *    committed generation is never deleted before its successor
+    *    is durable, and the generation IS the corpus stamp
+    *    ([[graft.sources.CorpusStamp]]).
+    *
+    * After each commit, registered
+    * [[graft.sources.ArtifactMaintenance]] maintainers fire with the
+    * pre-commit stamp and the materialized newly-admitted delta — the
+    * wiring that lets the embedding families serve MAINTAINED indexes
+    * on the first post-ingest query, completing the pipeline story
+    * the suffix/unigram document families already have.
+    */
+  def vectorIngest(vecs: DataFrame, path: String,
+      bucketer: BucketStore.Bucketer = BucketStore.HashBuckets("vec_id", 64))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        def phase[T](name: String)(body: => T): T = {
+          spark.sparkContext.setJobDescription(s"graft-vec-ingest: $name")
+          try body finally spark.sparkContext.setJobDescription(null)
+        }
+        val payload = batch.columns.filterNot(_ == "vec_id").toSeq
+        val keepers = phase("batch-dedup")(batch
+          .groupBy(col("vec_id"))
+          .agg(min(struct(payload.map(col): _*)).as("_r"))
+          .select(col("vec_id") +:
+            payload.map(c => col(s"_r.`$c`").as(c)): _*))
+        val maintain = graft.sources.ArtifactMaintenance.registered(path)
+        val preStamp =
+          if (maintain) graft.sources.CorpusStamp.of(spark, path) else 0L
+        def fire(delta: DataFrame, pure: Boolean): Unit =
+          if (maintain)
+            phase("artifact-maintenance")(
+              graft.sources.ArtifactMaintenance.fire(spark,
+                graft.sources.ArtifactMaintenance.Commit(
+                  path, preStamp, delta, pure)))
+        if (!BucketStore.isBucketed(spark, path)) {
+          // true first commit: the batch IS the store
+          if (!keepers.isEmpty) {
+            val delta = keepers.localCheckpoint()
+            phase("snapshot-commit-full")(
+              BucketStore.commitAll(delta, bucketer, path))
+            fire(delta, pure = true)
+            delta.queryExecution.analyzed.collectFirst {
+              case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+            }.foreach(_.unpersist(blocking = false))
+          }
+        } else {
+          val touched = phase("touched-buckets")(
+            keepers.select(bucketer.col.as("b")).distinct()
+              .as[Long].collect().toSeq)
+          if (touched.nonEmpty) {
+            val base =
+              BucketStore.readBuckets(spark, path, bucketer, touched)
+            // first write wins; materialized BEFORE the commit (the
+            // maintenance payload contract: its lineage reads the
+            // pre-commit generation)
+            val fresh = base.fold(keepers)(b =>
+              keepers.join(b.select(col("vec_id")),
+                Seq("vec_id"), "left_anti"))
+              .localCheckpoint()
+            val pure = phase("pure-append-probe")(
+              base.forall(b => keepers.join(b.select(col("vec_id")),
+                Seq("vec_id"), "left_semi").isEmpty))
+            if (!fresh.isEmpty) {
+              val merged = base.fold(fresh: DataFrame)(_.unionByName(fresh))
+              phase("snapshot-commit")(
+                BucketStore.commit(merged, bucketer, touched, path))
+              fire(fresh, pure)
+            }
+            // an all-duplicate batch commits nothing and fires nothing
+            fresh.queryExecution.analyzed.collectFirst {
+              case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+            }.foreach(_.unpersist(blocking = false))
+          }
+        }
+        ()
+      }
+      .outputMode("update")
+      .start()
+
+  /** All vectors of a [[vectorIngest]] store — the corpus the
+    * embedding-artifact families are built over. No tombstones exist
+    * in the vector layout, so the snapshot is the corpus.
+    */
+  def admittedVectors(spark: SparkSession, path: String): DataFrame =
+    readSnapshot(spark, path)
+
   /** The curated corpus as of the last committed batch: tombstones
     * dropped, then the batch pipeline's quality gates — same output
     * schema and ordering as Pipeline.curatedCorpus.

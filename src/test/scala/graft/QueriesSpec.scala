@@ -54,7 +54,10 @@ class QueriesSpec extends SparkTestBase {
     // max(vec_id) broadcast scalar (the q22 shape), and the IVF one
     // also probes the broadcast 16-row centroid panel (the ivf_topk
     // shape) — both intended
-    "ivf_incremental_topk", "pq_incremental_topk")
+    "ivf_incremental_topk", "pq_incremental_topk",
+    // TPC-H q11's scalar-subquery HAVING: per-part value against the
+    // broadcast 1-row grand total (the q22 shape) — intended
+    "q11_important_stock")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs and returns rows on sf0.001") {
