@@ -163,41 +163,38 @@ object Ranks {
         s"percentile_approx(CAST(_id AS DOUBLE), array($probs), 1000)")
         .as("_isp"))
       .persist()
-    // The tie group (kind, v) is keyed as (_k, _below) from here on:
-    // _below is strictly increasing in v within a kind, so the groups
-    // are identical — and _below is a LONG, so the tie-side exchanges
-    // carry no float-normalization wrappers (double grouping keys get
-    // normalize-wrapped by windows/joins but not by aggregates, which
-    // blocks any partitioning from satisfying both). No explicit
-    // shared repartition here for the same measured reason as
-    // `bucketed` above: AQE stage reuse does not dedup the two
-    // consumers' repartition subtrees inside SuffixRanks' doubling
-    // loop, so the tied rows would ship twice. As is, the cell
-    // aggregate ships map-side-combined cell partials, wRow ships the
-    // tied rows once, and wCell ships the tiny cell table. The
-    // mega-tie stays split: _ib is in every clustering key, so one
-    // giant (k, v) group spreads over nB cells.
+    // Tie groups stay keyed on (_k, _v) — deliberately. An alternative
+    // keyed them on (_k, _below), a long bijection of v within kind
+    // that sidesteps float-normalization wrappers; it only pays off
+    // combined with an explicit shared repartition on the long key,
+    // and that repartition is rejected above (AQE stage reuse does not
+    // dedup the two consumers' subtrees in SuffixRanks' doubling loop,
+    // so the tied rows would ship twice). Without it the keying is
+    // pure renaming — keep the original columns. (An apparent 3.3x
+    // sf1 regression during this evaluation turned out to be
+    // measurement context, not code: suffix_ranks_incremental measures
+    // ~41 s inside a full-registry sf1 run — the committed floor's
+    // methodology — and ~137 s in an isolated SPARK_GRAFT_ONLY subset
+    // run on EVERY tree including the r16 snapshot, old index pages
+    // and JIT being cold in subset context.) The mega-tie stays
+    // split: _ib is in every clustering key, so one giant (k, v)
+    // group spreads over nB cells.
     val tiedB = tied
       .crossJoin(broadcast(idSplits))
       .withColumn("_ib",
         graft.plans.ArrayCountLess(col("_isp"), col("_id").cast("double")))
       .drop("_isp")
-    val wCell = Window.partitionBy(col("_k"), col("_below"))
-      .orderBy(col("_ib"))
+    val wCell = Window.partitionBy(col("_k"), col("_v")).orderBy(col("_ib"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cellOff = tiedB
-      .groupBy(col("_k"), col("_below"), col("_ib"))
+      .groupBy(col("_k"), col("_v"), col("_ib"))
       .agg(count(lit(1)).as("_cc"))
       .withColumn("_coff", coalesce(sum(col("_cc")).over(wCell), lit(0L)))
-      .select(col("_k").as("_ck"), col("_below").as("_cb"),
-        col("_ib").as("_ci"), col("_coff"))
-    val wRow = Window.partitionBy(col("_k"), col("_below"), col("_ib"))
+      .select(col("_k"), col("_v"), col("_ib"), col("_coff"))
+    val wRow = Window.partitionBy(col("_k"), col("_v"), col("_ib"))
       .orderBy(col("_id"))
     val tiedRanked = tiedB
-      .join(broadcast(cellOff),
-        col("_k") === col("_ck") && col("_below") === col("_cb") &&
-          col("_ib") === col("_ci"))
-      .drop("_ck", "_cb", "_ci")
+      .join(broadcast(cellOff), Seq("_k", "_v", "_ib"))
       .withColumn("_tie", col("_coff") + row_number().over(wRow) - 1)
       .drop("_ib", "_coff")
 
