@@ -2387,10 +2387,11 @@ object SparkEntry {
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin,
     // q11 adaptation: per-part revenue of one nation's suppliers
-    // stands in for partsupp stock value; the fraction threshold runs
-    // entirely in DECIMAL on both engines (0.0008 is a decimal
-    // literal in DuckDB and a BigDecimal literal in the Spark code),
-    // so a boundary part cannot flip.
+    // stands in for partsupp stock value; the canonical fraction/SF
+    // threshold becomes the scale-invariant above-average form
+    // (value * n_parts > total), which runs entirely in decimal x
+    // integer arithmetic on both engines, so a boundary part cannot
+    // flip — at any SF.
     "q11_important_stock" ->
       """WITH val AS (
         |  SELECT l_partkey AS p_partkey,
@@ -2400,10 +2401,10 @@ object SparkEntry {
         |  JOIN nation ON s_nationkey = n_nationkey
         |  WHERE n_name = 'NATION_3'
         |  GROUP BY 1),
-        |tot AS (SELECT sum(value) AS total FROM val)
+        |tot AS (SELECT sum(value) AS total, count(*) AS n_parts FROM val)
         |SELECT p_partkey, CAST(value AS DOUBLE) AS value
         |FROM val, tot
-        |WHERE value > total * 0.0008
+        |WHERE value * n_parts > total
         |ORDER BY value DESC, p_partkey""".stripMargin,
     // q20 adaptation: shipped 1997 quantity stands in for partsupp
     // availqty on both sides of the correlated comparison, which runs

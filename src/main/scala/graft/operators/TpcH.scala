@@ -473,13 +473,17 @@ object TpcH {
   }
 
   /** TPC-H q11 shape: per-part "stock value" for one nation's
-    * suppliers with a scalar-subquery HAVING (value > fraction x the
-    * grand total). Adapted (no partsupp): value = revenue over the
-    * nation's lineitems per part. The grand total rides a 1-row
-    * broadcast — the scalar subquery — and the threshold comparison
-    * runs ENTIRELY in decimal (the fraction literal is a BigDecimal,
-    * never a double), so a part sitting exactly on the boundary
-    * cannot flip between engines.
+    * suppliers with a scalar-subquery HAVING (value above a
+    * total-derived threshold). Adapted (no partsupp): value = revenue
+    * over the nation's lineitems per part, and the canonical
+    * `fraction / SF` threshold — which TPC-H itself scales down with
+    * data size, because any FIXED share of the total filters
+    * everything once the part count grows past 1/fraction — becomes
+    * the scale-invariant above-average form: keep parts with
+    * value * n_parts > total. The (total, n_parts) pair rides a 1-row
+    * broadcast (the scalar subquery) and the comparison runs ENTIRELY
+    * in decimal x integer arithmetic, so a part sitting exactly on
+    * the boundary cannot flip between engines at any SF.
     */
   def q11ImportantStock(spark: SparkSession, dir: String,
       nation: String = "NATION_3"): DataFrame = {
@@ -493,10 +497,10 @@ object TpcH {
       .groupBy(col("l_partkey"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast("decimal(18,4)")).as("value"))
-    val total = value.agg(sum(col("value")).as("total"))
+    val total = value.agg(sum(col("value")).as("total"),
+      count(lit(1)).as("n_parts"))
     value.crossJoin(broadcast(total))
-      .filter(col("value") >
-        col("total") * lit(new java.math.BigDecimal("0.0008")))
+      .filter(col("value") * col("n_parts") > col("total"))
       .select(col("l_partkey").as("p_partkey"),
         col("value").cast("double").as("value"))
       .orderBy(col("value").desc, col("p_partkey"))
