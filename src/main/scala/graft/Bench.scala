@@ -301,6 +301,72 @@ object Bench {
     rows
   }
 
+  /** The embedding-side ingest-maintenance pair: ingest the embeddings
+    * table into a [[graft.streaming.EventStreams.vectorIngest]] store,
+    * build the store IVF centroids + occupancy (deployment posture:
+    * the index exists before the next batch), ingest the every-17th
+    * re-keyed reversed delta (the ivf_incremental fixture, ~6% — under
+    * the drift gate), then run the FIRST post-ingest ANN query. With
+    * `maintained` the commit's registered IVF maintainer installs the
+    * folded centroids and exact updated occupancy (verified — a
+    * silently-skipped maintenance would measure the rebuild arm twice
+    * and the entry FAILS instead); without it the query pays the
+    * staleness rebuild (k-means|| seeding + Lloyd over the merged
+    * corpus).
+    */
+  private def vecIngestQueryRunner(spark: SparkSession, maintained: Boolean)
+      : String => Long = { dir =>
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.VecRow
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[VecRow].collect()
+    val mx = vecs.map(_.vec_id).max + 1
+    val delta = vecs.filter(_.vec_id % 17 == 4)
+      .map(v => VecRow(v.vec_id + mx, v.embedding.reverse))
+    val snap = java.nio.file.Files
+      .createTempDirectory("graft_bench_vec_maint").resolve("store").toString
+    if (maintained)
+      graft.sources.ArtifactMaintenance.register(snap, "ivf")(
+        graft.operators.Ivf.storeMaintainer(nCells = 16, iters = 2))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[VecRow]
+    val q = EventStreams.vectorIngest(input.toDF(), snap)
+    try {
+      input.addData(vecs.toSeq: _*)
+      q.processAllAvailable()
+      graft.operators.Ivf.storeCentroids(spark, snap, 16, 2).count()
+      graft.operators.Ivf.storeCellCounts(spark, snap, 16, 2)
+      input.addData(delta.toSeq: _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      graft.sources.ArtifactMaintenance.clear(snap)
+    }
+    if (maintained) {
+      val post = graft.sources.CorpusStamp.of(spark, snap)
+      val ok = graft.operators.Ivf.servedStoreCentroids(snap, 16, 2)
+        .exists(_._1 == post)
+      if (!ok) throw new IllegalStateException(
+        "vec_ingest_maintained_query: maintenance did not install — " +
+          "the entry would silently measure the rebuild arm")
+    }
+    val t0 = System.nanoTime()
+    val rows = graft.operators.Ivf.ivfTopKOver(
+      EventStreams.admittedVectors(spark, snap)
+        .select(col("vec_id"), col("embedding")),
+      graft.operators.Ivf.storeCentroids(spark, snap, 16, 2)).count()
+    val qSec = (System.nanoTime() - t0) / 1e9
+    val arm = if (maintained) "maintained" else "rebuild"
+    System.err.println(
+      f"[bench] vec_ingest_${arm}_query: post-ingest first ANN query " +
+        f"$qSec%.2f s ($rows rows)")
+    rows
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -459,6 +525,13 @@ object Bench {
       // suite wall-clock for no extra information.
       "ingest_maintained_query" -> ingestQueryRunner(spark, maintained = true),
       "ingest_rebuild_query" -> ingestQueryRunner(spark, maintained = false),
+      // the embedding-side pair (vectorIngest + the IVF maintainer):
+      // same contrast for the vector store — the first post-ingest ANN
+      // query serves folded centroids vs paying a full re-seed + Lloyd
+      "vec_ingest_maintained_query" ->
+        vecIngestQueryRunner(spark, maintained = true),
+      "vec_ingest_rebuild_query" ->
+        vecIngestQueryRunner(spark, maintained = false),
       "write_curated_ingest" -> { dir =>
         import spark.implicits._
         implicit val sqlCtx = spark.sqlContext
@@ -598,7 +671,9 @@ object Bench {
       "build_pca_incremental", "pca_incremental",
       "build_unigram_incremental", "unigram_incremental",
       // round-17: the entropy-coded codec (zlib inflate + CRC walk)
-      "media_png")
+      "media_png",
+      // round-17: the embedding-side ingest→maintenance pair
+      "vec_ingest_maintained_query", "vec_ingest_rebuild_query")
     val byName = results.toMap
     // a renamed/removed registry entry silently shrinking the headline map
     // would go unnoticed — surface it

@@ -213,6 +213,9 @@ object EventStreams {
 
   case class Ev(user_id: Long, event_id: Long, sec: Long)
   case class CDoc(doc_id: Long, lang: String, text: String)
+
+  /** Row shape for [[vectorIngest]] streams (the embedding-side CDoc). */
+  case class VecRow(vec_id: Long, embedding: Array[Float])
   case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long)
   case class Session(user_id: Long, session_start: Long, session_end: Long,
       n_events: Long)
