@@ -670,8 +670,9 @@ object Bench {
       "ingest_maintained_query", "ingest_rebuild_query",
       "build_pca_incremental", "pca_incremental",
       "build_unigram_incremental", "unigram_incremental",
-      // round-17: the entropy-coded codec (zlib inflate + CRC walk)
-      "media_png",
+      // round-17: the two entropy-coded codecs (zlib inflate + CRC
+      // walk; variable-width LZW + sub-block reassembly + interlace)
+      "media_png", "media_gif",
       // round-17: the embedding-side ingest→maintenance pair
       "vec_ingest_maintained_query", "vec_ingest_rebuild_query")
     val byName = results.toMap

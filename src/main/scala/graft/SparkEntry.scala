@@ -356,6 +356,11 @@ object SparkEntry {
     // filters reconstructed; corrupted subset decodes empty — oracle
     // rebuilds every column from documents.text
     "media_png" -> ((s, d) => Multimodal.mediaPng(s, d)),
+    // real GIF container walk with the SECOND entropy coding:
+    // variable-width LZW (growing dictionary, width-widening points,
+    // clear/EOI), sub-block stream reassembly, extension skipping,
+    // 4-pass interlace; corrupted subset decodes empty
+    "media_gif" -> ((s, d) => Multimodal.mediaGif(s, d)),
     // -- events ----------------------------------------------------------
     "hourly_rollup" -> ((s, d) => EventOps.hourlyRollup(s, d)),
     "sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
@@ -1608,6 +1613,48 @@ object SparkEntry {
         |              ELSE rpad(s, CAST(((length(s) % 6) + 1)
         |                * ((length(s) + (length(s) % 6))
         |                   // ((length(s) % 6) + 1)) AS INTEGER), ' ')
+        |         END AS ds
+        |  FROM cl),
+        |m AS (
+        |  SELECT doc_id, kind, hex(encode(ds)) AS hx,
+        |         octet_length(encode(ds)) AS n
+        |  FROM pad),
+        |nib AS (
+        |  SELECT m.doc_id, substr(m.hx, 2*t.i + 1, 1) AS hi, count(*) AS c
+        |  FROM m, UNNEST(range(m.n)) AS t(i)
+        |  GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT nib.doc_id,
+        |         round(-SUM((c::DOUBLE / m.n) * ln(c::DOUBLE / m.n)) / ln(2), 6) AS entropy
+        |  FROM nib JOIN m USING (doc_id)
+        |  GROUP BY 1)
+        |SELECT m.doc_id, m.kind, CAST(m.n AS BIGINT) AS n_bytes,
+        |       COALESCE(ent.entropy, 0.0) AS entropy,
+        |       CAST(CASE WHEN m.n = 0 THEN 0 ELSE (m.n - 1) // 64 + 1 END AS INT) AS frames_sampled,
+        |       CASE WHEN m.n = 0 THEN repeat('00', 16)
+        |            ELSE list_aggregate([substr(m.hx, 2*CAST(i * m.n // 16 AS BIGINT) + 1, 2) FOR i IN range(16)], 'string_agg', '')
+        |       END AS preview_hex
+        |FROM m LEFT JOIN ent USING (doc_id)
+        |ORDER BY m.doc_id""".stripMargin,
+    // media_gif: the decoded raster is the printable projection padded
+    // with spaces to w*ceil(len/w) where w = (len % 7) + 1 — the
+    // BMP/PNG closed form at modulus 7; the corrupted subset
+    // (doc_id % 19 = 7) must decode EMPTY. The raster is unreachable
+    // without reassembling the sub-block stream, decoding variable-
+    // width LZW through every code-width widening point, and
+    // de-interlacing the 4-pass row order on even-length docs.
+    "media_gif" ->
+      """WITH cl AS (
+        |  SELECT doc_id, 'image' AS kind,
+        |         CASE WHEN doc_id % 19 = 7 THEN ''
+        |              ELSE regexp_replace(text, '[^ -~]', '', 'g') END AS s
+        |  FROM documents),
+        |pad AS (
+        |  SELECT doc_id, kind,
+        |         CASE WHEN length(s) = 0 THEN ''
+        |              ELSE rpad(s, CAST(((length(s) % 7) + 1)
+        |                * ((length(s) + (length(s) % 7))
+        |                   // ((length(s) % 7) + 1)) AS INTEGER), ' ')
         |         END AS ds
         |  FROM cl),
         |m AS (

@@ -609,6 +609,296 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** A FOURTH container family: GIF (GIF89a, 8-bit palette) — the
+    * SECOND entropy coding through the codec seam, and a genuinely
+    * different one from PNG's DEFLATE: variable-width LZW with a
+    * growing dictionary (code width starts at minCodeSize+1 and widens
+    * every time the dictionary crosses a power of two — a decoder that
+    * misses one widening point desynchronizes the entire bit stream),
+    * the clear/EOI control codes, and the LZW corner where a code
+    * refers to the entry being defined (code == next: prev + prev's
+    * first byte). On top of the coding: sub-block reassembly (the
+    * compressed stream arrives as length-prefixed <=255-byte
+    * sub-blocks whose boundaries are arbitrary — the split-IDAT
+    * analog, decoded only as the concatenation), extension-block
+    * skipping, and GIF's 4-pass INTERLACE (physical row order
+    * 0,8,16,... / 4,12,... / 2,6,... / 1,3,... — the row-order
+    * pathology BMP probed, in a four-way form).
+    *
+    * Contract on bad input: empty decode, never a throw. NO truncation
+    * salvage (the PNG posture): a cut LZW stream loses dictionary
+    * context, so no prefix is trustworthy. Bad signature, missing
+    * image descriptor or trailer, geometry mismatch between the
+    * logical screen and the image descriptor, an out-of-range LZW
+    * code, or a truncated sub-block chain all decode EMPTY.
+    * [[graft.MultimodalSpec]] pins each corner.
+    */
+  object GifCodec extends Codec {
+    override def decode(p: Array[Byte]): Array[Byte] = {
+      def u16(i: Int): Int = (p(i) & 0xff) | (p(i + 1) & 0xff) << 8
+      if (p.length < 13) return Array.emptyByteArray
+      val sig = new String(p, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+      if (sig != "GIF89a" && sig != "GIF87a") return Array.emptyByteArray
+      val w = u16(6); val h = u16(8)
+      val packed = p(10) & 0xff
+      if (w <= 0 || h <= 0 || w.toLong * h > Int.MaxValue)
+        return Array.emptyByteArray
+      var off = 13
+      // global color table, if declared
+      if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 7) + 1))
+      // block walk: skip extensions, find the image descriptor
+      while (off < p.length && (p(off) & 0xff) == 0x21) {
+        off += 2 // extension introducer + label
+        while (off < p.length && p(off) != 0) off += 1 + (p(off) & 0xff)
+        off += 1 // block terminator
+      }
+      if (off + 10 > p.length || (p(off) & 0xff) != 0x2c)
+        return Array.emptyByteArray
+      val iw = u16(off + 5); val ih = u16(off + 7)
+      val ipacked = p(off + 9) & 0xff
+      // one full-frame image, as encoded — a sub-frame is out of scope
+      if (iw != w || ih != h || u16(off + 1) != 0 || u16(off + 3) != 0)
+        return Array.emptyByteArray
+      val interlaced = (ipacked & 0x40) != 0
+      off += 10
+      if ((ipacked & 0x80) != 0) off += 3 * (1 << ((ipacked & 7) + 1))
+      if (off >= p.length) return Array.emptyByteArray
+      val minCode = p(off) & 0xff
+      if (minCode < 2 || minCode > 8) return Array.emptyByteArray // GIF: <= 256 colors
+      off += 1
+      // sub-block reassembly: the LZW stream is the CONCATENATION
+      val data = new java.io.ByteArrayOutputStream()
+      var sawTerminator = false
+      while (off < p.length && !sawTerminator) {
+        val len = p(off) & 0xff
+        if (len == 0) sawTerminator = true
+        else {
+          if (off + 1 + len > p.length) return Array.emptyByteArray
+          data.write(p, off + 1, len)
+        }
+        off += 1 + len
+      }
+      // terminator + trailer are required: their absence is truncation,
+      // and a cut LZW stream has no trustworthy prefix
+      if (!sawTerminator || off >= p.length || (p(off) & 0xff) != 0x3b)
+        return Array.emptyByteArray
+      val z = data.toByteArray
+      // LZW decode, LSB-first bit order, decoder-standard width growth
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      val out = new java.io.ByteArrayOutputStream()
+      val dict = new Array[Array[Byte]](4096)
+      (0 until clear).foreach(i => dict(i) = Array(i.toByte))
+      var width = minCode + 1
+      var next = eoi + 1
+      var prev: Array[Byte] = null
+      var bitPos = 0
+      var done = false
+      while (!done) {
+        if (bitPos + width > z.length * 8) return Array.emptyByteArray
+        var code = 0; var k = 0
+        while (k < width) {
+          val bit = bitPos + k
+          if ((z(bit >> 3) >> (bit & 7) & 1) != 0) code |= 1 << k
+          k += 1
+        }
+        bitPos += width
+        if (code == clear) {
+          next = eoi + 1; width = minCode + 1; prev = null
+        } else if (code == eoi) {
+          done = true
+        } else {
+          val entry: Array[Byte] =
+            if (code < next && code != eoi && (code < clear || dict(code) != null))
+              dict(code)
+            else if (code == next && prev != null) prev :+ prev(0)
+            else return Array.emptyByteArray // out-of-range: stream is lies
+          out.write(entry)
+          if (prev != null && next < 4096) {
+            dict(next) = prev :+ entry(0)
+            next += 1
+            if (next == (1 << width) && width < 12) width += 1
+          }
+          prev = entry
+        }
+      }
+      val raster = out.toByteArray
+      if (raster.length != w * h) return Array.emptyByteArray
+      if (!interlaced) raster
+      else {
+        // de-interlace: physical rows arrive in the 4-pass order
+        val logical = new Array[Byte](raster.length)
+        var phys = 0
+        Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+          var r = start
+          while (r < h) {
+            System.arraycopy(raster, phys * w, logical, r * w, w)
+            phys += 1; r += step
+          }
+        }
+        logical
+      }
+    }
+  }
+
+  /** Synthesize a canonical GIF89a holding `s`'s bytes as 8-bit palette
+    * indices. Width cycles 1..7 by length, the final row pads with
+    * spaces (decoded stream = `rpad(s, w*ceil(len/w), ' ')` — the
+    * BMP/PNG closed form at modulus 7), even lengths are INTERLACED
+    * (physical rows written in the 4-pass order), the LZW stream uses
+    * minCodeSize 7 (width starts at 8 and genuinely widens to 9 on
+    * longer documents), the sub-block split starts at a
+    * length-dependent boundary, and a comment-extension block sits
+    * before the image descriptor so the walk must skip it.
+    * `malformed` corrupts the signature.
+    *
+    * The encoder tracks the DECODER's (width, next) evolution
+    * explicitly and emits each code at the width the decoder will
+    * read it with — the decoder's dictionary lags the encoder's by
+    * one entry, so sharing one counter is the classic way to
+    * desynchronize the two sides.
+    */
+  def gifEncode(s: String, malformed: Boolean = false): Array[Byte] = {
+    val px = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val w = (px.length % 7) + 1
+    val h = (px.length + w - 1) / w
+    val raster = new Array[Byte](w * h)
+    java.util.Arrays.fill(raster, ' '.toByte)
+    System.arraycopy(px, 0, raster, 0, px.length)
+    val interlaced = px.length % 2 == 0
+    val physRows: Seq[Int] =
+      if (!interlaced) 0 until h
+      else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (st, sp) =>
+        st.until(h, sp)
+      }
+    val stream = new Array[Byte](w * h)
+    physRows.zipWithIndex.foreach { case (r, i) =>
+      System.arraycopy(raster, r * w, stream, i * w, w)
+    }
+    // LZW compress (minCodeSize 7): greedy longest match against the
+    // encoder dict; width/next simulate the DECODER's state
+    val minCode = 7
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var dWidth = minCode + 1
+    var dNext = eoi + 1
+    var emitted = 0 // codes emitted since the last clear (for dNext lag)
+    def put(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += dWidth
+      while (bitCnt >= 8) {
+        bits.write((bitBuf & 0xff).toInt); bitBuf >>= 8; bitCnt -= 8
+      }
+    }
+    val enc = new java.util.HashMap[String, Integer]()
+    (0 until clear).foreach(i => enc.put(s"${i.toChar}", i))
+    var eNext = eoi + 1
+    def key(bs: StringBuilder): String = bs.toString
+    put(clear)
+    var cur = new StringBuilder
+    var i = 0
+    while (i < stream.length) {
+      val b = (stream(i) & 0xff).toChar
+      if (enc.containsKey(key(new StringBuilder(cur.toString).append(b)))) {
+        cur.append(b)
+      } else {
+        put(enc.get(key(cur)).intValue())
+        // decoder side: it adds an entry for every emitted code AFTER
+        // the first one following a clear, then widens at 2^width
+        emitted += 1
+        if (emitted >= 2 && dNext < 4096) {
+          dNext += 1
+          if (dNext == (1 << dWidth) && dWidth < 12) dWidth += 1
+        }
+        enc.put(key(new StringBuilder(cur.toString).append(b)), eNext)
+        eNext += 1
+        if (eNext == 4096 + 1) {
+          // dict full: clear both sides (unreached at doc sizes, kept
+          // for the contract)
+          put(clear)
+          enc.clear()
+          (0 until clear).foreach(c => enc.put(s"${c.toChar}", c))
+          eNext = eoi + 1; dNext = eoi + 1; dWidth = minCode + 1
+          emitted = 0
+        }
+        cur = new StringBuilder().append(b)
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) {
+      put(enc.get(key(cur)).intValue())
+      emitted += 1
+      if (emitted >= 2 && dNext < 4096) {
+        dNext += 1
+        if (dNext == (1 << dWidth) && dWidth < 12) dWidth += 1
+      }
+    }
+    put(eoi)
+    if (bitCnt > 0) bits.write((bitBuf & 0xff).toInt)
+    val z = bits.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((if (malformed) "XIF89a" else "GIF89a")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 6)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8 & 0xff) }
+    w16(w); w16(h)
+    out.write(0xf7) // global table present, 256 entries, 8-bit color
+    out.write(0); out.write(0) // bg color, aspect
+    (0 until 256).foreach { c => out.write(c); out.write(c); out.write(c) }
+    // comment extension with a length-dependent body — the skip test
+    val note = ("c" * ((px.length % 5) + 1))
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    out.write(0x21); out.write(0xfe)
+    out.write(note.length); out.write(note, 0, note.length); out.write(0)
+    out.write(0x2c) // image descriptor
+    w16(0); w16(0); w16(w); w16(h)
+    out.write(if (interlaced) 0x40 else 0x00)
+    out.write(minCode)
+    // sub-block split: first block at a length-dependent boundary,
+    // the rest in maximal 255-byte blocks
+    val first = math.min(z.length, (px.length % 11) + 1)
+    var pos = 0
+    var blockLen = first
+    while (pos < z.length) {
+      val n = math.min(blockLen, z.length - pos)
+      if (n > 0) { out.write(n); out.write(z, pos, n) }
+      pos += n
+      blockLen = 255
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Synthetic GIF media table: every 19th-ish doc (doc_id % 19 == 7)
+    * is corrupted — the oracle predicts those rows decode empty. */
+  def gifMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val enc = udf((s: String, bad: Boolean) => gifEncode(s, bad))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), lit("image").as("kind"),
+        enc(regexp_replace(col("text"), "[^ -~]", ""),
+          col("doc_id") % 19 === 7).as("payload"))
+  }
+
+  /** Registry entry: the feature battery over [[GifCodec]] — the
+    * oracle rebuilds every column from `documents.text` (the raster is
+    * the space-padded printable projection at width (len % 7) + 1), so
+    * only a decoder that reassembles the sub-block stream, tracks the
+    * variable LZW code width through every widening point, and
+    * de-interlaces the 4-pass row order matches — and the corrupted
+    * subset must decode empty.
+    */
+  def mediaGif(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = gifMediaTable(spark, dir).as[MediaRecord]
+    extractFeatures(ds, GifCodec)
+      .toDF()
+      .select(col("doc_id"), col("kind"), col("n_bytes"),
+        col("entropy"), col("frames_sampled"),
+        hex(col("preview")).as("preview_hex"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Synthetic media table: deterministic binary payloads derived from
     * document text (stand-in for real image/audio bytes), with typed
     * metadata columns a real pipeline would carry.

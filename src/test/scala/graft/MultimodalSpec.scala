@@ -359,6 +359,98 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.exists(r => r.getLong(0) % 17 == 3 && r.getLong(2) == 0L))
   }
 
+  test("GifCodec round-trips gifEncode: every width/interlace/split/" +
+      "comment-length, through the LZW width-widening point") {
+    // n mod 7 covers every width 1..7, n mod 2 covers interlaced and
+    // sequential row order, n mod 11 covers every first-sub-block
+    // boundary, n mod 5 covers every comment length — and n up to 320
+    // drives the LZW dictionary past 256 entries, so the 8->9-bit
+    // code-width widening is exercised on the long tail
+    for (n <- (0 to 120) ++ Seq(200, 256, 300, 320)) {
+      val text = ("how vexingly quick daft zebras jump " * 9).take(n)
+      val w = (n % 7) + 1
+      val raster = if (n == 0) 0 else w * ((n + w - 1) / w)
+      val expected = text.padTo(raster, ' ').getBytes("US-ASCII").toSeq
+      val got = Multimodal.GifCodec.decode(Multimodal.gifEncode(text)).toSeq
+      assert(got === expected,
+        s"round-trip failed at n=$n (w=$w, interlaced=${n % 2 == 0})")
+    }
+  }
+
+  test("GifCodec malformed corners decode empty, never throw") {
+    val text = "lempel ziv welch codes grow wider" // n=33: w=6, interlaced=false
+    val good = Multimodal.gifEncode(text)
+    def bytes(xs: Array[Byte]) = Multimodal.GifCodec.decode(xs).toSeq
+    assert(bytes(good).nonEmpty)
+    // corrupted signature (the gifMediaTable malformed subset)
+    assert(bytes(Multimodal.gifEncode(text, malformed = true)) === Seq.empty)
+    // not a GIF at all / too short / empty
+    assert(bytes("plainly not an image".getBytes("US-ASCII")) === Seq.empty)
+    assert(bytes(Array[Byte]('G', 'I', 'F')) === Seq.empty)
+    assert(bytes(Array.emptyByteArray) === Seq.empty)
+    // truncations at every grain: no salvage anywhere (a cut LZW
+    // stream loses dictionary context)
+    assert(bytes(java.util.Arrays.copyOf(good, good.length - 1))
+      === Seq.empty, "missing trailer must decode empty")
+    assert(bytes(java.util.Arrays.copyOf(good, good.length - 2))
+      === Seq.empty, "missing block terminator must decode empty")
+    assert(bytes(java.util.Arrays.copyOf(good, good.length - 8))
+      === Seq.empty, "cut sub-block chain must decode empty")
+    assert(bytes(java.util.Arrays.copyOf(good, 20)) === Seq.empty)
+    // geometry mismatch: image descriptor vs logical screen. Its
+    // offset is structural (searching for 0x2c would hit the
+    // grayscale palette's (44,44,44) entry): header+LSD 13 + global
+    // table 768 + comment block 2+1+len+1 with len = (n % 5) + 1
+    val imgAt = 13 + 768 + 2 + 1 + ((text.length % 5) + 1) + 1
+    assert((good(imgAt) & 0xff) === 0x2c, "fixture: descriptor offset")
+    val mutW = good.clone
+    mutW(imgAt + 5) = (mutW(imgAt + 5) + 1).toByte
+    assert(bytes(mutW) === Seq.empty,
+      "descriptor/screen size mismatch must decode empty")
+    // zero-size logical screen
+    val mutZ = good.clone; mutZ(6) = 0; mutZ(7) = 0
+    assert(bytes(mutZ) === Seq.empty)
+    // LZW min code size out of the 2..8 palette range
+    val mcsAt = imgAt + 10
+    val mutM = good.clone; mutM(mcsAt) = 12
+    assert(bytes(mutM) === Seq.empty)
+    // a bit-flip INSIDE the LZW stream either desynchronizes into an
+    // out-of-range code (empty) or decodes to a different raster —
+    // it must never throw, and never return the original bytes
+    val zAt = mcsAt + 2 // first sub-block's first data byte
+    val flip = good.clone; flip(zAt) = (flip(zAt) ^ 0x10).toByte
+    val flipped = bytes(flip)
+    assert(flipped.isEmpty || flipped != bytes(good),
+      "corrupt LZW data must not decode to the original raster")
+    // the comment extension is genuinely skipped: its bytes never
+    // appear in the decoded raster (raster is printable + spaces; the
+    // comment is 'c's inside an 0x21-framed block the walk jumps)
+    assert(bytes(good) === text.padTo(36, ' ').getBytes("US-ASCII").toSeq)
+  }
+
+  test("media_gif query: decoded columns match the padded closed form") {
+    val out = Multimodal.mediaGif(spark, sf("sf0.001")).collect()
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), regexp_replace(col("text"), "[^ -~]", "")
+        .as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length === docs.size)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val s = if (id % 19 == 7) "" else docs(id)
+      val w = (s.length % 7) + 1
+      val raster = if (s.isEmpty) 0 else w * ((s.length + w - 1) / w)
+      assert(r.getLong(2) === raster.toLong,
+        s"doc $id: n_bytes != space-padded raster size")
+      if (raster == 0) {
+        assert(r.getDouble(3) === 0.0)
+        assert(r.getInt(4) === 0)
+        assert(r.getString(5) === "00" * 16)
+      }
+    }
+    assert(out.exists(r => r.getLong(0) % 19 == 7 && r.getLong(2) == 0L))
+  }
+
   test("media_wav query: decoded columns match the text-derived closed form") {
     val out = Multimodal.mediaWav(spark, sf("sf0.001")).collect()
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
