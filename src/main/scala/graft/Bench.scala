@@ -327,8 +327,9 @@ object Bench {
     val mx = vecs.map(_.vec_id).max + 1
     val delta = vecs.filter(_.vec_id % 17 == 4)
       .map(v => VecRow(v.vec_id + mx, v.embedding.reverse))
-    val snap = java.nio.file.Files
-      .createTempDirectory("graft_bench_vec_maint").resolve("store").toString
+    val snapRoot = java.nio.file.Files
+      .createTempDirectory("graft_bench_vec_maint")
+    val snap = snapRoot.resolve("store").toString
     if (maintained)
       graft.sources.ArtifactMaintenance.register(snap, "ivf")(
         graft.operators.Ivf.storeMaintainer(nCells = 16, iters = 2))
@@ -354,17 +355,27 @@ object Bench {
         "vec_ingest_maintained_query: maintenance did not install — " +
           "the entry would silently measure the rebuild arm")
     }
-    val t0 = System.nanoTime()
-    val rows = graft.operators.Ivf.ivfTopKOver(
-      EventStreams.admittedVectors(spark, snap)
-        .select(col("vec_id"), col("embedding")),
-      graft.operators.Ivf.storeCentroids(spark, snap, 16, 2)).count()
-    val qSec = (System.nanoTime() - t0) / 1e9
-    val arm = if (maintained) "maintained" else "rebuild"
-    System.err.println(
-      f"[bench] vec_ingest_${arm}_query: post-ingest first ANN query " +
-        f"$qSec%.2f s ($rows rows)")
-    rows
+    try {
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Ivf.ivfTopKOver(
+        EventStreams.admittedVectors(spark, snap)
+          .select(col("vec_id"), col("embedding")),
+        graft.operators.Ivf.storeCentroids(spark, snap, 16, 2)).count()
+      val qSec = (System.nanoTime() - t0) / 1e9
+      val arm = if (maintained) "maintained" else "rebuild"
+      System.err.println(
+        f"[bench] vec_ingest_${arm}_query: post-ingest first ANN query " +
+          f"$qSec%.2f s ($rows rows)")
+      rows
+    } finally {
+      // throwaway store: reclaim the disk and the unique-path-keyed
+      // cache entries, or iterated bench runs grow both monotonically
+      graft.operators.Ivf.invalidateStore(snap, 16, 2)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(snapRoot.toFile)
+    }
   }
 
   def main(args: Array[String]): Unit = {

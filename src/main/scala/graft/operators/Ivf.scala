@@ -645,6 +645,16 @@ object Ivf {
       iters: Int): Option[(Long, Seq[(Int, Seq[Float])])] =
     centroidCache.peek((storeKey(path), nCells, iters))
 
+  /** Drop both served-index entries for a store — the teardown hook
+    * for callers that create THROWAWAY stores (the bench ingest pair):
+    * without it every temp store leaves a permanently-dead cache entry
+    * keyed by a unique path. */
+  private[graft] def invalidateStore(path: String, nCells: Int,
+      iters: Int): Unit = {
+    centroidCache.invalidate((storeKey(path), nCells, iters))
+    cellCountCache.invalidate((storeKey(path), nCells, iters))
+  }
+
   /** Centroids over a [[graft.streaming.EventStreams.vectorIngest]]
     * store, stamp-cached like the dir form: cold = one k-means build
     * over the store's vectors; maintained = served from the

@@ -414,7 +414,12 @@ object Multimodal {
             val compression = p(body + 10) & 0xff
             val filterMethod = p(body + 11) & 0xff
             val interlace = p(body + 12) & 0xff
+            // the RAW stream is h*(1+w) bytes (filter byte per row) —
+            // guard THAT product in Long math, not just w*h: a
+            // CRC-valid w=1,h=2^30 header passes w*h but overflows the
+            // Int allocation below (contract is empty, never a throw)
             if (w <= 0 || h <= 0 || w * h > Int.MaxValue ||
+                h * (1L + w) > Int.MaxValue ||
                 bitDepth != 8 || colorType != 0 || compression != 0 ||
                 filterMethod != 0 || interlace != 0)
               return Array.emptyByteArray
@@ -546,7 +551,7 @@ object Multimodal {
     deflater.end()
     val z = zBuf.toByteArray
     val split = math.min(z.length, (px.length % 11) + 1)
-    val txt = ("k " + "v" * (px.length % 7))
+    val txt = ("k\u0000" + "v" * (px.length % 7))
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
@@ -714,6 +719,11 @@ object Multimodal {
             else if (code == next && prev != null) prev :+ prev(0)
             else return Array.emptyByteArray // out-of-range: stream is lies
           out.write(entry)
+          // bound the output DURING the decode: an LZW expansion bomb
+          // (small stream, geometric dictionary growth) must not
+          // allocate past the w*h the header declared before the
+          // post-loop length check ever runs
+          if (out.size() > w * h) return Array.emptyByteArray
           if (prev != null && next < 4096) {
             dict(next) = prev :+ entry(0)
             next += 1

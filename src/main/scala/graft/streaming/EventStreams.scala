@@ -882,8 +882,12 @@ object EventStreams {
             val fresh = base.fold(keepers)(b =>
               keepers.join(b.select(col("vec_id")),
                 Seq("vec_id"), "left_anti"))
-              .localCheckpoint()
-            val pure = phase("pure-append-probe")(
+              .localCheckpoint() // fresh feeds two actions (isEmpty +
+            // commit) so one materialization is the hot-path minimum;
+            // the pure-append probe, by contrast, exists ONLY to gate
+            // maintenance — registered() promises the unmaintained hot
+            // path does not pay it (the curatedIngest precedent)
+            val pure = maintain && phase("pure-append-probe")(
               base.forall(b => keepers.join(b.select(col("vec_id")),
                 Seq("vec_id"), "left_semi").isEmpty))
             if (!fresh.isEmpty) {

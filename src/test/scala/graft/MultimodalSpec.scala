@@ -301,6 +301,12 @@ class MultimodalSpec extends SparkTestBase {
     assert(bytes(mutIhdr(d => d(12) = 1)) === Seq.empty) // Adam7
     assert(bytes(mutIhdr(d => { d(0) = 0; d(1) = 0; d(2) = 0; d(3) = 0 }))
       === Seq.empty) // width 0
+    // CRC-valid w=1, h=2^30: w*h passes the pixel bound but the raw
+    // stream is h*(1+w) = 2^31 — Int overflow at the allocation if the
+    // header walk does not guard the RAW product (contract: empty,
+    // never a throw, and no multi-GB allocation attempt)
+    assert(bytes(mutIhdr(d => { d(0) = 0; d(1) = 0; d(2) = 0; d(3) = 1
+      d(4) = 0x40; d(5) = 0; d(6) = 0; d(7) = 0 })) === Seq.empty)
     // declared height +1: the zlib stream inflates SHORT of h*(1+w) —
     // only the inflate seam can catch this, no header arithmetic does
     assert(bytes(mutIhdr(d => d(7) = (d(7) + 1).toByte)) === Seq.empty)
@@ -410,6 +416,16 @@ class MultimodalSpec extends SparkTestBase {
     // zero-size logical screen
     val mutZ = good.clone; mutZ(6) = 0; mutZ(7) = 0
     assert(bytes(mutZ) === Seq.empty)
+    // declared geometry far SMALLER than the stream's expansion (the
+    // LZW-bomb shape): the decode must bail empty as soon as output
+    // passes w*h, not buffer the whole stream first — here the LZW
+    // stream expands to 36 bytes against a declared 1x1 screen
+    val mutB = good.clone
+    mutB(6) = 1; mutB(7) = 0; mutB(8) = 1; mutB(9) = 0 // screen 1x1
+    mutB(imgAt + 5) = 1; mutB(imgAt + 6) = 0 // descriptor w = 1
+    mutB(imgAt + 7) = 1; mutB(imgAt + 8) = 0 // descriptor h = 1
+    assert(bytes(mutB) === Seq.empty,
+      "over-expanding LZW stream must decode empty")
     // LZW min code size out of the 2..8 palette range
     val mcsAt = imgAt + 10
     val mutM = good.clone; mutM(mcsAt) = 12
