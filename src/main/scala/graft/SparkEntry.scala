@@ -434,6 +434,7 @@ object SparkEntry {
     "gopher_repetition" -> ((s, d) => TextQuality.gopherRepetition(s, d)),
     "c4_filter" -> ((s, d) => TextQuality.c4Filter(s, d)),
     "ccnet_buckets" -> ((s, d) => TextQuality.ccnetBuckets(s, d)),
+    "quality_classifier" -> ((s, d) => QualityClassifier.scores(s, d)),
     "dsir_weights" -> ((s, d) => Dsir.importanceWeights(s, d)),
     "dsir_sample" -> ((s, d) => Dsir.gumbelTopK(s, d)),
     "label_centroids" -> ((s, d) => Vectors.labelCentroids(s, d)),
@@ -2893,6 +2894,58 @@ object SparkEntry {
         |       WHEN pct * 3.0 < 2.0 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM ranked ORDER BY doc_id""".stripMargin,
+    // 2-epoch full-batch logistic GD over hashed bigrams, replayed
+    // exactly: per-row products in IEEE double rounded to 12 dp and
+    // summed as DECIMAL (order-independent), sigmoid outputs rounded
+    // to 9 dp so libm ulp differences cannot propagate across epochs
+    "quality_classifier" ->
+      """WITH ws AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(list_transform(string_split_regex(text, '[ \t\n]+'),
+        |      w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))),
+        |      w -> length(w) > 0) AS l
+        |  FROM documents),
+        |bgr AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |    len(l) - 1 AS n_bg,
+        |    CAST(concat('0x', substr(md5(l[i] || ' ' || l[i+1]), 1, 8)) AS BIGINT) % 1024 AS b
+        |  FROM ws, unnest(range(1, len(l))) AS t(i)
+        |  WHERE len(l) >= 2),
+        |feat AS (
+        |  SELECT doc_id, y, n_bg, b,
+        |    CAST(count(*) AS DOUBLE) / CAST(n_bg AS DOUBLE) AS x
+        |  FROM bgr GROUP BY doc_id, y, n_bg, b),
+        |w1 AS (
+        |  SELECT b, round(0.5 * CAST(sum(CAST(round((y - 0.5) * x, 12) AS DECIMAL(26,12))) AS DOUBLE), 12) AS w
+        |  FROM feat GROUP BY b),
+        |b1 AS (
+        |  SELECT round(0.5 * CAST(sum(CAST(round(y - 0.5, 12) AS DECIMAL(26,12))) AS DOUBLE), 12) AS bias0
+        |  FROM (SELECT DISTINCT doc_id, y FROM feat)),
+        |p1 AS (
+        |  SELECT doc_id, y, round(1.0 / (1.0 + exp(-z)), 9) AS p
+        |  FROM (
+        |    SELECT doc_id, y,
+        |      bias0 + CAST(sum(CAST(round(x * w, 12) AS DECIMAL(26,12))) AS DOUBLE) AS z
+        |    FROM feat JOIN w1 USING (b) CROSS JOIN b1
+        |    GROUP BY doc_id, y, bias0)),
+        |w2 AS (
+        |  SELECT w1.b, round(w1.w + 0.5 * coalesce(g.g, 0.0), 12) AS w
+        |  FROM w1 LEFT JOIN (
+        |    SELECT b, CAST(sum(CAST(round((feat.y - p.p) * x, 12) AS DECIMAL(26,12))) AS DOUBLE) AS g
+        |    FROM feat JOIN (SELECT doc_id, p FROM p1) p USING (doc_id)
+        |    GROUP BY b) g ON w1.b = g.b),
+        |b2 AS (
+        |  SELECT round(bias0 + 0.5 * CAST(sum(CAST(round(y - p, 12) AS DECIMAL(26,12))) AS DOUBLE), 12) AS bias2
+        |  FROM p1 CROSS JOIN b1 GROUP BY bias0),
+        |z2 AS (
+        |  SELECT doc_id, n_bg,
+        |    bias2 + CAST(sum(CAST(round(x * w, 12) AS DECIMAL(26,12))) AS DOUBLE) AS z
+        |  FROM feat JOIN w2 USING (b) CROSS JOIN b2
+        |  GROUP BY doc_id, n_bg, bias2)
+        |SELECT doc_id, CAST(n_bg AS BIGINT) AS n_bigrams,
+        |  round(1.0 / (1.0 + exp(-z)), 9) AS score,
+        |  (z >= 0.0) AS keep
+        |FROM z2 ORDER BY doc_id""".stripMargin,
     "dsir_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.sources.Tables
+
+/** Learned quality classifier — the fastText-shaped curation stage
+  * (Joulin et al. 2016; the CCNet/LLaMA "wiki-vs-crawl" filter): a
+  * LINEAR scorer over hashed bigram features, trained by full-batch
+  * logistic-regression gradient descent on a deterministic labeled
+  * slice of the corpus itself, then scored corpus-wide in one
+  * projection. This complements the RULE batteries
+  * ([[TextQuality.gopherQualityFilter]], [[TextQuality.c4Filter]],
+  * ccnet buckets): every modern curation recipe runs both a rule pass
+  * and a learned filter, and this is the trainable half.
+  *
+  * Model, exactly (so a second engine can replay it):
+  *  - features: the normalized word stream (reference tokenizer
+  *    semantics, `/root/reference/src/tema1.cpp:88-99` — split on
+  *    space/tab/newline, strip non-alpha, lowercase, drop empties),
+  *    adjacent-word bigrams "w0 w1", hashed into `buckets` buckets by
+  *    the md5-prefix trick (`conv(substr(md5(bg),1,8),16,10) % B` —
+  *    the [[Dsir]] convention), per-doc counts normalized by the
+  *    doc's bigram total: x_b = cnt_b / n_bg (the fastText mean-of-
+  *    embeddings normalization). Docs with fewer than two surviving
+  *    words have no features and are absent — a classifier cannot
+  *    score what has no content (the DSIR absence precedent).
+  *  - labels: y = 1 iff lang == targetLang — the "curated target vs
+  *    raw crawl" label a fastText quality filter trains on, derived
+  *    deterministically from the corpus so the oracle can re-derive
+  *    it (any trusted-slice predicate slots in unchanged).
+  *  - training: `epochs` rounds of full-batch gradient descent from
+  *    w = 0, bias = 0 with learning rate `lr`:
+  *      w  <- round(w  + lr * sum_docs((y - p) * x_b), 12)
+  *      b0 <- round(b0 + lr * sum_docs (y - p),        12)
+  *    with p = round(sigmoid(w.x + b0), 9) (p = 0.5 exactly in the
+  *    first epoch, since the init is zero).
+  *  - score: round(sigmoid(w.x + b0), 9); keep = (z >= 0), i.e.
+  *    score >= 1/2, decided on the raw margin so the verdict never
+  *    depends on the rounded score's boundary.
+  *
+  * Cross-engine determinism (the DSIR discipline, hardened): every
+  * per-row product is computed in IEEE double (bit-identical in any
+  * engine given identical operands), rounded to 12 dp and cast to
+  * DECIMAL before summing — decimal sums are exact and therefore
+  * independent of partitioning and row order, where float sums are
+  * not. The only non-IEEE-exact primitives, exp() inside the sigmoid,
+  * have their outputs rounded to 9 dp immediately, so a last-ulp
+  * libm difference between engines cannot propagate into the next
+  * epoch's gradients.
+  *
+  * Scale shape: ONE corpus pass builds the feature table (posexplode
+  * + lead window, all codegen — the [[Dedup]] docNgrams rationale),
+  * map-side-combined per (doc, bucket) reusing the window's doc_id
+  * clustering (no extra exchange), localCheckpointed lazily and
+  * consumed by every epoch. Each epoch is: one broadcast join of the
+  * B-row weight table + one doc-keyed aggregate (the per-doc margin)
+  * + one doc-keyed equi-join of the n_docs-row score table back onto
+  * features (NOT broadcast — at corpus scale that table is corpus-
+  * sized; it shuffles doc-keyed, linear) + one B-row gradient
+  * aggregate. Nothing corpus-sized reaches the driver; weights live
+  * in B-row DataFrames end to end. Epoch count is a constant (2):
+  * cost is O(epochs) linear passes, exactly how fastText-scale
+  * filters train on crawls.
+  */
+object QualityClassifier {
+
+  private val S = 12 // gradient/product rounding scale
+  private val P = 9  // sigmoid output rounding scale
+
+  private def sigmoid(z: org.apache.spark.sql.Column) =
+    round(lit(1.0) / (lit(1.0) + exp(-z)), P)
+
+  /** (doc_id, y, n_bg, b, x) hashed-bigram feature rows — one corpus
+    * pass, window-clustered by doc so the count aggregate adds no
+    * exchange.
+    */
+  private def features(docs: DataFrame, targetLang: String,
+      buckets: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wd = Window.partitionBy(col("doc_id"))
+    val words = docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(TextOps.tokenize(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("lang"), col("pos"),
+        TextOps.normalize(col("tok")).as("w0"))
+      .filter(length(col("w0")) > 0)
+    words
+      .select(col("doc_id"), col("lang"), col("w0"),
+        lead(col("w0"), 1).over(w).as("w1"))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"),
+        when(col("lang") === targetLang, 1.0).otherwise(0.0).as("y"),
+        (conv(substring(md5(concat_ws(" ", col("w0"), col("w1"))), 1, 8),
+          16, 10).cast("long") % buckets).as("b"))
+      .withColumn("n_bg", count(lit(1)).over(wd))
+      .groupBy(col("doc_id"), col("y"), col("n_bg"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("x", col("cnt").cast("double") / col("n_bg").cast("double"))
+      .drop("cnt")
+  }
+
+  /** Order-independent decimal sum of a per-row double product. */
+  private def dsum(term: org.apache.spark.sql.Column) =
+    sum(round(term, S).cast(s"decimal(26,$S)")).cast("double")
+
+  /** One GD step: given served (b, w) and 1-row (bias), produce the
+    * next (b, w) and (bias). `probs` = per-doc (doc_id, y, p).
+    */
+  private def step(feat: DataFrame, probs: DataFrame, w: DataFrame,
+      biasDf: DataFrame, lr: Double): (DataFrame, DataFrame) = {
+    val g = feat.join(probs.select(col("doc_id"), col("p")), Seq("doc_id"))
+      .groupBy(col("b"))
+      .agg(dsum((col("y") - col("p")) * col("x")).as("g"))
+    val wNext = w.join(g, Seq("b"), "left")
+      .select(col("b"),
+        round(col("w") + lit(lr) * coalesce(col("g"), lit(0.0)), S).as("w"))
+    val biasNext = probs
+      .crossJoin(broadcast(biasDf))
+      .groupBy(col("bias"))
+      .agg(dsum(col("y") - col("p")).as("g0"))
+      .select(round(col("bias") + lit(lr) * col("g0"), S).as("bias"))
+    (wNext, biasNext)
+  }
+
+  /** Per-doc (doc_id, y, n_bg, z) margins under served weights. */
+  private def margins(feat: DataFrame, w: DataFrame,
+      biasDf: DataFrame): DataFrame =
+    feat.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"), col("y"), col("n_bg"))
+      .agg(dsum(col("x") * col("w")).as("dot"))
+      .crossJoin(broadcast(biasDf))
+      .select(col("doc_id"), col("y"), col("n_bg"),
+        (col("bias") + col("dot")).as("z"))
+
+  /** The trained model: (B-row (b, w) table, 1-row (bias) table).
+    * Exposed for the spec's scalar-trainer comparison.
+    */
+  private[graft] def model(spark: SparkSession, feat: DataFrame,
+      buckets: Int, lr: Double, epochs: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    // zero init: epoch 1's p is exactly 0.5 for every doc, so the
+    // first step needs no margin pass
+    var w: DataFrame = spark.range(buckets)
+      .select(col("id").as("b"), lit(0.0).as("w"))
+    var biasDf: DataFrame = Seq(0.0).toDF("bias")
+    var probs = feat.select(col("doc_id"), col("y")).distinct()
+      .withColumn("p", lit(0.5))
+    var e = 0
+    while (e < epochs) {
+      val (wN, bN) = step(feat, probs, w, biasDf, lr)
+      w = wN.localCheckpoint(eager = false)
+      biasDf = bN.localCheckpoint(eager = false)
+      e += 1
+      if (e < epochs)
+        probs = margins(feat, w, biasDf)
+          .select(col("doc_id"), col("y"), sigmoid(col("z")).as("p"))
+    }
+    (w, biasDf)
+  }
+
+  /** Registry query: train on the corpus' own labeled slice, score
+    * every featured doc. (doc_id, n_bigrams, score, keep), doc order.
+    */
+  def scores(spark: SparkSession, dir: String, targetLang: String = "en",
+      buckets: Int = 1024, lr: Double = 0.5, epochs: Int = 2): DataFrame = {
+    val feat = features(Tables.documents(spark, dir), targetLang, buckets)
+      .localCheckpoint(eager = false)
+    val (w, biasDf) = model(spark, feat, buckets, lr, epochs)
+    margins(feat, w, biasDf)
+      .select(col("doc_id"), col("n_bg").cast("long").as("n_bigrams"),
+        sigmoid(col("z")).as("score"),
+        (col("z") >= 0.0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+}
