@@ -238,6 +238,35 @@ object Bench {
         overGate(dt, baseline(k)) => k
     }
 
+  /** Sub-phase seconds recorded by the ingest-pair runners during
+    * their last invocation — drained into standalone gated entries
+    * after each measured run, so the maintained-vs-rebuild FIRST-QUERY
+    * contrast is watched directly (the whole-arm entries fold ~equal
+    * ingest cost over a 4-58x query-phase win, reading as 1.2x).
+    */
+  private val phaseSeconds =
+    scala.collection.mutable.LinkedHashMap[String, Double]()
+  private def phaseTimed[T](name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    phaseSeconds(name) = (System.nanoTime() - t0) / 1e9
+    r
+  }
+
+  /** Rerunning a flagged phase entry means rerunning its parent arm
+    * (the phase is a window inside that pipeline, not a standalone
+    * runner) and reading the refreshed window.
+    */
+  private val phaseParent = Map(
+    "ingest_phase_maintained" -> "ingest_maintained_query",
+    "first_query_maintained" -> "ingest_maintained_query",
+    "ingest_phase_rebuild" -> "ingest_rebuild_query",
+    "first_query_rebuild" -> "ingest_rebuild_query",
+    "vec_ingest_phase_maintained" -> "vec_ingest_maintained_query",
+    "vec_first_query_maintained" -> "vec_ingest_maintained_query",
+    "vec_ingest_phase_rebuild" -> "vec_ingest_rebuild_query",
+    "vec_first_query_rebuild" -> "vec_ingest_rebuild_query")
+
   /** One arm of the ingest-maintenance bench pair: ingest a 25% doc
     * subsample, build the store suffix index (deployment posture: the
     * index exists before the next batch), ingest the every-29th
@@ -271,7 +300,8 @@ object Bench {
       .MemoryStream[graft.streaming.EventStreams.CDoc]
     val q = graft.streaming.EventStreams.curatedIngest(input.toDF(), snap,
       bucketer = graft.streaming.BucketStore.RangeBuckets("doc_id", width))
-    try {
+    val arm = if (maintained) "maintained" else "rebuild"
+    try phaseTimed(s"ingest_phase_$arm") {
       input.addData(docs.toSeq: _*)
       q.processAllAvailable()
       graft.operators.SuffixRanks.storeRankTable(spark, snap).count()
@@ -291,10 +321,9 @@ object Bench {
         "ingest_maintained_query: maintenance did not install — the " +
           "entry would silently measure the rebuild arm")
     }
-    val t0 = System.nanoTime()
-    val rows = graft.operators.SuffixRanks.storeRankTable(spark, snap).count()
-    val qSec = (System.nanoTime() - t0) / 1e9
-    val arm = if (maintained) "maintained" else "rebuild"
+    val rows = phaseTimed(s"first_query_$arm")(
+      graft.operators.SuffixRanks.storeRankTable(spark, snap).count())
+    val qSec = phaseSeconds(s"first_query_$arm")
     System.err.println(
       f"[bench] ingest_${arm}_query: post-ingest first query $qSec%.2f s " +
         s"($rows rows)")
@@ -336,7 +365,8 @@ object Bench {
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[VecRow]
     val q = EventStreams.vectorIngest(input.toDF(), snap)
-    try {
+    val arm = if (maintained) "maintained" else "rebuild"
+    try phaseTimed(s"vec_ingest_phase_$arm") {
       input.addData(vecs.toSeq: _*)
       q.processAllAvailable()
       graft.operators.Ivf.storeCentroids(spark, snap, 16, 2).count()
@@ -356,13 +386,12 @@ object Bench {
           "the entry would silently measure the rebuild arm")
     }
     try {
-      val t0 = System.nanoTime()
-      val rows = graft.operators.Ivf.ivfTopKOver(
-        EventStreams.admittedVectors(spark, snap)
-          .select(col("vec_id"), col("embedding")),
-        graft.operators.Ivf.storeCentroids(spark, snap, 16, 2)).count()
-      val qSec = (System.nanoTime() - t0) / 1e9
-      val arm = if (maintained) "maintained" else "rebuild"
+      val rows = phaseTimed(s"vec_first_query_$arm")(
+        graft.operators.Ivf.ivfTopKOver(
+          EventStreams.admittedVectors(spark, snap)
+            .select(col("vec_id"), col("embedding")),
+          graft.operators.Ivf.storeCentroids(spark, snap, 16, 2)).count())
+      val qSec = phaseSeconds(s"vec_first_query_$arm")
       System.err.println(
         f"[bench] vec_ingest_${arm}_query: post-ingest first ANN query " +
           f"$qSec%.2f s ($rows rows)")
@@ -606,6 +635,7 @@ object Bench {
     // write paths: same interleaved warm-then-measure discipline; the
     // returned row count turns the archived seconds into rows/s on
     // stderr (the sf-independent number a sink regression moves)
+    val phaseEntries = List.newBuilder[(String, Double)]
     val writeResults = (if (only.isEmpty) writeRunners
       else writeRunners.filter(w => only.exists(_.contains(w._1))))
       .map { case (name, run) =>
@@ -615,6 +645,7 @@ object Bench {
             System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
           }
         }
+        phaseSeconds.clear() // drop the warmup's phase deposits
         val t0 = System.nanoTime()
         val rows =
           try run(sfDir)
@@ -624,6 +655,9 @@ object Bench {
             -1L
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        // a failed arm's partial phase windows must not become entries
+        if (rows >= 0) phaseEntries ++= phaseSeconds
+        phaseSeconds.clear()
         Cleanup.fullRelease(spark)
         if (rows >= 0)
           System.err.println(
@@ -631,7 +665,8 @@ object Bench {
         name -> dt
       }
     // buildResults already excludes non-requested builds under `only`
-    val results = buildResults ++ queryResults ++ writeResults
+    val results = buildResults ++ queryResults ++ writeResults ++
+      phaseEntries.result()
     // Locale-pinned: the f-interpolator uses the default JVM locale, which
     // on a comma-decimal locale (de_DE) would emit "1,234" and break the
     // driver's JSON parse.
@@ -660,8 +695,13 @@ object Bench {
       "sessionize", "rolling_7d_qty", "stats_lineitem", "percentiles",
       "curated_corpus", "decontaminate", "window_top_orders",
       "upsert_snapshot", "top_words", "rank_corr", "ann_topk",
-      "semantic_dedup", "pca_top_component", "abtt_debias",
-      "pca_components", "q21_waiting_suppliers", "q9_profit",
+      // round-18: pca_top_component/abtt_debias/pca_components retired
+      // from the PARSEABLE LINE only (still measured, archived to
+      // stderr detail and the run log, still gate-watched) — the
+      // driver keeps a ~2000-char output tail and the line was 165
+      // chars from the cliff; the freed bytes fund the ingest PHASE
+      // entries and quality_classifier below
+      "semantic_dedup", "q21_waiting_suppliers", "q9_profit",
       // round-12: the two write paths, timed for the first time
       "write_letter_sink", "write_curated_ingest",
       // round-15: per-artifact index builds, each floored and
@@ -675,17 +715,25 @@ object Bench {
       // codec
       "build_ivf_incremental", "ivf_incremental_topk", "media_bmp",
       "build_pq_incremental", "pq_incremental_topk",
-      // round-17: the ingest→maintenance wiring pair (post-ingest
-      // first-query latency, maintained vs staleness-rebuild) and the
-      // two new incremental maintainers (PCA warm-start, unigram vocab)
-      "ingest_maintained_query", "ingest_rebuild_query",
+      // round-17: the two new incremental maintainers
+      // (PCA warm-start, unigram vocab)
       "build_pca_incremental", "pca_incremental",
       "build_unigram_incremental", "unigram_incremental",
       // round-17: the two entropy-coded codecs (zlib inflate + CRC
       // walk; variable-width LZW + sub-block reassembly + interlace)
       "media_png", "media_gif",
-      // round-17: the embedding-side ingest→maintenance pair
-      "vec_ingest_maintained_query", "vec_ingest_rebuild_query")
+      // round-18: the ingest→maintenance pairs now report by PHASE —
+      // the whole-arm entries (ingest_maintained_query & co) folded
+      // ~equal ingest cost over a 4-58x first-query win and read as
+      // 1.2x; they remain measured + run-log-floored + gate-watched,
+      // but the parseable line carries the phases the wiring exists
+      // to shrink
+      "ingest_phase_maintained", "ingest_phase_rebuild",
+      "first_query_maintained", "first_query_rebuild",
+      "vec_first_query_maintained", "vec_first_query_rebuild",
+      // round-18: the learned curation stage (hashed-bigram logistic
+      // GD — two full training passes inside the measured window)
+      "quality_classifier")
     val byName = results.toMap
     // a renamed/removed registry entry silently shrinking the headline map
     // would go unnoticed — surface it
@@ -725,23 +773,31 @@ object Bench {
     // way so the record shows what happened.
     val reruns: Map[String, List[Double]] = flagged.map { k =>
       k -> List.fill(2) {
+        phaseSeconds.clear()
         val t0 = System.nanoTime()
         val ok =
           try {
             buildRunnerMap.get(k) match {
               case Some(build) => build(spark, sfDir)
-              case None => writeRunnerMap.get(k) match {
-                case Some(run) => run(sfDir)
-                case None => SparkEntry.queries(k)(spark, sfDir)
-                  .write.format("noop").mode("overwrite").save()
-              }
+              case None =>
+                writeRunnerMap.get(k)
+                  // a flagged PHASE entry reruns its parent arm — the
+                  // phase is a window inside that pipeline, and the
+                  // refreshed window is read back below
+                  .orElse(phaseParent.get(k).flatMap(writeRunnerMap.get))
+                match {
+                  case Some(run) => run(sfDir)
+                  case None => SparkEntry.queries(k)(spark, sfDir)
+                    .write.format("noop").mode("overwrite").save()
+                }
             }
             true
           } catch { case e: Throwable =>
             System.err.println(s"[bench] rerun $k failed: ${e.getMessage}")
             false
           }
-        val dt = (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val dt = phaseSeconds.getOrElse(k, wall)
         Cleanup.fullRelease(spark)
         // a FAILED rerun must not feed the gate or the median: its
         // time-to-exception would misclassify a genuine regression as
