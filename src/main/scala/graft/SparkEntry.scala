@@ -361,6 +361,7 @@ object SparkEntry {
     // clear/EOI), sub-block stream reassembly, extension skipping,
     // 4-pass interlace; corrupted subset decodes empty
     "media_gif" -> ((s, d) => Multimodal.mediaGif(s, d)),
+    "media_near_dup" -> ((s, d) => Multimodal.mediaNearDup(s, d)),
     // -- events ----------------------------------------------------------
     "hourly_rollup" -> ((s, d) => EventOps.hourlyRollup(s, d)),
     "sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
@@ -1679,6 +1680,51 @@ object SparkEntry {
         |       END AS preview_hex
         |FROM m LEFT JOIN ent USING (doc_id)
         |ORDER BY m.doc_id""".stripMargin,
+    // media_near_dup: dHash over the PNG table's decoded rasters.
+    // The oracle recomputes the hash from the closed-form raster
+    // (printable projection padded to w*ceil(n/w), w = n%6+1), with
+    // the corrupted subset (doc_id % 17 = 3, empty decode) and
+    // degenerate w < 2 geometries excluded by construction. The
+    // brute-force pair join here equals the engine's chunk-blocked
+    // join exactly: pigeonhole makes blocking lossless at hamming<=3.
+    "media_near_dup" ->
+      """WITH cl AS (
+        |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS s
+        |  FROM documents WHERE doc_id % 17 <> 3),
+        |geo AS (
+        |  SELECT doc_id, s, (length(s) % 6) + 1 AS w,
+        |    (length(s) + (length(s) % 6)) // ((length(s) % 6) + 1) AS h
+        |  FROM cl WHERE length(s) > 0),
+        |ras AS (
+        |  SELECT doc_id, w, h, rpad(s, CAST(w * h AS INTEGER), ' ') AS r
+        |  FROM geo WHERE w >= 2),
+        |grid AS (
+        |  SELECT doc_id, w, r, (t1.j * 8 + t2.i) AS bit,
+        |    (t1.j * h) // 8 AS y, (t2.i * w) // 9 AS x0,
+        |    ((t2.i + 1) * w) // 9 AS x1
+        |  FROM ras, unnest(range(8)) AS t1(j), unnest(range(8)) AS t2(i)),
+        |ck AS (
+        |  SELECT doc_id, bit // 16 AS chunk,
+        |    CAST(sum(CASE WHEN
+        |        ascii(substr(r, CAST(y * w + x1 + 1 AS INTEGER), 1)) >
+        |        ascii(substr(r, CAST(y * w + x0 + 1 AS INTEGER), 1))
+        |      THEN 1 << (bit % 16) ELSE 0 END) AS INTEGER) AS ck
+        |  FROM grid GROUP BY doc_id, bit // 16),
+        |h4 AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN chunk = 0 THEN ck END) AS c0,
+        |    max(CASE WHEN chunk = 1 THEN ck END) AS c1,
+        |    max(CASE WHEN chunk = 2 THEN ck END) AS c2,
+        |    max(CASE WHEN chunk = 3 THEN ck END) AS c3
+        |  FROM ck GROUP BY doc_id)
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |    CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+        |         bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+        |      AS INTEGER) AS hamming
+        |  FROM h4 a JOIN h4 b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 3
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
     "media_decode" ->
       """WITH cl AS (
         |  SELECT doc_id,

@@ -376,6 +376,23 @@ object Multimodal {
   object PngCodec extends Codec {
     private val SIG = Array[Byte](0x89.toByte, 'P', 'N', 'G',
       0x0d, 0x0a, 0x1a, 0x0a)
+    /** Geometry-aware decode — (width, height, pixels); (0, 0, empty)
+      * on any malformation. The perceptual-hash family needs the
+      * raster SHAPE, not just the byte stream: a difference hash
+      * samples a fixed grid over (w, h), which the flat `decode`
+      * cannot reconstruct from length alone.
+      */
+    def decodeRaster(p: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val px = decode(p)
+      if (px.isEmpty) (0, 0, px)
+      else {
+        // IHDR is validated as the FIRST chunk by decode, so the
+        // geometry sits at a fixed offset in any payload that decoded
+        val w = ((p(16) & 0xff) << 24 | (p(17) & 0xff) << 16 |
+          (p(18) & 0xff) << 8 | (p(19) & 0xff))
+        (w, px.length / w, px)
+      }
+    }
     override def decode(p: Array[Byte]): Array[Byte] = {
       def u32(i: Int): Long = // PNG is big-endian, unlike WAV/BMP
         (p(i) & 0xffL) << 24 | (p(i + 1) & 0xffL) << 16 |
@@ -1026,5 +1043,104 @@ object Multimodal {
         col("entropy"), col("frames_sampled"),
         hex(col("preview")).as("preview_hex"))
       .orderBy(col("doc_id"))
+  }
+
+  // ---------- image perceptual near-dup (dHash over decoded rasters) --
+
+  case class RasterHash(doc_id: Long, c0: Int, c1: Int, c2: Int, c3: Int)
+
+  /** 64-bit difference hash (dHash — the standard perceptual image
+    * fingerprint: Krawetz's "Kind of Like That" gradient hash) of a
+    * decoded grayscale raster, as FOUR 16-bit chunks. The hash samples
+    * a fixed 9x8 nearest-neighbor grid over (w, h) and sets bit
+    * (j*8+i) when the right sample of row j, column i is brighter
+    * than the left — brightness GRADIENTS, so the hash survives
+    * uniform exposure shifts, the property that makes dHash the
+    * near-dup unit for images where exact byte hashes are useless.
+    *
+    * Chunked representation, deliberately: 16-bit unsigned chunks are
+    * sign-safe in every engine (a packed 64-bit hash's top bit is
+    * not), the chunks ARE the pigeonhole blocking keys (the
+    * [[Dedup.simhashPairs]] pattern), and hamming distance is the sum
+    * of four bit_count(xor) terms.
+    *
+    * Degenerate rasters are REJECTED (None): width < 2 has no
+    * horizontal gradient — every such image hashes identically, and
+    * at corpus scale that one bucket degrades the blocked join to
+    * quadratic. A real pipeline gates on minimum dimensions for the
+    * same reason; the exclusion is the documented posture, mirrored
+    * in the oracle.
+    */
+  private[graft] def dHashChunks(w: Int, h: Int,
+      r: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    if (w < 2 || h <= 0 || r.length != w * h) None
+    else {
+      val c = new Array[Int](4)
+      var j = 0
+      while (j < 8) {
+        val y = j * h / 8
+        var i = 0
+        while (i < 8) {
+          val x0 = i * w / 9
+          val x1 = (i + 1) * w / 9
+          if ((r(y * w + x1) & 0xff) > (r(y * w + x0) & 0xff)) {
+            val bit = j * 8 + i
+            c(bit / 16) |= 1 << (bit % 16)
+          }
+          i += 1
+        }
+        j += 1
+      }
+      Some((c(0), c(1), c(2), c(3)))
+    }
+
+  /** Per-doc dHash chunks of the PNG media table's DECODED rasters —
+    * batched per partition like [[extractFeatures]] (one codec
+    * boundary, narrow mapPartitions, no shuffle). Corrupted payloads
+    * decode empty and degenerate geometries return None, so both are
+    * absent by construction.
+    */
+  def mediaDHashes(spark: SparkSession, dir: String)
+      : Dataset[RasterHash] = {
+    import spark.implicits._
+    pngMediaTable(spark, dir).as[MediaRecord].mapPartitions { recs =>
+      recs.flatMap { r =>
+        val (w, h, px) = PngCodec.decodeRaster(r.payload)
+        dHashChunks(w, h, px).map { case (a, b, c, d) =>
+          RasterHash(r.doc_id, a, b, c, d)
+        }
+      }
+    }
+  }
+
+  /** Image near-dup pairs through the codec seam: decode raster →
+    * dHash → block on the 4 16-bit chunks → verify with summed
+    * bit_count(xor). Pigeonhole: a pair within hamming distance 3
+    * agrees on at least one chunk, so maxHamming <= 3 has no false
+    * negatives (the [[Dedup.simhashPairs]] guarantee, applied to
+    * pixels instead of words). Candidate work is bounded by chunk
+    * bucket occupancy — hash-similar images, never all pairs.
+    */
+  def mediaNearDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hs = mediaDHashes(spark, dir).toDF().localCheckpoint()
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"), col(s"c$c").as("ck")))
+    val keyed = hs.select(col("doc_id"), col("c0"), col("c1"),
+        col("c2"), col("c3"), explode(array(chunks: _*)).as("k"))
+      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("k.chunk").as("chunk"), col("k.ck").as("ck"))
+    val ham = (0 until 4)
+      .map(c => bit_count(col(s"a.c$c").bitwiseXOR(col(s"b.c$c"))))
+      .reduce(_ + _)
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"),
+        col("b.doc_id").as("doc_id_2"), ham.cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
   }
 }

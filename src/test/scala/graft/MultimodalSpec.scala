@@ -341,6 +341,67 @@ class MultimodalSpec extends SparkTestBase {
       ("IEND", Array.emptyByteArray)))) === Seq.empty)
   }
 
+  test("dHash: gradient bits, geometry gate, corrupted exclusion") {
+    // hand-computable 2x2 raster: row samples map 9 grid cols onto
+    // x in {0,1}; bit set iff right sample brighter than left
+    val r = Array[Byte](10, 20, 30, 5) // rows: [10 20], [30 5]
+    val Some((c0, c1, c2, c3)) = Multimodal.dHashChunks(2, 2, r)
+    // w=2: x0 = i*2/9, x1 = (i+1)*2/9 -> (x0,x1) differs only at i=3,8
+    // (0,0),(0,0),(0,0),(0,1)... i=3: x0=0,x1=0? 4*2/9=0 -> recompute:
+    // i*2/9 for i=0..8 = 0,0,0,0,0,1,1,1,1 -> adjacent pairs differ at
+    // i=4 (x0=0,x1=1). Rows 0-3 sample y=0 ([10,20]: 20>10 -> bit),
+    // rows 4-7 sample y=1 ([30,5]: 5>30 -> no bit).
+    val expectRowBits = Integer.parseInt("00010000", 2) // bit i=4 of 8
+    def rowBits(chunk: Int, hi: Boolean): Int =
+      (chunk >> (if (hi) 8 else 0)) & 0xff
+    // bit index j*8+i, chunk = idx/16: rows 0..1 -> c0, rows 2..3 -> c1
+    assert(rowBits(c0, hi = false) === expectRowBits, "row 0")
+    assert(rowBits(c0, hi = true) === expectRowBits, "row 1")
+    assert(rowBits(c1, hi = false) === expectRowBits, "row 2")
+    assert(rowBits(c1, hi = true) === expectRowBits, "row 3")
+    assert(c2 === 0 && c3 === 0, "rows 4..7 sample the darker row")
+    // identical rasters -> identical hash; a brightness SHIFT too
+    // (the perceptual property: gradients, not absolute values)
+    val shifted = r.map(b => (b + 40).toByte)
+    assert(Multimodal.dHashChunks(2, 2, shifted) === Some((c0, c1, c2, c3)))
+    // degenerate geometry and length mismatch are rejected
+    assert(Multimodal.dHashChunks(1, 4, r) === None, "w < 2")
+    assert(Multimodal.dHashChunks(2, 2, r.take(3)) === None, "bad length")
+    assert(Multimodal.dHashChunks(0, 0, Array.emptyByteArray) === None)
+  }
+
+  test("media_near_dup: pairs match a scalar recomputation at sf0.001") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val hs = docs.flatMap { case (id, text) =>
+      if (id % 17 == 3) None // corrupted payload: empty decode
+      else {
+        val s = text.replaceAll("[^ -~]", "")
+        if (s.isEmpty) None
+        else {
+          val w = (s.length % 6) + 1
+          val h = (s.length + w - 1) / w
+          val r = s.padTo(w * h, ' ').getBytes("US-ASCII")
+          Multimodal.dHashChunks(w, h, r).map(c => id -> c)
+        }
+      }
+    }
+    val want = (for {
+      (a, ca) <- hs; (b, cb) <- hs if a < b
+      d = Integer.bitCount(ca._1 ^ cb._1) + Integer.bitCount(ca._2 ^ cb._2) +
+        Integer.bitCount(ca._3 ^ cb._3) + Integer.bitCount(ca._4 ^ cb._4)
+      if d <= 3
+    } yield (a, b, d)).sortBy(p => (p._1, p._2)).toSeq
+    val got = Multimodal.mediaNearDup(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "fixture corpus should contain near-dup rasters")
+    // the excluded classes really are absent
+    val ids = got.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(ids.forall(_ % 17 != 3), "corrupted docs must not appear")
+  }
+
   test("media_png query: decoded columns match the padded closed form") {
     val out = Multimodal.mediaPng(spark, sf("sf0.001")).collect()
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
