@@ -473,6 +473,7 @@ object SparkEntry {
       ((s, d) => SuffixRanks.incrementalQuery(s, d)),
     "bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(s, d)),
     "bpe_train" -> ((s, d) => Bpe.train(s, d, BpeK)),
+    "bpe_incremental" -> ((s, d) => Bpe.incrementalTrain(s, d, BpeK)),
     "bpe_tokenize" -> ((s, d) => Bpe.tokenizeDocs(s, d, BpeK)),
     "unigram_seed" -> ((s, d) => Unigram.seed(s, d)),
     "unigram_train" -> ((s, d) => Unigram.train(s, d)),
@@ -538,14 +539,15 @@ object SparkEntry {
     */
   private val BpeK = 20
 
-  private def bpeVocabCte(k: Int): String = {
+  private def bpeVocabCte(k: Int, pre: String = "",
+      docsRel: String = "documents"): String = {
     val S = "chr(31)"
     val SS = "chr(31) || chr(31)"
     val sb = new StringBuilder
     sb.append(
-      """WITH dtoks AS (
-        |  SELECT doc_id, lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^a-zA-Z]', '', 'g')) AS word
-        |  FROM documents),
+      s"""WITH ${pre}dtoks AS (
+        |  SELECT doc_id, lower(regexp_replace(unnest(string_split_regex(text, '[ \\t\\n]+')), '[^a-zA-Z]', '', 'g')) AS word
+        |  FROM $docsRel),
         |v0 AS MATERIALIZED (
         |  SELECT word, CAST(count(*) AS BIGINT) AS n,
         |    chr(31) || array_to_string(list_transform(range(1, length(word) + 1), i -> substring(word, CAST(i AS INTEGER), 1)), chr(31) || chr(31)) || chr(31) AS s
@@ -566,11 +568,27 @@ object SparkEntry {
     sb.toString
   }
 
-  private val BpeTrainSql: String =
-    bpeVocabCte(BpeK) + "\n" +
-      (1 to BpeK).map(t =>
-        s"""SELECT CAST($t AS INTEGER) AS "rank", a AS lhs, b AS rhs, a || b AS merged, CAST(cnt AS BIGINT) AS n FROM best$t""")
-        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", s"""\n) ORDER BY "rank"""")
+  private def bpeMergesTail(k: Int): String =
+    "\n" + (1 to k).map(t =>
+      s"""SELECT CAST($t AS INTEGER) AS "rank", a AS lhs, b AS rhs, a || b AS merged, CAST(cnt AS BIGINT) AS n FROM best$t""")
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", s"""\n) ORDER BY "rank"""")
+
+  private val BpeTrainSql: String = bpeVocabCte(BpeK) + bpeMergesTail(BpeK)
+
+  /** bpe_incremental oracle: the identical merge-loop replay, over the
+    * merged corpus (documents + the re-keyed reversed every-29th
+    * delta) — training from the merged census is bit-equal to a full
+    * retrain, so the oracle IS the retrain. */
+  private val BpeIncrementalSql: String =
+    bpeVocabCte(BpeK,
+      pre = """mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + m AS doc_id, reverse(text) AS text
+        |  FROM documents, mx WHERE doc_id % 29 = 3),
+        |""".stripMargin,
+      docsRel = "docs2") + bpeMergesTail(BpeK)
 
   private val BpeTokenizeSql: String =
     bpeVocabCte(BpeK) +
@@ -3175,6 +3193,7 @@ object SparkEntry {
         |LEFT JOIN kept ON d.doc_id = kept.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "bpe_train" -> BpeTrainSql,
+    "bpe_incremental" -> BpeIncrementalSql,
     "bpe_tokenize" -> BpeTokenizeSql,
     "unigram_seed" -> unigramVocabSql(0),
     "unigram_train" -> unigramVocabSql(Unigram.Rounds),

@@ -91,11 +91,17 @@ object Bpe {
 
   /** The training loop over a (…, word) row stream. Exposed for specs;
     * production entry points go through [[corpusMerges]]. */
-  def learnMerges(words: DataFrame, k: Int): Seq[Merge] = {
+  def learnMerges(words: DataFrame, k: Int): Seq[Merge] =
+    learnMergesFromCensus(
+      words.groupBy(col("word")).agg(count(lit(1)).as("n")), k)
+
+  /** The merge loop over an already-built (word, n) census — the
+    * corpus-scan-free training tail the incremental maintenance
+    * re-runs over a merged census. */
+  def learnMergesFromCensus(census: DataFrame, k: Int): Seq[Merge] = {
     // 1-char words can never host a pair and never change: keep the
     // iteration table to merge-able words only
-    var vocab = words
-      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    var vocab = census
       .filter(length(col("word")) >= 2)
       .select(col("n"), wrapped(col("word")).as("s"))
       .localCheckpoint(eager = false)
@@ -184,4 +190,141 @@ object Bpe {
             col("t")), 6).as("chars_per_token"))
       .orderBy(col("doc_id"))
   }
+
+  // ------------------------------------------------------------------
+  // Incremental merge-table maintenance. The training state that CAN
+  // be maintained incrementally is the (word, n) census — exact
+  // integer counts whose delta merge is associative, so the merged
+  // table is bit-equal to the merged corpus's census ([[Unigram]]'s
+  // argument; the census is ONE persisted artifact shared by both
+  // tokenizer families, and its persistence lives there).
+  //
+  // Order-sensitivity posture (decided, the way the LSH posture was):
+  // BPE merges are rank-ordered and every iteration's pair counts
+  // depend on all earlier merges, so NO prefix of an old merge table
+  // can be reused against updated counts without re-verifying each
+  // rank — a delta can promote a runner-up pair at any rank and
+  // invalidate the entire suffix. The sound incremental unit is
+  // therefore the census, and maintenance re-runs the WHOLE
+  // k-iteration merge loop over it. The result is bit-equal to a full
+  // retrain by construction (retraining from the merged census IS the
+  // retrain — no approximation, no drift gate, BpeSpec pins it); what
+  // maintenance saves is exactly the corpus text scan, the dominant
+  // cost at scale — the loop itself is Heaps'-law-bounded,
+  // vocab-sized, corpus-free.
+  // ------------------------------------------------------------------
+
+  /** Merge table maintained against a delta doc set: persisted census
+    * + delta census, then the full merge loop — bit-equal to a
+    * retrain over the merged corpus. */
+  def incrementalMerges(spark: SparkSession, dir: String,
+      delta: DataFrame, k: Int): Seq[Merge] =
+    learnMergesFromCensus(Unigram.mergedWords(spark, dir, delta), k)
+
+  /** Process memo of the incremental DEMO's maintained merge table
+    * (the [[SuffixRanks.syntheticDocDelta]] fixture) — the
+    * [[Unigram.cachedIncrVocabs]] posture. */
+  private val incrMergeCache =
+    new graft.sources.StampedCache[String, Seq[Merge]]()
+
+  private[graft] def cachedIncrMerges(spark: SparkSession, dir: String,
+      k: Int): Seq[Merge] = {
+    val stamp =
+      graft.sources.CorpusStamp.of(spark, s"$dir/documents.parquet")
+    incrMergeCache.get(dir, stamp) {
+      incrementalMerges(spark, dir,
+        SuffixRanks.syntheticDocDelta(Tables.documents(spark, dir)), k)
+    }
+  }
+
+  /** Bench hook: force the next demo maintenance to re-run (the
+    * persisted word table deliberately stays — serving from it IS the
+    * maintenance being measured). */
+  private[graft] def invalidateIncrMerges(dir: String): Unit =
+    incrMergeCache.invalidate(dir)
+
+  /** Registry entry: the maintained merge table over the merged corpus
+    * (original documents + the re-keyed reversed every-29th delta) —
+    * [[train]]'s shape. The oracle replays the census merge and the
+    * full merge loop in SQL over the same merged corpus. */
+  def incrementalTrain(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    import spark.implicits._
+    cachedIncrMerges(spark, dir, k)
+      .map(m => (m.rank, m.lhs, m.rhs, m.merged, m.n))
+      .toDF("rank", "lhs", "rhs", "merged", "n")
+      .orderBy(col("rank"))
+  }
+
+  // ------------------------------------------------------------------
+  // Store-keyed merge-table family + the ingest-commit maintainer:
+  // the BPE analog of Unigram's store family, reading the SAME
+  // persisted census artifact.
+  // ------------------------------------------------------------------
+
+  private def storeKey(path: String): String = s"store:$path"
+
+  private val storeMergeCache =
+    new graft.sources.StampedCache[String, Seq[Merge]]()
+
+  /** Probe hook: the (stamp, merge table) currently served for the
+    * store — the E2E spec's no-rebuild evidence. */
+  private[graft] def servedStoreMerges(path: String)
+      : Option[(Long, Seq[Merge])] = storeMergeCache.peek(storeKey(path))
+
+  /** The store's trained merge table: cold = one corpus scan into the
+    * shared persisted census + the merge loop; maintained = served
+    * straight from the commit-time install. */
+  def storeMerges(spark: SparkSession, path: String,
+      k: Int = 20): Seq[Merge] = {
+    val stamp = graft.sources.CorpusStamp.of(spark, path)
+    storeMergeCache.get(storeKey(path), stamp) {
+      learnMergesFromCensus(Unigram.storeWordFreqs(spark, path), k)
+    }
+  }
+
+  /** Final trained merge table for a store — [[train]]'s shape. */
+  def storeTrain(spark: SparkSession, path: String,
+      k: Int = 20): DataFrame = {
+    import spark.implicits._
+    storeMerges(spark, path, k)
+      .map(m => (m.rank, m.lhs, m.rhs, m.merged, m.n))
+      .toDF("rank", "lhs", "rhs", "merged", "n")
+      .orderBy(col("rank"))
+  }
+
+  /** The BPE family's [[graft.sources.ArtifactMaintenance]] maintainer.
+    * On a PURE-APPEND commit whose served census was built under
+    * exactly the pre-commit stamp, it merges the delta census into the
+    * persisted table, installs the table (words-only — the unigram
+    * maintainer owns its own vocab install; if both families fire on
+    * one commit the second table install is a `_SUCCESS` no-op), and
+    * installs the re-run merge loop under the post-commit stamp.
+    * Everything else skips — a non-pure commit deletes words the
+    * additive merge cannot subtract; the flipped stamp then forces a
+    * correct rebuild on next access (the staleness contract). */
+  def storeMaintainer(k: Int = 20)
+      : graft.sources.ArtifactMaintenance.Maintainer =
+    (spark, c) => {
+      if (c.pureAppend) {
+        val post = graft.sources.CorpusStamp.of(spark, c.path)
+        Unigram.servedStoreWords(c.path) match {
+          case Some((s, mergedDir)) if s == post =>
+            // a sibling census consumer (the unigram maintainer, fired
+            // earlier on THIS commit) already merged and installed the
+            // post-commit table — one census merge per commit, however
+            // many families consume it
+            storeMergeCache.put(storeKey(c.path), post,
+              learnMergesFromCensus(spark.read.parquet(mergedDir), k))
+          case Some((s, oldDir)) if s == c.preStamp =>
+            val merged = spark.read.parquet(oldDir)
+              .unionByName(Unigram.wordFreqsOf(c.delta))
+              .groupBy(col("word")).agg(sum(col("n")).as("n"))
+            Unigram.installStoreWords(spark, c.path, merged)
+            storeMergeCache.put(storeKey(c.path), post,
+              learnMergesFromCensus(merged, k))
+          case _ => () // cold/mismatched: correct rebuild on next access
+        }
+      }
+    }
 }

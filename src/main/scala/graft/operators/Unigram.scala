@@ -88,8 +88,11 @@ object Unigram {
     wordFreqsOf(Tables.documents(spark, dir))
 
   /** The same census over an explicit doc set — the delta side of the
-    * incremental maintenance and the spec's retrain arm. */
-  private def wordFreqsOf(docs: DataFrame): DataFrame =
+    * incremental maintenance and the spec's retrain arm. Shared with
+    * [[Bpe]]: the (word, n) census is ONE corpus artifact with two
+    * tokenizer-family consumers, so its persistence and maintenance
+    * live here and both families read it. */
+  private[graft] def wordFreqsOf(docs: DataFrame): DataFrame =
     TextOps.explodedWords(docs)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
 
@@ -379,7 +382,7 @@ object Unigram {
   /** The merged (word, n) table: persisted old table + delta census,
     * summed per word. One word-table-sized shuffle; zero old-corpus
     * text reads. */
-  private def mergedWords(spark: SparkSession, dir: String,
+  private[graft] def mergedWords(spark: SparkSession, dir: String,
       delta: DataFrame): DataFrame =
     cachedWordFreqs(spark, dir)
       .unionByName(wordFreqsOf(delta))
@@ -436,7 +439,7 @@ object Unigram {
   /** The persisted (word, n) census over the store's admitted docs
     * ([[graft.streaming.EventStreams.admittedDocs]]), stamped to the
     * store's committed generation. */
-  private def storeWordFreqs(spark: SparkSession, path: String)
+  private[graft] def storeWordFreqs(spark: SparkSession, path: String)
       : DataFrame = {
     val stamp = graft.sources.CorpusStamp.of(spark, path)
     val p = wordDirCache.get(storeKey(path), stamp) {
@@ -468,10 +471,23 @@ object Unigram {
     * first-promotion-wins is unobservable. */
   def installStoreVocabs(spark: SparkSession, path: String,
       vocabs: Seq[Seq[PieceCnt]], words: DataFrame): Unit = {
+    installStoreWords(spark, path, words)
+    vocabCache.put(storeKey(path), graft.sources.CorpusStamp.of(spark, path),
+      vocabs)
+  }
+
+  /** Words-only install, for the OTHER census consumer ([[Bpe]]'s
+    * store maintainer): persist the merged table under the store's
+    * current stamp without touching the unigram vocab cache. If both
+    * family maintainers fire on the same commit, the second install
+    * sees the first's committed `_SUCCESS` and is a no-op — the
+    * tables are bit-identical (exact integer census), so
+    * first-promotion-wins is unobservable. */
+  private[graft] def installStoreWords(spark: SparkSession, path: String,
+      words: DataFrame): Unit = {
     val stamp = graft.sources.CorpusStamp.of(spark, path)
     wordDirCache.put(storeKey(path), stamp,
       writeWordTable(spark, storeKey(path), stamp, words))
-    vocabCache.put(storeKey(path), stamp, vocabs)
   }
 
   /** The unigram family's [[graft.sources.ArtifactMaintenance]]
@@ -489,7 +505,14 @@ object Unigram {
   def storeMaintainer: graft.sources.ArtifactMaintenance.Maintainer =
     (spark, c) => {
       if (c.pureAppend) {
+        val post = graft.sources.CorpusStamp.of(spark, c.path)
         wordDirCache.peek(storeKey(c.path)) match {
+          case Some((s, mergedDir)) if s == post =>
+            // a sibling census consumer ([[Bpe.storeMaintainer]], fired
+            // earlier on THIS commit) already merged and installed the
+            // post-commit table — fit the EM tail from it directly
+            vocabCache.put(storeKey(c.path), post,
+              fitVocabsFromWords(spark.read.parquet(mergedDir)))
           case Some((s, oldDir)) if s == c.preStamp =>
             val merged = spark.read.parquet(oldDir)
               .unionByName(wordFreqsOf(c.delta))

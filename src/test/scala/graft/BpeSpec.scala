@@ -94,6 +94,27 @@ class BpeSpec extends SparkTestBase with TableDrivenPropertyChecks {
     }
   }
 
+  test("incremental merge table is bit-equal to a full retrain over " +
+      "the merged corpus (census merge + full loop re-run)") {
+    val sfDir = sf("sf0.001")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val delta = graft.operators.SuffixRanks.syntheticDocDelta(docs)
+    // maintained arm: persisted census + delta census, loop re-run
+    val got = Bpe.incrementalMerges(spark, sfDir, delta, 20)
+    // retrain arm: one pass over the merged corpus text
+    val want = Bpe.learnMerges(
+      graft.functions.TextOps.explodedWords(
+        docs.select(col("doc_id"), col("text"))
+          .unionByName(delta.select(col("doc_id"), col("text")))), 20)
+    assert(got === want,
+      "census-merged training diverged from the full retrain")
+    assert(got.size === 20)
+    // the delta genuinely moves the table (reversed docs add reversed
+    // pair mass): training on the base corpus alone must differ
+    val base = Bpe.learnMerges(graft.functions.TextOps.explodedWords(docs), 20)
+    assert(base !== got, "fixture delta should change at least one merge")
+  }
+
   test("tokenizeDocs token counts equal the reference segmentation size") {
     val sfDir = sf("sf0.001")
     val docs = graft.sources.Tables.documents(spark, sfDir)

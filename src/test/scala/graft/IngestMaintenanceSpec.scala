@@ -119,19 +119,23 @@ class IngestMaintenanceSpec extends SparkTestBase {
     } finally ArtifactMaintenance.clear(path)
   }
 
-  test("two families on one store: a pure-append commit maintains the " +
-      "unigram vocabularies alongside the suffix index, bit-equal to " +
-      "a retrain, with zero post-ingest corpus scan") {
-    import graft.operators.Unigram
+  test("three families on one store: a pure-append commit maintains " +
+      "the unigram vocabularies AND the BPE merge table alongside the " +
+      "suffix index, each bit-equal to a retrain, with zero " +
+      "post-ingest corpus scan") {
+    import graft.operators.{Bpe, Unigram}
     val path = freshStore()
-    // BOTH families ride the same commit — the registry is a contract,
-    // not a single-purpose hook
+    // ALL families ride the same commit — the registry is a contract,
+    // not a single-purpose hook; unigram and bpe additionally SHARE
+    // the persisted (word, n) census artifact
     ArtifactMaintenance.register(path, "suffix")(SuffixRanks.storeMaintainer)
     ArtifactMaintenance.register(path, "unigram")(Unigram.storeMaintainer)
+    ArtifactMaintenance.register(path, "bpe")(Bpe.storeMaintainer())
     try {
       val b1 = (500L to 529L).map(doc)
       val b2 = (600L to 619L).map(doc)
       var wordsAtCommit: Option[(Long, String)] = None
+      var mergesAtCommit: Option[(Long, Seq[Bpe.Merge])] = None
       var mtimeAtCommit = 0L
       ingest(path, Seq(b1, b2)) {
         case 0 =>
@@ -139,9 +143,12 @@ class IngestMaintenanceSpec extends SparkTestBase {
           Unigram.storeVocabs(spark, path)
           assert(Unigram.servedStoreWords(path).isDefined,
             "cold fit must register the served word table")
+          Bpe.storeMerges(spark, path)
+          assert(Bpe.servedStoreMerges(path).isDefined,
+            "cold merge-loop fit must register the served merge table")
           SuffixRanks.storeRankTable(spark, path).count()
         case 1 =>
-          // the maintainer ran INSIDE the commit for BOTH families
+          // the maintainer ran INSIDE the commit for ALL families
           wordsAtCommit = Unigram.servedStoreWords(path)
           assert(wordsAtCommit.isDefined, "unigram maintainer did not install")
           val (stamp, dir) = wordsAtCommit.get
@@ -152,6 +159,9 @@ class IngestMaintenanceSpec extends SparkTestBase {
             Files.getLastModifiedTime(Paths.get(dir, "_SUCCESS")).toMillis
           assert(SuffixRanks.servedStoreIndex(path).exists(
             _._1 === stamp), "suffix maintainer must also have installed")
+          mergesAtCommit = Bpe.servedStoreMerges(path)
+          assert(mergesAtCommit.exists(_._1 === stamp),
+            "bpe maintainer must install under the POST-commit stamp")
         case _ => ()
       }
       // first post-ingest access serves the maintained vocabularies
@@ -169,6 +179,18 @@ class IngestMaintenanceSpec extends SparkTestBase {
       assert(served === retrained,
         "maintained vocabularies diverged from a full retrain")
       assert(served.last.nonEmpty)
+      // the maintained BPE merge table IS the retrain's, bit-for-bit
+      // (the loop re-ran in full over the merged census — the
+      // documented order-sensitivity posture: no old-merge reuse)
+      val servedMerges = Bpe.storeMerges(spark, path)
+      assert(Bpe.servedStoreMerges(path) === mergesAtCommit,
+        "post-ingest access must serve the maintained merge table")
+      val retrainedMerges = Bpe.learnMerges(
+        graft.functions.TextOps.explodedWords(
+          EventStreams.admittedDocs(spark, path)), 20)
+      assert(servedMerges === retrainedMerges,
+        "maintained merge table diverged from a full retrain")
+      assert(servedMerges.nonEmpty)
     } finally ArtifactMaintenance.clear(path)
   }
 
