@@ -362,6 +362,7 @@ object SparkEntry {
     // 4-pass interlace; corrupted subset decodes empty
     "media_gif" -> ((s, d) => Multimodal.mediaGif(s, d)),
     "media_near_dup" -> ((s, d) => Multimodal.mediaNearDup(s, d)),
+    "media_dup_clusters" -> ((s, d) => Multimodal.mediaDupClusters(s, d)),
     // -- events ----------------------------------------------------------
     "hourly_rollup" -> ((s, d) => EventOps.hourlyRollup(s, d)),
     "sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
@@ -1743,6 +1744,52 @@ object SparkEntry {
         |  FROM h4 a JOIN h4 b ON a.doc_id < b.doc_id)
         |WHERE hamming <= 3
         |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+    // media_dup_clusters: the same pair graph, closed transitively —
+    // the dedup_clusters recursive-CTE pattern over dHash pairs
+    "media_dup_clusters" ->
+      """WITH RECURSIVE cl AS (
+        |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS s
+        |  FROM documents WHERE doc_id % 17 <> 3),
+        |geo AS (
+        |  SELECT doc_id, s, (length(s) % 6) + 1 AS w,
+        |    (length(s) + (length(s) % 6)) // ((length(s) % 6) + 1) AS h
+        |  FROM cl WHERE length(s) > 0),
+        |ras AS (
+        |  SELECT doc_id, w, h, rpad(s, CAST(w * h AS INTEGER), ' ') AS r
+        |  FROM geo WHERE w >= 2),
+        |grid AS (
+        |  SELECT doc_id, w, r, (t1.j * 8 + t2.i) AS bit,
+        |    (t1.j * h) // 8 AS y, (t2.i * w) // 9 AS x0,
+        |    ((t2.i + 1) * w) // 9 AS x1
+        |  FROM ras, unnest(range(8)) AS t1(j), unnest(range(8)) AS t2(i)),
+        |ck AS (
+        |  SELECT doc_id, bit // 16 AS chunk,
+        |    CAST(sum(CASE WHEN
+        |        ascii(substr(r, CAST(y * w + x1 + 1 AS INTEGER), 1)) >
+        |        ascii(substr(r, CAST(y * w + x0 + 1 AS INTEGER), 1))
+        |      THEN 1 << (bit % 16) ELSE 0 END) AS INTEGER) AS ck
+        |  FROM grid GROUP BY doc_id, bit // 16),
+        |h4 AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN chunk = 0 THEN ck END) AS c0,
+        |    max(CASE WHEN chunk = 1 THEN ck END) AS c1,
+        |    max(CASE WHEN chunk = 2 THEN ck END) AS c2,
+        |    max(CASE WHEN chunk = 3 THEN ck END) AS c3
+        |  FROM ck GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM h4 a JOIN h4 b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+        |        bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM p
+        |  UNION ALL SELECT d2, d1 FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r2.src, e.dst FROM reach r2 JOIN edges e ON r2.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "media_decode" ->
       """WITH cl AS (
         |  SELECT doc_id,

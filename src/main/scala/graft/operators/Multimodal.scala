@@ -1143,4 +1143,19 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_id_1"), col("doc_id_2"))
   }
+
+  /** Transitive image near-dup groups: the dHash pair graph closed
+    * under [[Dedup.connectedComponents]] (min-label propagation with
+    * pointer jumping, O(log diameter) rounds) — images dedup
+    * transitively exactly like text (a chain of hamming-3 neighbors
+    * is one retained exemplar), so the media family composes with the
+    * SAME clustering machinery the text family uses.
+    */
+  def mediaDupClusters(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.connectedComponents(
+      mediaNearDup(spark, dir, maxHamming)
+        .select(col("doc_id_1"), col("doc_id_2")))
+      .withColumnRenamed("node", "doc_id")
+      .orderBy(col("doc_id"))
 }
