@@ -57,7 +57,10 @@ class QueriesSpec extends SparkTestBase {
     "ivf_incremental_topk", "pq_incremental_topk",
     // TPC-H q11's scalar-subquery HAVING: per-part value against the
     // broadcast 1-row grand total (the q22 shape) — intended
-    "q11_important_stock")
+    "q11_important_stock",
+    // the learned classifier's per-doc margin joins the broadcast
+    // 1-row BIAS scalar (the q22 shape, once per epoch) — intended
+    "quality_classifier")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs and returns rows on sf0.001") {
