@@ -1861,10 +1861,26 @@ object SparkEntry {
         |ORDER BY g.l_returnflag""".stripMargin,
     // approx_stats: same skeleton-plus-estimates shape as hll_rollup
     // (see the oracleAux notes for the determinism argument per leg).
+    // HLL estimates cross as aux data (estimate-as-data pattern); the
+    // histogram median is DETERMINISTIC integer math and replays
+    // exactly: smallest unit bin with 2*cum >= n, at the bin midpoint
     "approx_stats" ->
-      """SELECT g.l_returnflag, s.approx_parts, s.approx_orders, s.approx_median_qty
+      """WITH h AS (
+        |  SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS bin,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_returnflag, min(bin) + 0.5 AS approx_median_qty
+        |  FROM (
+        |    SELECT l_returnflag, bin,
+        |      sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+        |      sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |    FROM h)
+        |  WHERE cum * 2 >= n GROUP BY 1)
+        |SELECT g.l_returnflag, s.approx_parts, s.approx_orders, m.approx_median_qty
         |FROM (SELECT DISTINCT l_returnflag FROM lineitem) g
         |LEFT JOIN read_parquet('/tmp/graft_oracle_aux/approx_stats_est/*.parquet') s USING (l_returnflag)
+        |LEFT JOIN m USING (l_returnflag)
         |ORDER BY g.l_returnflag""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_key,

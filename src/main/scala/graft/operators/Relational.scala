@@ -264,17 +264,48 @@ object Relational {
     * counterparts at 100 TB. No cross-engine oracle (sketch internals
     * differ); the spec bounds the error against exact answers instead.
     */
-  def approxStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
+  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val hll = li.groupBy(col("l_returnflag"))
       .agg(
         // rsd 0.02 (2^12 registers) — half the sketch bytes of 0.01
-        // per partial, same merge shape; the spec's 5% bound holds
+        // per partial, same merge shape; the spec's 5% bound holds.
+        // HLL merge is a per-register max: commutative, associative,
+        // partition-independent — deterministic under any (M, R)
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
-          .as("approx_median_qty"))
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+    // Approximate median via a FIXED-WIDTH HISTOGRAM sketch (bin
+    // width 1, estimate = median bin's midpoint, error <= width/2),
+    // replacing percentile_approx (r18): merged QuantileSummaries are
+    // partial-ARRIVAL-order dependent, and at sf1 the estimate
+    // genuinely flipped 25 <-> 26 between cpus=3 and 16 — an
+    // approximate aggregate can be imprecise, but this engine's
+    // determinism matrix requires it be imprecise the SAME way under
+    // any parallelism. Histogram bins are exact integer counts whose
+    // merge is pure addition — commutative, deterministic, and the
+    // better 100 TB shape anyway (a bounded-domain histogram is a
+    // ~50-row aggregate; no sketch compression pathology). The
+    // estimate is the smallest bin with 2*cum >= n, reported at the
+    // bin midpoint; the oracle replays it exactly in SQL.
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val med = li
+      .select(col("l_returnflag"),
+        floor(col("l_quantity")).cast("long").as("bin"))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .filter(col("cum") * 2 >= col("n"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("bin")).as("mbin"))
+      .select(col("l_returnflag"),
+        (col("mbin") + lit(0.5)).as("approx_median_qty"))
+    hll.join(med, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("approx_parts"),
+        col("approx_orders"), col("approx_median_qty"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Rollup-by-merge over serialized HLL sketches: distinct parts are
     * sketched per (returnflag, linestatus), then the SKETCHES (not the

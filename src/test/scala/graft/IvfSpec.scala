@@ -112,5 +112,17 @@ class IvfSpec extends SparkTestBase {
       assert(math.abs(a.getLong(1) - e.getLong(1)).toDouble / e.getLong(1) < 0.05)
       assert(math.abs(a.getLong(2) - e.getLong(2)).toDouble / e.getLong(2) < 0.05)
     }
+    // the histogram-sketch median carries its documented error bound:
+    // the true median lies inside the reported unit bin, so the
+    // midpoint estimate is within 1.0 of the exact interpolated median
+    val exactMed = graft.sources.Tables.lineitem(spark, sf("sf0.001"))
+      .groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "percentile(l_quantity, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exactMed.foreach { case (flag, m) =>
+      assert(math.abs(approx(flag).getDouble(3) - m) <= 1.0,
+        s"$flag: histogram median ${approx(flag).getDouble(3)} vs exact $m")
+    }
   }
 }
