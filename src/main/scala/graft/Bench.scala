@@ -321,13 +321,24 @@ object Bench {
         "ingest_maintained_query: maintenance did not install — the " +
           "entry would silently measure the rebuild arm")
     }
-    val rows = phaseTimed(s"first_query_$arm")(
-      graft.operators.SuffixRanks.storeRankTable(spark, snap).count())
-    val qSec = phaseSeconds(s"first_query_$arm")
-    System.err.println(
-      f"[bench] ingest_${arm}_query: post-ingest first query $qSec%.2f s " +
-        s"($rows rows)")
-    rows
+    try {
+      val rows = phaseTimed(s"first_query_$arm")(
+        graft.operators.SuffixRanks.storeRankTable(spark, snap).count())
+      val qSec = phaseSeconds(s"first_query_$arm")
+      System.err.println(
+        f"[bench] ingest_${arm}_query: post-ingest first query $qSec%.2f s " +
+          s"($rows rows)")
+      rows
+    } finally {
+      // throwaway store: reclaim the disk (store + persisted suffix
+      // index) and the unique-path-keyed cache entry, or iterated
+      // bench runs grow both monotonically (the vec-arm precedent)
+      graft.operators.SuffixRanks.invalidateStore(snap)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(snap).getParentFile)
+    }
   }
 
   /** The embedding-side ingest-maintenance pair: ingest the embeddings

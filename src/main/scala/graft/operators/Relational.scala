@@ -275,7 +275,13 @@ object Relational {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
     // Approximate median via a FIXED-WIDTH HISTOGRAM sketch (bin
-    // width 1, estimate = median bin's midpoint, error <= width/2),
+    // width 1, estimate = median bin's midpoint). Error bound, scoped
+    // precisely: the TRUE median always lies in the reported bin, so
+    // the midpoint is within width/2 of it ONLY on integer-dense
+    // domains like l_quantity (every unit bin populated); on sparse or
+    // real-valued columns the in-bin guarantee is all you get — the
+    // midpoint can sit arbitrarily far from the interpolated median.
+    // Reusers on such columns need a width chosen for their domain,
     // replacing percentile_approx (r18): merged QuantileSummaries are
     // partial-ARRIVAL-order dependent, and at sf1 the estimate
     // genuinely flipped 25 <-> 26 between cpus=3 and 16 — an

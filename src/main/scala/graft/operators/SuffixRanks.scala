@@ -564,6 +564,28 @@ object SuffixRanks {
     * minus the delta ids, so no superseded generation is ever read
     * (the store prunes those at commit).
     */
+  /** Drop the served-index entry AND the persisted stamp dirs for a
+    * store — the teardown hook for callers that create THROWAWAY
+    * stores (the bench ingest pair, mirroring [[Ivf.invalidateStore]]):
+    * without it every temp store leaves a permanently-dead cache entry
+    * keyed by a unique path plus an orphaned on-disk index tree, and
+    * iterated bench runs grow both monotonically. The on-disk removal
+    * is safe here precisely because the store path is unique and
+    * throwaway — no other process can be streaming it (the shared-dir
+    * indexes keep the rename-aside retention posture of
+    * [[invalidateIndex]] instead).
+    */
+  private[graft] def invalidateStore(path: String): Unit = {
+    rankDirCache.invalidate(storeKey(path))
+    val safe = storeKey(path).replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_suffix_idx", safe).toFile
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    if (root.exists()) rm(root)
+  }
+
   def storeMaintainer: graft.sources.ArtifactMaintenance.Maintainer =
     (spark, c) => {
       if (c.pureAppend) {
