@@ -363,6 +363,11 @@ object SparkEntry {
     "media_gif" -> ((s, d) => Multimodal.mediaGif(s, d)),
     "media_near_dup" -> ((s, d) => Multimodal.mediaNearDup(s, d)),
     "media_dup_clusters" -> ((s, d) => Multimodal.mediaDupClusters(s, d)),
+    // energy-envelope fingerprint over DECODED WAV samples: the audio
+    // analog of media_near_dup, same chunk-blocked join + CC closure;
+    // corrupted payloads and sub-65-sample clips absent by construction
+    "audio_near_dup" -> ((s, d) => Multimodal.audioNearDup(s, d)),
+    "audio_dup_clusters" -> ((s, d) => Multimodal.audioDupClusters(s, d)),
     // -- events ----------------------------------------------------------
     "hourly_rollup" -> ((s, d) => EventOps.hourlyRollup(s, d)),
     "sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
@@ -528,6 +533,41 @@ object SparkEntry {
       |      CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'visit our casino today now.' ELSE '' END
       |    ) AS text
       |  FROM tok)""".stripMargin
+
+  /** Shared by audio_near_dup and audio_dup_clusters: per-doc 4x16-bit
+    * energy-envelope fingerprint chunks, recomputed from the WAV
+    * table's closed-form decoded sample stream (the printable
+    * projection; `Multimodal.audioHashChunks` semantics — 65 equal
+    * spans, exact integer span energies, bit k = span k+1 louder than
+    * span k). Corrupted subset (doc_id % 11 = 7) and sub-65-sample
+    * clips excluded by construction.
+    */
+  private val AudioH4Cte: String =
+    """WITH cl AS (
+      |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS s
+      |  FROM documents WHERE doc_id % 11 <> 7),
+      |m AS (
+      |  SELECT doc_id, s, length(s) AS n FROM cl WHERE length(s) >= 65),
+      |sam AS (
+      |  SELECT doc_id, n, t.i AS pos,
+      |    ascii(substr(s, CAST(t.i + 1 AS INTEGER), 1)) AS v
+      |  FROM m, unnest(range(m.n)) AS t(i)),
+      |fr AS (
+      |  SELECT doc_id, (pos * 65) // n AS f, sum(v) AS e
+      |  FROM sam GROUP BY doc_id, (pos * 65) // n),
+      |ck AS (
+      |  SELECT a.doc_id, a.f // 16 AS chunk,
+      |    CAST(sum(CASE WHEN b.e > a.e THEN 1 << CAST(a.f % 16 AS INTEGER)
+      |             ELSE 0 END) AS INTEGER) AS ck
+      |  FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      |  GROUP BY a.doc_id, a.f // 16),
+      |h4 AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN chunk = 0 THEN ck END) AS c0,
+      |    max(CASE WHEN chunk = 1 THEN ck END) AS c1,
+      |    max(CASE WHEN chunk = 2 THEN ck END) AS c2,
+      |    max(CASE WHEN chunk = 3 THEN ck END) AS c3
+      |  FROM ck GROUP BY doc_id)""".stripMargin
 
   /** Independent DuckDB replay of the BPE training loop
     * ([[graft.operators.Bpe]]): k chained CTE triples (pair census →
@@ -1790,6 +1830,43 @@ object SparkEntry {
         |  SELECT r2.src, e.dst FROM reach r2 JOIN edges e ON r2.dst = e.src)
         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // audio_near_dup: energy-envelope fingerprint over the WAV table's
+    // DECODED PCM samples (the printable projection — unreachable
+    // without a correct RIFF chunk walk). The oracle recomputes the
+    // 65-span envelope from the closed-form sample stream with exact
+    // integer span energies, rebuilds the 64 delta-sign bits, and
+    // brute-force pair-joins: pigeonhole makes the engine's chunk
+    // blocking lossless at hamming<=3, so the joins are equal. The
+    // corrupted subset (doc_id % 11 = 7, empty decode) and sub-65-
+    // sample clips are excluded by construction.
+    "audio_near_dup" ->
+      (AudioH4Cte + """
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |    CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+        |         bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+        |      AS INTEGER) AS hamming
+        |  FROM h4 a JOIN h4 b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 3
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin),
+    // audio_dup_clusters: the same pair graph, closed transitively —
+    // the media_dup_clusters recursive-CTE pattern over envelope pairs
+    "audio_dup_clusters" ->
+      ("WITH RECURSIVE" + AudioH4Cte.stripPrefix("WITH") + """,
+        |p AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM h4 a JOIN h4 b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+        |        bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM p
+        |  UNION ALL SELECT d2, d1 FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r2.src, e.dst FROM reach r2 JOIN edges e ON r2.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
     "media_decode" ->
       """WITH cl AS (
         |  SELECT doc_id,

@@ -1113,17 +1113,17 @@ object Multimodal {
     }
   }
 
-  /** Image near-dup pairs through the codec seam: decode raster →
-    * dHash → block on the 4 16-bit chunks → verify with summed
-    * bit_count(xor). Pigeonhole: a pair within hamming distance 3
-    * agrees on at least one chunk, so maxHamming <= 3 has no false
-    * negatives (the [[Dedup.simhashPairs]] guarantee, applied to
-    * pixels instead of words). Candidate work is bounded by chunk
-    * bucket occupancy — hash-similar images, never all pairs.
+  /** The chunk-blocked hamming pair join shared by the image (dHash)
+    * and audio (energy-envelope) perceptual families: block each
+    * 64-bit fingerprint on its 4 16-bit chunks, equi-join candidates
+    * that share a chunk value, verify with summed bit_count(xor).
+    * Pigeonhole: a pair within hamming distance 3 agrees on at least
+    * one chunk, so maxHamming <= 3 has no false negatives (the
+    * [[Dedup.simhashPairs]] guarantee). Candidate work is bounded by
+    * chunk bucket occupancy — hash-similar items, never all pairs.
+    * `hs` must be (doc_id, c0, c1, c2, c3), already materialized.
     */
-  def mediaNearDup(spark: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame = {
-    val hs = mediaDHashes(spark, dir).toDF().localCheckpoint()
+  private def hammingPairs(hs: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"), col(s"c$c").as("ck")))
     val keyed = hs.select(col("doc_id"), col("c0"), col("c1"),
@@ -1144,6 +1144,14 @@ object Multimodal {
       .orderBy(col("doc_id_1"), col("doc_id_2"))
   }
 
+  /** Image near-dup pairs through the codec seam: decode raster →
+    * dHash → the shared [[hammingPairs]] chunk-blocked join.
+    */
+  def mediaNearDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(mediaDHashes(spark, dir).toDF().localCheckpoint(),
+      maxHamming)
+
   /** Transitive image near-dup groups: the dHash pair graph closed
     * under [[Dedup.connectedComponents]] (min-label propagation with
     * pointer jumping, O(log diameter) rounds) — images dedup
@@ -1155,6 +1163,89 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame =
     Dedup.connectedComponents(
       mediaNearDup(spark, dir, maxHamming)
+        .select(col("doc_id_1"), col("doc_id_2")))
+      .withColumnRenamed("node", "doc_id")
+      .orderBy(col("doc_id"))
+
+  // ---------- audio perceptual near-dup (energy-envelope delta hash) --
+
+  /** 64-bit energy-envelope delta-sign fingerprint of decoded PCM
+    * samples — the 1-D analog of [[dHashChunks]] and the shape every
+    * published audio fingerprint reduces to (Haitsma & Kalker's
+    * "Highly Robust Audio Fingerprinting" sign-of-band-energy-delta,
+    * collapsed to one band at the synthetic corpus' 8-bit mono
+    * resolution): split the stream into 65 equal spans (sample i maps
+    * to span i*65/n), take each span's EXACT integer energy (sum of
+    * unsigned sample values — order-free, engine-exact), and set bit
+    * k when span k+1 is louder than span k. Energy GRADIENTS, so the
+    * fingerprint survives uniform gain shifts, exactly as dHash
+    * survives exposure shifts. Same 4x16-bit chunk layout: sign-safe
+    * in every engine, chunks double as the pigeonhole blocking keys,
+    * hamming = sum of four bit_count(xor) terms.
+    *
+    * Clips shorter than 65 samples are REJECTED (None): with fewer
+    * samples than spans some span is empty and the envelope is
+    * undefined — and a sub-65-sample "clip" is noise, not audio. The
+    * exclusion is the documented posture (the dHash width < 2
+    * analog), mirrored in the oracle.
+    */
+  private[graft] def audioHashChunks(s: Array[Byte])
+      : Option[(Int, Int, Int, Int)] =
+    if (s.length < 65) None
+    else {
+      val n = s.length
+      val e = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        e((i.toLong * 65 / n).toInt) += (s(i) & 0xff).toLong
+        i += 1
+      }
+      val c = new Array[Int](4)
+      var k = 0
+      while (k < 64) {
+        if (e(k + 1) > e(k)) c(k / 16) |= 1 << (k % 16)
+        k += 1
+      }
+      Some((c(0), c(1), c(2), c(3)))
+    }
+
+  /** Per-doc envelope fingerprints of the WAV media table's DECODED
+    * samples — batched per partition like [[extractFeatures]] (one
+    * codec boundary, narrow mapPartitions, no shuffle). Corrupted
+    * payloads decode empty and sub-65-sample clips return None, so
+    * both are absent by construction.
+    */
+  def audioFingerprints(spark: SparkSession, dir: String)
+      : Dataset[RasterHash] = {
+    import spark.implicits._
+    wavMediaTable(spark, dir).as[MediaRecord].mapPartitions { recs =>
+      recs.flatMap { r =>
+        audioHashChunks(WavCodec.decode(r.payload)).map {
+          case (a, b, c, d) => RasterHash(r.doc_id, a, b, c, d)
+        }
+      }
+    }
+  }
+
+  /** Audio near-dup pairs through the codec seam: decode PCM →
+    * envelope fingerprint → the shared [[hammingPairs]] chunk-blocked
+    * join. The last modality the codec seam decodes now has its dedup
+    * family: images (dHash), audio (envelope), text (MinHash/SimHash)
+    * all reduce to the same blocked-join + CC machinery.
+    */
+  def audioNearDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(audioFingerprints(spark, dir).toDF().localCheckpoint(),
+      maxHamming)
+
+  /** Transitive audio near-dup groups: the envelope pair graph closed
+    * under [[Dedup.connectedComponents]] — same clustering machinery
+    * as text and image dedup.
+    */
+  def audioDupClusters(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.connectedComponents(
+      audioNearDup(spark, dir, maxHamming)
         .select(col("doc_id_1"), col("doc_id_2")))
       .withColumnRenamed("node", "doc_id")
       .orderBy(col("doc_id"))

@@ -402,6 +402,54 @@ class MultimodalSpec extends SparkTestBase {
     assert(ids.forall(_ % 17 != 3), "corrupted docs must not appear")
   }
 
+  test("audioHashChunks: envelope delta bits, gain invariance, " +
+      "length gate") {
+    // 130 samples -> 65 spans of exactly 2; span k energy =
+    // s(2k)+s(2k+1). Build a stream whose span energies strictly
+    // alternate up/down: bits = 1,0,1,0,...
+    val alt = Array.tabulate[Byte](130)(i =>
+      if ((i / 2) % 2 == 0) 10 else 90)
+    val Some((c0, c1, c2, c3)) = Multimodal.audioHashChunks(alt)
+    // bit k set iff e(k+1) > e(k): spans alternate 20,180,20,... so
+    // bits at even k are set, odd k clear -> each 16-bit chunk 0x5555
+    assert(Seq(c0, c1, c2, c3) === Seq(0x5555, 0x5555, 0x5555, 0x5555))
+    // uniform GAIN shift preserves the fingerprint (the perceptual
+    // property: energy gradients, not absolute loudness)
+    val louder = alt.map(b => (b + 30).toByte)
+    assert(Multimodal.audioHashChunks(louder) === Some((c0, c1, c2, c3)))
+    // a genuinely different envelope hashes differently
+    val ramp = Array.tabulate[Byte](130)(i => (i / 2).toByte)
+    assert(Multimodal.audioHashChunks(ramp) !== Some((c0, c1, c2, c3)))
+    // sub-65-sample clips are rejected: fewer samples than spans
+    assert(Multimodal.audioHashChunks(new Array[Byte](64)) === None)
+    assert(Multimodal.audioHashChunks(Array.emptyByteArray) === None)
+    // 65 samples is the boundary: exactly one sample per span
+    assert(Multimodal.audioHashChunks(new Array[Byte](65)).isDefined)
+  }
+
+  test("audio_near_dup: pairs match a scalar recomputation at sf0.001") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val hs = docs.flatMap { case (id, text) =>
+      if (id % 11 == 7) None // corrupted payload: empty decode
+      else Multimodal.audioHashChunks(
+        text.replaceAll("[^ -~]", "").getBytes("US-ASCII")).map(id -> _)
+    }
+    val want = (for {
+      (a, ca) <- hs; (b, cb) <- hs if a < b
+      d = Integer.bitCount(ca._1 ^ cb._1) + Integer.bitCount(ca._2 ^ cb._2) +
+        Integer.bitCount(ca._3 ^ cb._3) + Integer.bitCount(ca._4 ^ cb._4)
+      if d <= 3
+    } yield (a, b, d)).sortBy(p => (p._1, p._2)).toSeq
+    val got = Multimodal.audioNearDup(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "fixture corpus should contain near-dup clips")
+    val ids = got.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(ids.forall(_ % 11 != 7), "corrupted docs must not appear")
+  }
+
   test("media_png query: decoded columns match the padded closed form") {
     val out = Multimodal.mediaPng(spark, sf("sf0.001")).collect()
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
