@@ -440,6 +440,11 @@ object SparkEntry {
     // view's planted boilerplate line is a real cross-line duplicate
     "gopher_repetition" -> ((s, d) => TextQuality.gopherRepetition(s, d)),
     "c4_filter" -> ((s, d) => TextQuality.c4Filter(s, d)),
+    // trafilatura/jusText-shaped markup removal over the closed-form
+    // HTML page view: tag strip + entity decode + per-block link
+    // density; verdicts and the extracted-content digest replay in SQL
+    "boilerplate_blocks" -> ((s, d) => Boilerplate.boilerplateBlocks(s, d)),
+    "boilerplate_filter" -> ((s, d) => Boilerplate.boilerplateFilter(s, d)),
     "ccnet_buckets" -> ((s, d) => TextQuality.ccnetBuckets(s, d)),
     "quality_classifier" -> ((s, d) => QualityClassifier.scores(s, d)),
     "dsir_weights" -> ((s, d) => Dsir.importanceWeights(s, d)),
@@ -533,6 +538,52 @@ object SparkEntry {
       |      CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'visit our casino today now.' ELSE '' END
       |    ) AS text
       |  FROM tok)""".stripMargin
+
+  /** Shared by boilerplate_blocks and boilerplate_filter: per-block
+    * signals predicted from the closed-form HTML page
+    * ([[graft.operators.Boilerplate.htmlView]] — nav at block 0, one
+    * `<p>` per relineated line with the planted entity token and
+    * "read more" anchor, footer last). The oracle never parses HTML:
+    * it derives each block's visible text, word count, and anchor-text
+    * length directly from the integer arithmetic the page was built
+    * with, so only an extractor that actually walks the body, strips
+    * tags, and decodes entities can match it.
+    */
+  private val BoilerSigCte: String = RelineatedCte + """,
+    |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM structured),
+    |lb AS (
+    |  SELECT doc_id, i AS block_idx, 'p' AS tag,
+    |    ls[i]
+    |      || CASE WHEN (doc_id + i - 1) % 13 = 5 THEN ' a<b' ELSE '' END
+    |      || CASE WHEN (doc_id + i - 1) % 5 = 2 THEN ' read more' ELSE '' END AS vis,
+    |    CASE WHEN (doc_id + i - 1) % 5 = 2 THEN 9 ELSE 0 END AS link_len
+    |  FROM ls, unnest(range(1, len(ls) + 1)) AS t(i)),
+    |nv AS (
+    |  SELECT doc_id, 0 AS block_idx, 'nav' AS tag,
+    |    'home about us' AS vis, 12 AS link_len
+    |  FROM structured),
+    |ft AS (
+    |  SELECT doc_id, len(ls) + 1 AS block_idx, 'footer' AS tag,
+    |    'copyright 2024 privacy & terms' AS vis, 12 AS link_len
+    |  FROM ls),
+    |blocks AS (
+    |  SELECT * FROM nv UNION ALL SELECT * FROM lb UNION ALL SELECT * FROM ft),
+    |sig AS (
+    |  SELECT doc_id, CAST(block_idx AS INT) AS block_idx, tag,
+    |    CAST(len(list_filter(string_split_regex(trim(vis), '[ \t]+'),
+    |      w -> length(w) > 0)) AS BIGINT) AS n_words,
+    |    CAST(length(trim(vis)) AS BIGINT) AS text_len,
+    |    CAST(link_len AS BIGINT) AS link_len,
+    |    trim(vis) AS text
+    |  FROM blocks),
+    |verd AS (
+    |  SELECT *,
+    |    CASE WHEN text_len = 0 THEN 1.0
+    |         ELSE round(CAST(link_len AS DOUBLE) / text_len, 6)
+    |    END AS link_density,
+    |    (tag = 'p' AND n_words >= 5
+    |      AND link_len * 100 <= text_len * 33) AS keep
+    |  FROM sig)""".stripMargin
 
   /** Shared by audio_near_dup and audio_dup_clusters: per-doc 4x16-bit
     * energy-envelope fingerprint chunks, recomputed from the WAV
@@ -3036,6 +3087,25 @@ object SparkEntry {
         |  n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
         |    AND NOT has_blocked AS keep
         |FROM sig ORDER BY doc_id""".stripMargin),
+    // boilerplate removal: every block verdict predicted from the
+    // closed-form page — see BoilerSigCte
+    "boilerplate_blocks" ->
+      (BoilerSigCte + """
+        |SELECT doc_id, block_idx, tag, n_words, text_len, link_len,
+        |  link_density, keep
+        |FROM verd ORDER BY doc_id, block_idx""".stripMargin),
+    "boilerplate_filter" ->
+      (BoilerSigCte + """,
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    md5(coalesce(string_agg(CASE WHEN keep THEN text END,
+        |      chr(10) ORDER BY block_idx), '')) AS clean_md5
+        |  FROM verd GROUP BY doc_id)
+        |SELECT doc_id, n_blocks, n_kept,
+        |  round(CAST(n_kept AS DOUBLE) / n_blocks, 4) AS kept_ratio,
+        |  clean_md5, n_kept >= 3 AS keep
+        |FROM per ORDER BY doc_id""".stripMargin),
     "line_dedup" ->
       (RelineatedCte + """,
         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM structured),
