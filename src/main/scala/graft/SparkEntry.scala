@@ -447,6 +447,9 @@ object SparkEntry {
     "boilerplate_filter" -> ((s, d) => Boilerplate.boilerplateFilter(s, d)),
     "ccnet_buckets" -> ((s, d) => TextQuality.ccnetBuckets(s, d)),
     "quality_classifier" -> ((s, d) => QualityClassifier.scores(s, d)),
+    // fastText-style one-vs-rest lang-id over the same hashed-bigram
+    // GD recipe; the oracle replays all K trainings and the argmax
+    "lang_id_learned" -> ((s, d) => QualityClassifier.langIdLearned(s, d)),
     "dsir_weights" -> ((s, d) => Dsir.importanceWeights(s, d)),
     "dsir_sample" -> ((s, d) => Dsir.gumbelTopK(s, d)),
     "label_centroids" -> ((s, d) => Vectors.labelCentroids(s, d)),
@@ -3220,6 +3223,70 @@ object SparkEntry {
         |  round(1.0 / (1.0 + exp(-z)), 9) AS score,
         |  (z >= 0.0) AS keep
         |FROM z2 ORDER BY doc_id""".stripMargin,
+    // one-vs-rest lang-id: the quality_classifier training replay with
+    // a tgt (target language) dimension threaded through every CTE —
+    // K binary models trained in one pass of grouped SQL, then the
+    // per-doc argmax on raw margins (ties broken by language code)
+    "lang_id_learned" ->
+      """WITH ws AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(list_transform(string_split_regex(text, '[ \t\n]+'),
+        |      w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))),
+        |      w -> length(w) > 0) AS l
+        |  FROM documents),
+        |bgr AS (
+        |  SELECT doc_id, lang, len(l) - 1 AS n_bg,
+        |    CAST(concat('0x', substr(md5(l[i] || ' ' || l[i+1]), 1, 8)) AS BIGINT) % 1024 AS b
+        |  FROM ws, unnest(range(1, len(l))) AS t(i)
+        |  WHERE len(l) >= 2),
+        |feat0 AS (
+        |  SELECT doc_id, lang, n_bg, b,
+        |    CAST(count(*) AS DOUBLE) / CAST(n_bg AS DOUBLE) AS x
+        |  FROM bgr GROUP BY doc_id, lang, n_bg, b),
+        |langs AS (SELECT DISTINCT lang AS tgt FROM documents),
+        |feat AS (
+        |  SELECT f.doc_id, l.tgt,
+        |    CASE WHEN f.lang = l.tgt THEN 1.0 ELSE 0.0 END AS y,
+        |    f.n_bg, f.b, f.x
+        |  FROM feat0 f CROSS JOIN langs l),
+        |w1 AS (
+        |  SELECT tgt, b, round(0.5 * CAST(sum(CAST(round((y - 0.5) * x, 12) AS DECIMAL(26,12))) AS DOUBLE), 12) AS w
+        |  FROM feat GROUP BY tgt, b),
+        |b1 AS (
+        |  SELECT tgt, round(0.5 * CAST(sum(CAST(round(y - 0.5, 12) AS DECIMAL(26,12))) AS DOUBLE), 12) AS bias0
+        |  FROM (SELECT DISTINCT tgt, doc_id, y FROM feat) GROUP BY tgt),
+        |p1 AS (
+        |  SELECT tgt, doc_id, y, round(1.0 / (1.0 + exp(-z)), 9) AS p
+        |  FROM (
+        |    SELECT f.tgt, doc_id, y,
+        |      bias0 + CAST(sum(CAST(round(x * w, 12) AS DECIMAL(26,12))) AS DOUBLE) AS z
+        |    FROM feat f JOIN w1 ON f.tgt = w1.tgt AND f.b = w1.b
+        |    JOIN b1 ON b1.tgt = f.tgt
+        |    GROUP BY f.tgt, doc_id, y, bias0)),
+        |w2 AS (
+        |  SELECT w1.tgt, w1.b, round(w1.w + 0.5 * coalesce(g.g, 0.0), 12) AS w
+        |  FROM w1 LEFT JOIN (
+        |    SELECT f.tgt, b, CAST(sum(CAST(round((f.y - p.p) * x, 12) AS DECIMAL(26,12))) AS DOUBLE) AS g
+        |    FROM feat f JOIN p1 p ON p.tgt = f.tgt AND p.doc_id = f.doc_id
+        |    GROUP BY f.tgt, b) g ON w1.tgt = g.tgt AND w1.b = g.b),
+        |b2 AS (
+        |  SELECT b1.tgt, round(bias0 + 0.5 * CAST(sum(CAST(round(y - p, 12) AS DECIMAL(26,12))) AS DOUBLE), 12) AS bias2
+        |  FROM p1 JOIN b1 ON b1.tgt = p1.tgt GROUP BY b1.tgt, bias0),
+        |z2 AS (
+        |  SELECT f.tgt, doc_id, n_bg,
+        |    bias2 + CAST(sum(CAST(round(x * w, 12) AS DECIMAL(26,12))) AS DOUBLE) AS z
+        |  FROM feat f JOIN w2 ON w2.tgt = f.tgt AND w2.b = f.b
+        |  JOIN b2 ON b2.tgt = f.tgt
+        |  GROUP BY f.tgt, doc_id, n_bg, bias2),
+        |pick AS (
+        |  SELECT doc_id, n_bg, tgt, z,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY z DESC, tgt) AS rn
+        |  FROM z2)
+        |SELECT p.doc_id, CAST(n_bg AS BIGINT) AS n_bigrams,
+        |  tgt AS pred_lang, round(1.0 / (1.0 + exp(-z)), 9) AS score,
+        |  (tgt = d.lang) AS matches_label
+        |FROM pick p JOIN documents d ON d.doc_id = p.doc_id
+        |WHERE rn = 1 ORDER BY p.doc_id""".stripMargin,
     "dsir_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,
