@@ -31,7 +31,11 @@ con = duckdb.connect()
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    # driver testdata ships single files; ScaleUp output (data/sf1) is
+    # Spark-style directories of part files — glob those
+    p = Path(SF) / f"{t}.parquet"
+    src = f"{p}/*.parquet" if p.is_dir() else str(p)
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 want = con.execute(oracle).fetch_arrow_table()
 got = pq.read_table(str(OUT / Q))
 
