@@ -60,7 +60,10 @@ class QueriesSpec extends SparkTestBase {
     "q11_important_stock",
     // the learned classifier's per-doc margin joins the broadcast
     // 1-row BIAS scalar (the q22 shape, once per epoch) — intended
-    "quality_classifier")
+    "quality_classifier",
+    // one-vs-rest lang-id: the same 1-row bias scalar, once per
+    // language model — intended (K bounded by the label space)
+    "lang_id_learned")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs and returns rows on sf0.001") {
