@@ -10,6 +10,10 @@ both runs (a query failing on one side FAILs instead of vanishing), and
 unreadable outputs are reported as failures.
 
 Usage: python3 tools/check_determinism.py [sfdir]
+
+The parallelism pair defaults to 3 vs 16; set GRAFT_DET_CPUS="1,32"
+to run the checker's M=1 extreme (the reference checker's single-
+worker analog) against the full local width.
 """
 import os, shutil, subprocess, sys
 from pathlib import Path
@@ -18,6 +22,8 @@ import pyarrow.parquet as pq
 
 SF = ([a for a in sys.argv[1:] if not a.startswith("--")] or
       ["/root/testdata/sf0.001"])[0]
+CPUS = [int(c) for c in
+        os.environ.get("GRAFT_DET_CPUS", "3,16").split(",")]
 
 
 def run(cpus, out):
@@ -40,8 +46,8 @@ def rows(d):
 
 def main():
     a, b = "/tmp/graft_det_a", "/tmp/graft_det_b"
-    run(3, a)
-    run(16, b)
+    run(CPUS[0], a)
+    run(CPUS[1], b)
     names_a = {p.name for p in Path(a).iterdir() if p.is_dir()}
     names_b = {p.name for p in Path(b).iterdir() if p.is_dir()}
     bad = 0
@@ -62,7 +68,8 @@ def main():
     if total == 0:
         print("no query outputs produced — Verify broken?")
         sys.exit(1)
-    print(f"\n{total - bad}/{total} identical across cpus=3 vs 16")
+    print(f"\n{total - bad}/{total} identical across "
+          f"cpus={CPUS[0]} vs {CPUS[1]}")
     sys.exit(1 if bad else 0)
 
 
