@@ -206,36 +206,89 @@ object QualityClassifier {
     * correctly collapses to the class prior — the honest behavior,
     * pinned by the oracle's bit-exact replay either way.
     *
-    * Scale shape: the feature table materializes ONCE and is shared
-    * by all K models (K = languages, a constant ~handful); each model
-    * is the binary trainer's B-row broadcast joins; the K score
-    * tables union to K rows per doc and the argmax is one doc-keyed
-    * window; the true-label join-back is doc-keyed, NOT broadcast.
-    * Nothing corpus-sized reaches the driver — the language list is a
-    * K-row collect, bounded by the label-space size.
+    * Scale shape: the feature table materializes ONCE and the K
+    * models train BATCHED — the target language rides every step as a
+    * grouping column, so each epoch is one broadcast join of the
+    * (K*B)-row weight table + one (tgt, doc)-keyed aggregate + one
+    * (K*B)-row gradient aggregate, regardless of K; K separate binary
+    * chains would re-aggregate the corpus K times per epoch as K
+    * sequential jobs. The final margins carry K rows per doc and the
+    * argmax is one doc-keyed window; the true-label join-back is
+    * doc-keyed, NOT broadcast. Nothing corpus-sized reaches the
+    * driver — the language list is a K-row collect, bounded by the
+    * label-space size.
     */
   def langScores(spark: SparkSession, docs: DataFrame,
       buckets: Int = 1024, lr: Double = 0.5, epochs: Int = 2): DataFrame = {
+    import spark.implicits._
     val base = baseFeatures(docs, buckets).localCheckpoint(eager = false)
     val langs = base.select(col("lang")).distinct().orderBy(col("lang"))
       .collect().map(_.getString(0)).toSeq
-    val scored = langs.map { tgt =>
-      val feat = labeled(base, tgt)
-      val (w, biasDf) = model(spark, feat, buckets, lr, epochs)
-      margins(feat, w, biasDf)
-        .select(col("doc_id"), col("n_bg"),
-          lit(tgt).as("cand_lang"), col("z"))
-    }.reduce(_.unionByName(_))
+    // BATCHED one-vs-rest: thread the target language through every
+    // step as a grouping column (exactly how the oracle replays it),
+    // so each epoch is ONE pass over the feature table regardless of
+    // K — K separate model() chains would re-aggregate the corpus
+    // K times per epoch as K sequential jobs. Per-tgt sums group by
+    // (tgt, ...) everywhere, so the arithmetic — and therefore every
+    // bit of the result — is identical to training the K binary
+    // models independently (the spec pins this against the scalar
+    // per-model reference).
+    val feat = base
+      .crossJoin(broadcast(langs.toDF("tgt")))
+      .withColumn("y",
+        when(col("lang") === col("tgt"), 1.0).otherwise(0.0))
+      .drop("lang")
+    // weights: (tgt, b, w) — K*B rows; bias: (tgt, bias) — K rows.
+    // Both broadcastable at any corpus size (bounded by label space).
+    var w: DataFrame = spark.range(buckets).select(col("id").as("b"))
+      .crossJoin(langs.toDF("tgt"))
+      .select(col("tgt"), col("b"), lit(0.0).as("w"))
+    var biasDf: DataFrame = langs.toDF("tgt")
+      .select(col("tgt"), lit(0.0).as("bias"))
+    def marginsK(): DataFrame =
+      feat.join(broadcast(w), Seq("tgt", "b"))
+        .groupBy(col("tgt"), col("doc_id"), col("y"), col("n_bg"))
+        .agg(dsum(col("x") * col("w")).as("dot"))
+        .join(broadcast(biasDf), Seq("tgt"))
+        .select(col("tgt"), col("doc_id"), col("y"), col("n_bg"),
+          (col("bias") + col("dot")).as("z"))
+    // zero init: epoch 1's p is exactly 0.5 for every (tgt, doc)
+    var probs = feat.select(col("tgt"), col("doc_id"), col("y")).distinct()
+      .withColumn("p", lit(0.5))
+    var e = 0
+    while (e < epochs) {
+      val g = feat
+        .join(probs.select(col("tgt"), col("doc_id"), col("p")),
+          Seq("tgt", "doc_id"))
+        .groupBy(col("tgt"), col("b"))
+        .agg(dsum((col("y") - col("p")) * col("x")).as("g"))
+      w = w.join(g, Seq("tgt", "b"), "left")
+        .select(col("tgt"), col("b"),
+          round(col("w") + lit(lr) * coalesce(col("g"), lit(0.0)), S)
+            .as("w"))
+        .localCheckpoint(eager = false)
+      biasDf = probs.join(broadcast(biasDf), Seq("tgt"))
+        .groupBy(col("tgt"), col("bias"))
+        .agg(dsum(col("y") - col("p")).as("g0"))
+        .select(col("tgt"),
+          round(col("bias") + lit(lr) * col("g0"), S).as("bias"))
+        .localCheckpoint(eager = false)
+      e += 1
+      if (e < epochs)
+        probs = marginsK()
+          .select(col("tgt"), col("doc_id"), col("y"),
+            sigmoid(col("z")).as("p"))
+    }
     val win = Window.partitionBy(col("doc_id"))
-      .orderBy(col("z").desc, col("cand_lang"))
-    scored
+      .orderBy(col("z").desc, col("tgt"))
+    marginsK()
       .withColumn("rn", row_number().over(win))
       .filter(col("rn") === 1)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("n_bg").cast("long").as("n_bigrams"),
-        col("cand_lang").as("pred_lang"),
+        col("tgt").as("pred_lang"),
         sigmoid(col("z")).as("score"),
-        (col("cand_lang") === col("lang")).as("matches_label"))
+        (col("tgt") === col("lang")).as("matches_label"))
       .orderBy(col("doc_id"))
   }
 
