@@ -90,6 +90,15 @@ object Boilerplate {
     * body's block elements in document order, strip tags, decode
     * entities, measure anchor text. (doc_id, block_idx, tag, n_words,
     * text_len, link_len, link_density, keep).
+    *
+    * Malformed-input contract (the codec-seam posture — a crawl
+    * inevitably contains junk, and a pipeline drops it, it does not
+    * die): a page with no `<body>` yields zero blocks (the doc is
+    * absent), an UNCLOSED block element never matches the walk and is
+    * skipped while well-formed siblings still extract, and arbitrary
+    * bytes never throw — the extraction is pure regex + string
+    * projection, total on any input. [[graft.BoilerplateSpec]] pins
+    * each corner.
     */
   def blockVerdicts(pages: DataFrame): DataFrame = {
     val body = regexp_extract(col("html"), "(?s)<body>(.*)</body>", 1)
