@@ -445,6 +445,9 @@ object SparkEntry {
     // density; verdicts and the extracted-content digest replay in SQL
     "boilerplate_blocks" -> ((s, d) => Boilerplate.boilerplateBlocks(s, d)),
     "boilerplate_filter" -> ((s, d) => Boilerplate.boilerplateFilter(s, d)),
+    // the composed crawl-pipeline stage: C4 line rules over the
+    // boilerplate-EXTRACTED main content — both stages replayed in SQL
+    "html_curated" -> ((s, d) => Boilerplate.htmlCurated(s, d)),
     "ccnet_buckets" -> ((s, d) => TextQuality.ccnetBuckets(s, d)),
     "quality_classifier" -> ((s, d) => QualityClassifier.scores(s, d)),
     // fastText-style one-vs-rest lang-id over the same hashed-bigram
@@ -3109,6 +3112,40 @@ object SparkEntry {
         |  round(CAST(n_kept AS DOUBLE) / n_blocks, 4) AS kept_ratio,
         |  clean_md5, n_kept >= 3 AS keep
         |FROM per ORDER BY doc_id""".stripMargin),
+    // html_curated: BOTH pipeline stages replayed — the extracted
+    // main content (kept blocks joined in document order) becomes the
+    // corpus the c4_filter rules run over
+    "html_curated" ->
+      (BoilerSigCte + """,
+        |cleaned AS (
+        |  SELECT doc_id, coalesce(string_agg(CASE WHEN keep THEN text END,
+        |    chr(10) ORDER BY block_idx), '') AS text
+        |  FROM verd GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, text,
+        |    string_split(text, chr(10)) AS lines,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      regexp_matches(trim(l), '[.!?"]$')
+        |      AND len(list_filter(string_split_regex(trim(l), '[ \t]+'), w -> length(w) > 0)) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept,
+        |    list_filter(list_transform(string_split_regex(text, '[ \t\n]+'), w -> lower(regexp_replace(w, '[^a-zA-Z]', '', 'g'))), w -> length(w) > 0) AS ws
+        |  FROM cleaned),
+        |csig AS (
+        |  SELECT doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |    round(CASE WHEN len(lines) = 0 THEN 0.0 ELSE CAST(len(kept) AS DOUBLE) / len(lines) END, 4) AS kept_ratio,
+        |    CAST(len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) AS BIGINT) AS n_sentences,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    contains(text, '{') AS has_brace,
+        |    (list_contains(ws, 'viagra') OR list_contains(ws, 'casino')
+        |      OR list_contains(ws, 'xxx')) AS has_blocked,
+        |    md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+        |  FROM base)
+        |SELECT *,
+        |  n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+        |    AND NOT has_blocked AS keep
+        |FROM csig ORDER BY doc_id""".stripMargin),
     "line_dedup" ->
       (RelineatedCte + """,
         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM structured),

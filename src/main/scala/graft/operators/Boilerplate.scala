@@ -138,6 +138,39 @@ object Boilerplate {
       .localCheckpoint(eager = false)
       .orderBy(col("doc_id"), col("block_idx"))
 
+  /** The extracted main content as a (doc_id, text) corpus — kept
+    * blocks' text joined by newline in document order (empty string
+    * when nothing survives; every synthesized page has blocks, so
+    * every doc appears). This is the hand-off surface to the
+    * downstream text batteries.
+    */
+  private[graft] def extractedCorpus(v: DataFrame): DataFrame =
+    v.groupBy(col("doc_id"))
+      .agg(coalesce(
+        array_join(
+          filter(
+            transform(
+              array_sort(collect_list(struct(col("block_idx"),
+                col("keep"), col("text")))),
+              s => when(s.getField("keep"), s.getField("text"))),
+            x => x.isNotNull),
+          "\n"), lit("")).as("text"))
+
+  /** Registry: the COMPOSED pipeline stage — the C4 quality battery
+    * ([[TextQuality.c4Filter]]) over the boilerplate-EXTRACTED main
+    * content, exactly the order a real crawl pipeline runs them
+    * (markup removal first, line-level quality rules on what
+    * survives). The composition is semantically load-bearing, not a
+    * rerun: extraction changes the downstream verdicts (a planted C4
+    * violator line that boilerplate already dropped — the 4-word
+    * brace trailer — no longer trips has_brace), and the oracle
+    * replays BOTH stages in SQL, so only an engine whose extraction
+    * feeds its quality rules the same bytes matches.
+    */
+  def htmlCurated(spark: SparkSession, dir: String): DataFrame =
+    TextQuality.c4Filter(extractedCorpus(
+      blockVerdicts(htmlView(Tables.documents(spark, dir)))))
+
   /** Registry: the per-doc main-content extraction digest — block
     * counts, kept ratio, and the md5 of the extracted content (kept
     * blocks' text joined by newline in document order) as the
