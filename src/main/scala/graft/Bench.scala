@@ -282,6 +282,12 @@ object Bench {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
+    // HARNESS SHAPE, not a query-path idiom: MemoryStream is fed from
+    // the driver, so the fixture MUST be collect()ed — that is the
+    // simulator's input channel, bounded here by the % 4 subsample
+    // (25% of docs keeps the driver copy small while still exercising
+    // a multi-batch ingest). A production ingest reads from a file/
+    // Kafka source and nothing corpus-sized ever reaches the driver.
     val docs = graft.sources.Tables.documents(spark, dir)
       .filter(col("doc_id") % 4 === 0)
       .select(col("doc_id"), col("lang"), col("text"))
@@ -290,38 +296,45 @@ object Bench {
     val delta = docs.filter(_.doc_id % 29 == 3)
       .map(d => graft.streaming.EventStreams.CDoc(
         d.doc_id + mx, d.lang, d.text.reverse))
-    val snap = java.nio.file.Files
-      .createTempDirectory("graft_bench_maint").resolve("store").toString
+    val snapRoot = java.nio.file.Files
+      .createTempDirectory("graft_bench_maint")
+    val snap = snapRoot.resolve("store").toString
     val width = math.max(1L, 2 * mx / 64)
-    if (maintained)
-      graft.sources.ArtifactMaintenance.register(snap, "suffix")(
-        graft.operators.SuffixRanks.storeMaintainer)
-    val input = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[graft.streaming.EventStreams.CDoc]
-    val q = graft.streaming.EventStreams.curatedIngest(input.toDF(), snap,
-      bucketer = graft.streaming.BucketStore.RangeBuckets("doc_id", width))
-    val arm = if (maintained) "maintained" else "rebuild"
-    try phaseTimed(s"ingest_phase_$arm") {
-      input.addData(docs.toSeq: _*)
-      q.processAllAvailable()
-      graft.operators.SuffixRanks.storeRankTable(spark, snap).count()
-      input.addData(delta.toSeq: _*)
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      graft.sources.ArtifactMaintenance.clear(snap)
-    }
-    if (maintained) {
-      // BEFORE the query: once a query runs, a rebuild would register
-      // the same post-commit stamp and mask a silently-skipped install
-      val post = graft.sources.CorpusStamp.of(spark, snap)
-      val ok = graft.operators.SuffixRanks.servedStoreIndex(snap)
-        .exists(_._1 == post)
-      if (!ok) throw new IllegalStateException(
-        "ingest_maintained_query: maintenance did not install — the " +
-          "entry would silently measure the rebuild arm")
-    }
+    // ONE try/finally around everything after createTempDirectory:
+    // every exit path (ingest failure, the maintenance-install check
+    // throwing, query failure) reclaims the throwaway store — the disk
+    // (store + persisted suffix index) and the unique-path-keyed cache
+    // entry — or iterated bench runs grow both monotonically (the
+    // vec-arm precedent).
     try {
+      if (maintained)
+        graft.sources.ArtifactMaintenance.register(snap, "suffix")(
+          graft.operators.SuffixRanks.storeMaintainer)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.EventStreams.CDoc]
+      val q = graft.streaming.EventStreams.curatedIngest(input.toDF(), snap,
+        bucketer = graft.streaming.BucketStore.RangeBuckets("doc_id", width))
+      val arm = if (maintained) "maintained" else "rebuild"
+      try phaseTimed(s"ingest_phase_$arm") {
+        input.addData(docs.toSeq: _*)
+        q.processAllAvailable()
+        graft.operators.SuffixRanks.storeRankTable(spark, snap).count()
+        input.addData(delta.toSeq: _*)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        graft.sources.ArtifactMaintenance.clear(snap)
+      }
+      if (maintained) {
+        // BEFORE the query: once a query runs, a rebuild would register
+        // the same post-commit stamp and mask a silently-skipped install
+        val post = graft.sources.CorpusStamp.of(spark, snap)
+        val ok = graft.operators.SuffixRanks.servedStoreIndex(snap)
+          .exists(_._1 == post)
+        if (!ok) throw new IllegalStateException(
+          "ingest_maintained_query: maintenance did not install — the " +
+            "entry would silently measure the rebuild arm")
+      }
       val rows = phaseTimed(s"first_query_$arm")(
         graft.operators.SuffixRanks.storeRankTable(spark, snap).count())
       val qSec = phaseSeconds(s"first_query_$arm")
@@ -330,14 +343,11 @@ object Bench {
           s"($rows rows)")
       rows
     } finally {
-      // throwaway store: reclaim the disk (store + persisted suffix
-      // index) and the unique-path-keyed cache entry, or iterated
-      // bench runs grow both monotonically (the vec-arm precedent)
       graft.operators.SuffixRanks.invalidateStore(snap)
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }
-      rm(new java.io.File(snap).getParentFile)
+      rm(snapRoot.toFile)
     }
   }
 
@@ -361,6 +371,10 @@ object Bench {
     import org.apache.spark.sql.functions.col
     import graft.streaming.EventStreams
     import graft.streaming.EventStreams.VecRow
+    // HARNESS SHAPE (see ingestQueryRunner): MemoryStream's input
+    // channel is the driver, so the fixture is collect()ed by design;
+    // the embeddings table is vector-count-bounded, not corpus-text-
+    // sized. Production vector ingest reads a distributed source.
     val vecs = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .as[VecRow].collect()
@@ -370,33 +384,38 @@ object Bench {
     val snapRoot = java.nio.file.Files
       .createTempDirectory("graft_bench_vec_maint")
     val snap = snapRoot.resolve("store").toString
-    if (maintained)
-      graft.sources.ArtifactMaintenance.register(snap, "ivf")(
-        graft.operators.Ivf.storeMaintainer(nCells = 16, iters = 2))
-    val input = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[VecRow]
-    val q = EventStreams.vectorIngest(input.toDF(), snap)
-    val arm = if (maintained) "maintained" else "rebuild"
-    try phaseTimed(s"vec_ingest_phase_$arm") {
-      input.addData(vecs.toSeq: _*)
-      q.processAllAvailable()
-      graft.operators.Ivf.storeCentroids(spark, snap, 16, 2).count()
-      graft.operators.Ivf.storeCellCounts(spark, snap, 16, 2)
-      input.addData(delta.toSeq: _*)
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      graft.sources.ArtifactMaintenance.clear(snap)
-    }
-    if (maintained) {
-      val post = graft.sources.CorpusStamp.of(spark, snap)
-      val ok = graft.operators.Ivf.servedStoreCentroids(snap, 16, 2)
-        .exists(_._1 == post)
-      if (!ok) throw new IllegalStateException(
-        "vec_ingest_maintained_query: maintenance did not install — " +
-          "the entry would silently measure the rebuild arm")
-    }
+    // ONE try/finally around everything after createTempDirectory (the
+    // doc-arm convention): every exit path — ingest failure, the
+    // maintenance-install check throwing, query failure — reclaims the
+    // throwaway store's disk and unique-path-keyed cache entries, or
+    // iterated bench runs grow both monotonically.
     try {
+      if (maintained)
+        graft.sources.ArtifactMaintenance.register(snap, "ivf")(
+          graft.operators.Ivf.storeMaintainer(nCells = 16, iters = 2))
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[VecRow]
+      val q = EventStreams.vectorIngest(input.toDF(), snap)
+      val arm = if (maintained) "maintained" else "rebuild"
+      try phaseTimed(s"vec_ingest_phase_$arm") {
+        input.addData(vecs.toSeq: _*)
+        q.processAllAvailable()
+        graft.operators.Ivf.storeCentroids(spark, snap, 16, 2).count()
+        graft.operators.Ivf.storeCellCounts(spark, snap, 16, 2)
+        input.addData(delta.toSeq: _*)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        graft.sources.ArtifactMaintenance.clear(snap)
+      }
+      if (maintained) {
+        val post = graft.sources.CorpusStamp.of(spark, snap)
+        val ok = graft.operators.Ivf.servedStoreCentroids(snap, 16, 2)
+          .exists(_._1 == post)
+        if (!ok) throw new IllegalStateException(
+          "vec_ingest_maintained_query: maintenance did not install — " +
+            "the entry would silently measure the rebuild arm")
+      }
       val rows = phaseTimed(s"vec_first_query_$arm")(
         graft.operators.Ivf.ivfTopKOver(
           EventStreams.admittedVectors(spark, snap)
@@ -408,8 +427,6 @@ object Bench {
           f"$qSec%.2f s ($rows rows)")
       rows
     } finally {
-      // throwaway store: reclaim the disk and the unique-path-keyed
-      // cache entries, or iterated bench runs grow both monotonically
       graft.operators.Ivf.invalidateStore(snap, 16, 2)
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()

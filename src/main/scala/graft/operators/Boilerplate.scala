@@ -145,16 +145,24 @@ object Boilerplate {
     * downstream text batteries.
     */
   private[graft] def extractedCorpus(v: DataFrame): DataFrame =
-    v.groupBy(col("doc_id"))
-      .agg(coalesce(
-        array_join(
-          filter(
-            transform(
-              array_sort(collect_list(struct(col("block_idx"),
-                col("keep"), col("text")))),
-              s => when(s.getField("keep"), s.getField("text"))),
-            x => x.isNotNull),
-          "\n"), lit("")).as("text"))
+    v.groupBy(col("doc_id")).agg(keptTextAgg.as("text"))
+
+  /** THE kept-text assembly — kept blocks' text joined by newline in
+    * block order, empty string when nothing survives. One definition
+    * shared by [[extractedCorpus]] (the html_curated hand-off) and
+    * [[boilerplateFilter]]'s clean_md5, so the digest contract and the
+    * downstream bytes can never silently drift apart.
+    */
+  private def keptTextAgg: Column =
+    coalesce(
+      array_join(
+        filter(
+          transform(
+            array_sort(collect_list(struct(col("block_idx"),
+              col("keep"), col("text")))),
+            s => when(s.getField("keep"), s.getField("text"))),
+          x => x.isNotNull),
+        "\n"), lit(""))
 
   /** Registry: the COMPOSED pipeline stage — the C4 quality battery
     * ([[TextQuality.c4Filter]]) over the boilerplate-EXTRACTED main
@@ -184,15 +192,7 @@ object Boilerplate {
       .agg(
         count(lit(1)).as("n_blocks"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        md5(coalesce(
-          array_join(
-            filter(
-              transform(
-                array_sort(collect_list(struct(col("block_idx"),
-                  col("keep"), col("text")))),
-                s => when(s.getField("keep"), s.getField("text"))),
-              x => x.isNotNull),
-            "\n"), lit(""))).as("clean_md5"))
+        md5(keptTextAgg).as("clean_md5"))
       .select(col("doc_id"), col("n_blocks"), col("n_kept"),
         round(col("n_kept").cast("double") /
           col("n_blocks").cast("double"), 4).as("kept_ratio"),

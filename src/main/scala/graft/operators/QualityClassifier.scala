@@ -222,7 +222,12 @@ object QualityClassifier {
       buckets: Int = 1024, lr: Double = 0.5, epochs: Int = 2): DataFrame = {
     import spark.implicits._
     val base = baseFeatures(docs, buckets).localCheckpoint(eager = false)
-    val langs = base.select(col("lang")).distinct().orderBy(col("lang"))
+    // Target set comes from the DOCUMENTS table, not the feature table:
+    // a language whose every doc has <2 usable words still trains a
+    // model (all-zero labels), exactly as the oracle's langs CTE does —
+    // deriving from `base` would silently drop it and could shift the
+    // argmax for other docs' tie-breaks.
+    val langs = docs.select(col("lang")).distinct().orderBy(col("lang"))
       .collect().map(_.getString(0)).toSeq
     // BATCHED one-vs-rest: thread the target language through every
     // step as a grouping column (exactly how the oracle replays it),
