@@ -297,6 +297,13 @@ object SparkEntry {
     "above_brand_avg" -> ((s, d) => Relational.aboveBrandAvgParts(s, d)),
     "window_analytics" -> ((s, d) => Relational.windowAnalytics(s, d)),
     "pivot_orders" -> ((s, d) => Relational.pivotOrders(s, d)),
+    // star-schema runtime filtering: DPP over the nation-partitioned
+    // fact copy; runtime bloom-filter join on the non-partition key.
+    // Oracles are the plain joins over the ORIGINAL tables — the fact
+    // copy holds the same rows, and the bloom filter never changes a
+    // result; the mechanisms are plan-gated in PlanShapeSpec.
+    "dpp_star_revenue" -> ((s, d) => StarSchema.dppStarRevenue(s, d)),
+    "bloom_join_revenue" -> ((s, d) => StarSchema.bloomJoinRevenue(s, d)),
     // -- dedup (LLM-pipeline) --------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_fingerprint" -> ((s, d) => Dedup.fingerprintDedup(s, d)),
@@ -368,6 +375,19 @@ object SparkEntry {
     // corrupted payloads and sub-65-sample clips absent by construction
     "audio_near_dup" -> ((s, d) => Multimodal.audioNearDup(s, d)),
     "audio_dup_clusters" -> ((s, d) => Multimodal.audioDupClusters(s, d)),
+    // LOSSY codec through the media seam (JPEG-shaped quantize /
+    // dequantize): feature battery over the dequantized stream, and
+    // near-dup pairs across the original -> lossy-re-encode boundary
+    // (the perceptual family's reason to exist); corrupted subset
+    // decodes empty
+    "media_jpegish" -> ((s, d) => Lossy.mediaJpegish(s, d)),
+    "media_lossy_near_dup" -> ((s, d) => Lossy.mediaLossyNearDup(s, d)),
+    // video-shaped clips (animated GIF, multi-frame LZW + GCE skip):
+    // per-frame dHash, majority-vote clip fingerprint, the shared
+    // chunk-blocked pair join + CC closure; corrupted clips decode to
+    // no frames
+    "video_near_dup" -> ((s, d) => Video.videoNearDup(s, d)),
+    "video_dup_clusters" -> ((s, d) => Video.videoDupClusters(s, d)),
     // -- events ----------------------------------------------------------
     "hourly_rollup" -> ((s, d) => EventOps.hourlyRollup(s, d)),
     "sessionize" -> ((s, d) => EventOps.sessionize(s, d)),
@@ -625,6 +645,60 @@ object SparkEntry {
       |    max(CASE WHEN chunk = 2 THEN ck END) AS c2,
       |    max(CASE WHEN chunk = 3 THEN ck END) AS c3
       |  FROM ck GROUP BY doc_id)""".stripMargin
+
+  /** Shared by video_near_dup and video_dup_clusters: per-clip 4x16-bit
+    * MAJORITY-VOTE fingerprint chunks, recomputed from the animated-GIF
+    * closed form (geometry w = (len % 6) + 2; F = (len % 3) + 2 frames:
+    * F-1 content frames whose uniform +f brightness shift preserves
+    * every gradient — so they share the base raster's dHash — plus one
+    * reversed-raster outlier). Majority (bit set iff 2*count > F)
+    * therefore reduces to: content hash for F >= 3, content AND
+    * reversed for F = 2. Corrupted subset (doc_id % 29 = 11) decodes
+    * to no frames and is excluded by construction.
+    */
+  private val VideoH4Cte: String =
+    """WITH cl AS (
+      |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS s
+      |  FROM documents WHERE doc_id % 29 <> 11),
+      |geo AS (
+      |  SELECT doc_id, s, (length(s) % 3) + 2 AS nf,
+      |    (length(s) % 6) + 2 AS w,
+      |    (length(s) + (length(s) % 6) + 1) // ((length(s) % 6) + 2) AS h
+      |  FROM cl WHERE length(s) > 0),
+      |sides AS (
+      |  SELECT doc_id, w, h, 0 AS side,
+      |         rpad(s, CAST(w * h AS INTEGER), ' ') AS r FROM geo
+      |  UNION ALL
+      |  SELECT doc_id, w, h, 1,
+      |         reverse(rpad(s, CAST(w * h AS INTEGER), ' ')) FROM geo),
+      |grid AS (
+      |  SELECT doc_id, side, w, r, (t1.j * 8 + t2.i) AS bit,
+      |    (t1.j * h) // 8 AS y, (t2.i * w) // 9 AS x0,
+      |    ((t2.i + 1) * w) // 9 AS x1
+      |  FROM sides, unnest(range(8)) AS t1(j), unnest(range(8)) AS t2(i)),
+      |ck AS (
+      |  SELECT doc_id, side, bit // 16 AS chunk,
+      |    CAST(sum(CASE WHEN
+      |        ascii(substr(r, CAST(y * w + x1 + 1 AS INTEGER), 1)) >
+      |        ascii(substr(r, CAST(y * w + x0 + 1 AS INTEGER), 1))
+      |      THEN 1 << (bit % 16) ELSE 0 END) AS INTEGER) AS ck
+      |  FROM grid GROUP BY doc_id, side, bit // 16),
+      |piv AS (
+      |  SELECT ck.doc_id, chunk,
+      |    max(CASE WHEN side = 0 THEN ck END) AS cc,
+      |    max(CASE WHEN side = 1 THEN ck END) AS cd
+      |  FROM ck GROUP BY ck.doc_id, chunk),
+      |vote AS (
+      |  SELECT piv.doc_id, chunk,
+      |    CASE WHEN g.nf = 2 THEN piv.cc & piv.cd ELSE piv.cc END AS ck
+      |  FROM piv JOIN geo g ON piv.doc_id = g.doc_id),
+      |h4 AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN chunk = 0 THEN ck END) AS c0,
+      |    max(CASE WHEN chunk = 1 THEN ck END) AS c1,
+      |    max(CASE WHEN chunk = 2 THEN ck END) AS c2,
+      |    max(CASE WHEN chunk = 3 THEN ck END) AS c3
+      |  FROM vote GROUP BY doc_id)""".stripMargin
 
   /** Independent DuckDB replay of the BPE training loop
     * ([[graft.operators.Bpe]]): k chained CTE triples (pair census →
@@ -1379,6 +1453,29 @@ object SparkEntry {
     "top_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    // dpp_star_revenue: the engine reads a nation-partitioned fact COPY
+    // (orders x customer.nationkey) so the region filter prunes fact
+    // partitions at runtime; the copy holds exactly these rows, so the
+    // plain star join over the original tables is the oracle.
+    "dpp_star_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 1
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // bloom_join_revenue: the runtime bloom filter is a pure pruning
+    // device — the join verifies every surviving row — so the plain
+    // filtered join IS the oracle.
+    "bloom_join_revenue" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "semi_join_customers" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
@@ -1910,6 +2007,138 @@ object SparkEntry {
     // the media_dup_clusters recursive-CTE pattern over envelope pairs
     "audio_dup_clusters" ->
       ("WITH RECURSIVE" + AudioH4Cte.stripPrefix("WITH") + """,
+        |p AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM h4 a JOIN h4 b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+        |        bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM p
+        |  UNION ALL SELECT d2, d1 FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r2.src, e.dst FROM reach r2 JOIN edges e ON r2.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
+    // media_jpegish: the decoded stream is the DEQUANTIZATION of the
+    // padded printable projection — byte i decodes to (a//q)*q + q//2
+    // (bucket midpoint; identity at q=1 since q//2=0), q = 1/4/16 by
+    // doc_id % 3, geometry w = (len % 5) + 2. The oracle rebuilds the
+    // decoded string per char, so only a decoder that walks the marker
+    // segments, validates the quantizer, and reconstructs midpoints
+    // matches; the corrupted subset (doc_id % 23 = 5) decodes empty.
+    "media_jpegish" ->
+      """WITH cl AS (
+        |  SELECT doc_id, 'image' AS kind,
+        |         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 16 END AS q,
+        |         CASE WHEN doc_id % 23 = 5 THEN ''
+        |              ELSE regexp_replace(text, '[^ -~]', '', 'g') END AS s
+        |  FROM documents),
+        |pad AS (
+        |  SELECT doc_id, kind, q,
+        |         CASE WHEN length(s) = 0 THEN ''
+        |              ELSE rpad(s, CAST(((length(s) % 5) + 2)
+        |                * ((length(s) + (length(s) % 5) + 1)
+        |                   // ((length(s) % 5) + 2)) AS INTEGER), ' ')
+        |         END AS ds0
+        |  FROM cl),
+        |dq AS (
+        |  SELECT doc_id, kind,
+        |         CASE WHEN length(ds0) = 0 THEN ''
+        |              ELSE list_aggregate([chr(CAST((ascii(c)//q)*q + q//2 AS INTEGER))
+        |                     FOR c IN string_split(ds0, '')], 'string_agg', '')
+        |         END AS ds
+        |  FROM pad),
+        |m AS (
+        |  SELECT doc_id, kind, hex(encode(ds)) AS hx,
+        |         octet_length(encode(ds)) AS n
+        |  FROM dq),
+        |nib AS (
+        |  SELECT m.doc_id, substr(m.hx, 2*t.i + 1, 1) AS hi, count(*) AS c
+        |  FROM m, UNNEST(range(m.n)) AS t(i)
+        |  GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT nib.doc_id,
+        |         round(-SUM((c::DOUBLE / m.n) * ln(c::DOUBLE / m.n)) / ln(2), 6) AS entropy
+        |  FROM nib JOIN m USING (doc_id)
+        |  GROUP BY 1)
+        |SELECT m.doc_id, m.kind, CAST(m.n AS BIGINT) AS n_bytes,
+        |       COALESCE(ent.entropy, 0.0) AS entropy,
+        |       CAST(CASE WHEN m.n = 0 THEN 0 ELSE (m.n - 1) // 64 + 1 END AS INT) AS frames_sampled,
+        |       CASE WHEN m.n = 0 THEN repeat('00', 16)
+        |            ELSE list_aggregate([substr(m.hx, 2*CAST(i * m.n // 16 AS BIGINT) + 1, 2) FOR i IN range(16)], 'string_agg', '')
+        |       END AS preview_hex
+        |FROM m LEFT JOIN ent USING (doc_id)
+        |ORDER BY m.doc_id""".stripMargin,
+    // media_lossy_near_dup: dHash pairs across the lossy re-encode
+    // boundary. Side A (id = doc_id) hashes the original raster (q=1),
+    // side B (id = doc_id + 10000000) hashes the doc's dequantized
+    // raster ((a//q)*q + q//2, q = 1/4/16 by doc_id % 3) — quantization
+    // is monotone, so gradients collapse but never reverse, and the
+    // oracle's brute-force join equals the engine's chunk-blocked join
+    // by the hamming<=3 pigeonhole. Corrupted docs (doc_id % 23 = 5)
+    // decode empty and are absent; w = (len % 5) + 2 is always >= 2.
+    "media_lossy_near_dup" ->
+      """WITH cl AS (
+        |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS s,
+        |         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 16 END AS q
+        |  FROM documents WHERE doc_id % 23 <> 5),
+        |geo AS (
+        |  SELECT doc_id, s, q, (length(s) % 5) + 2 AS w,
+        |    (length(s) + (length(s) % 5) + 1) // ((length(s) % 5) + 2) AS h
+        |  FROM cl WHERE length(s) > 0),
+        |ras AS (
+        |  SELECT doc_id, q, w, h, rpad(s, CAST(w * h AS INTEGER), ' ') AS r
+        |  FROM geo),
+        |sides AS (
+        |  SELECT doc_id AS id, 1 AS q, w, h, r FROM ras
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, q, w, h, r FROM ras),
+        |grid AS (
+        |  SELECT id, q, w, r, (t1.j * 8 + t2.i) AS bit,
+        |    (t1.j * h) // 8 AS y, (t2.i * w) // 9 AS x0,
+        |    ((t2.i + 1) * w) // 9 AS x1
+        |  FROM sides, unnest(range(8)) AS t1(j), unnest(range(8)) AS t2(i)),
+        |ck AS (
+        |  SELECT id, bit // 16 AS chunk,
+        |    CAST(sum(CASE WHEN
+        |        (ascii(substr(r, CAST(y * w + x1 + 1 AS INTEGER), 1))//q)*q + q//2 >
+        |        (ascii(substr(r, CAST(y * w + x0 + 1 AS INTEGER), 1))//q)*q + q//2
+        |      THEN 1 << (bit % 16) ELSE 0 END) AS INTEGER) AS ck
+        |  FROM grid GROUP BY id, bit // 16),
+        |h4 AS (
+        |  SELECT id,
+        |    max(CASE WHEN chunk = 0 THEN ck END) AS c0,
+        |    max(CASE WHEN chunk = 1 THEN ck END) AS c1,
+        |    max(CASE WHEN chunk = 2 THEN ck END) AS c2,
+        |    max(CASE WHEN chunk = 3 THEN ck END) AS c3
+        |  FROM ck GROUP BY id)
+        |SELECT * FROM (
+        |  SELECT a.id AS doc_id_1, b.id AS doc_id_2,
+        |    CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+        |         bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+        |      AS INTEGER) AS hamming
+        |  FROM h4 a JOIN h4 b ON a.id < b.id)
+        |WHERE hamming <= 3
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin,
+    // video_near_dup: majority-vote clip fingerprints over the animated
+    // closed form (see VideoH4Cte), brute-force pair join — equal to
+    // the engine's chunk-blocked join by the hamming<=3 pigeonhole
+    "video_near_dup" ->
+      (VideoH4Cte + """
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        |    CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+        |         bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+        |      AS INTEGER) AS hamming
+        |  FROM h4 a JOIN h4 b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 3
+        |ORDER BY doc_id_1, doc_id_2""".stripMargin),
+    // video_dup_clusters: the same pair graph, closed transitively —
+    // the media_dup_clusters recursive-CTE pattern over clip pairs
+    "video_dup_clusters" ->
+      ("WITH RECURSIVE" + VideoH4Cte.stripPrefix("WITH") + """,
         |p AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2
         |  FROM h4 a JOIN h4 b ON a.doc_id < b.doc_id

@@ -705,67 +705,80 @@ object Multimodal {
       if (!sawTerminator || off >= p.length || (p(off) & 0xff) != 0x3b)
         return Array.emptyByteArray
       val z = data.toByteArray
-      // LZW decode, LSB-first bit order, decoder-standard width growth
-      val clear = 1 << minCode
-      val eoi = clear + 1
-      val out = new java.io.ByteArrayOutputStream()
-      val dict = new Array[Array[Byte]](4096)
-      (0 until clear).foreach(i => dict(i) = Array(i.toByte))
-      var width = minCode + 1
-      var next = eoi + 1
-      var prev: Array[Byte] = null
-      var bitPos = 0
-      var done = false
-      while (!done) {
-        if (bitPos + width > z.length * 8) return Array.emptyByteArray
-        var code = 0; var k = 0
-        while (k < width) {
-          val bit = bitPos + k
-          if ((z(bit >> 3) >> (bit & 7) & 1) != 0) code |= 1 << k
-          k += 1
-        }
-        bitPos += width
-        if (code == clear) {
-          next = eoi + 1; width = minCode + 1; prev = null
-        } else if (code == eoi) {
-          done = true
-        } else {
-          val entry: Array[Byte] =
-            if (code < next && code != eoi && (code < clear || dict(code) != null))
-              dict(code)
-            else if (code == next && prev != null) prev :+ prev(0)
-            else return Array.emptyByteArray // out-of-range: stream is lies
-          out.write(entry)
-          // bound the output DURING the decode: an LZW expansion bomb
-          // (small stream, geometric dictionary growth) must not
-          // allocate past the w*h the header declared before the
-          // post-loop length check ever runs
-          if (out.size() > w * h) return Array.emptyByteArray
-          if (prev != null && next < 4096) {
-            dict(next) = prev :+ entry(0)
-            next += 1
-            if (next == (1 << width) && width < 12) width += 1
-          }
-          prev = entry
-        }
+      val raster = lzwDecode(z, minCode, w * h)
+      if (raster == null || raster.length != w * h)
+        return Array.emptyByteArray
+      if (!interlaced) raster else deinterlace(raster, w, h)
+    }
+  }
+
+  /** Variable-width LZW decode, LSB-first bit order, decoder-standard
+    * width growth — the entropy core of the GIF walk, factored so the
+    * single-frame ([[GifCodec]]) and animated ([[Video.AnimGifCodec]])
+    * container walks share one implementation. Returns null on any
+    * malformation (out-of-range code, truncated stream) and bounds the
+    * output DURING the decode at `maxLen` bytes — an LZW expansion
+    * bomb (small stream, geometric dictionary growth) must not
+    * allocate past the geometry the header declared before any
+    * post-loop length check runs.
+    */
+  private[operators] def lzwDecode(z: Array[Byte], minCode: Int,
+      maxLen: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    val dict = new Array[Array[Byte]](4096)
+    (0 until clear).foreach(i => dict(i) = Array(i.toByte))
+    var width = minCode + 1
+    var next = eoi + 1
+    var prev: Array[Byte] = null
+    var bitPos = 0
+    var done = false
+    while (!done) {
+      if (bitPos + width > z.length * 8) return null
+      var code = 0; var k = 0
+      while (k < width) {
+        val bit = bitPos + k
+        if ((z(bit >> 3) >> (bit & 7) & 1) != 0) code |= 1 << k
+        k += 1
       }
-      val raster = out.toByteArray
-      if (raster.length != w * h) return Array.emptyByteArray
-      if (!interlaced) raster
-      else {
-        // de-interlace: physical rows arrive in the 4-pass order
-        val logical = new Array[Byte](raster.length)
-        var phys = 0
-        Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
-          var r = start
-          while (r < h) {
-            System.arraycopy(raster, phys * w, logical, r * w, w)
-            phys += 1; r += step
-          }
+      bitPos += width
+      if (code == clear) {
+        next = eoi + 1; width = minCode + 1; prev = null
+      } else if (code == eoi) {
+        done = true
+      } else {
+        val entry: Array[Byte] =
+          if (code < next && code != eoi && (code < clear || dict(code) != null))
+            dict(code)
+          else if (code == next && prev != null) prev :+ prev(0)
+          else return null // out-of-range: stream is lies
+        out.write(entry)
+        if (out.size() > maxLen) return null
+        if (prev != null && next < 4096) {
+          dict(next) = prev :+ entry(0)
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
         }
-        logical
+        prev = entry
       }
     }
+    out.toByteArray
+  }
+
+  /** De-interlace: physical rows arrive in GIF's 4-pass order. */
+  private[operators] def deinterlace(raster: Array[Byte], w: Int,
+      h: Int): Array[Byte] = {
+    val logical = new Array[Byte](raster.length)
+    var phys = 0
+    Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+      var r = start
+      while (r < h) {
+        System.arraycopy(raster, phys * w, logical, r * w, w)
+        phys += 1; r += step
+      }
+    }
+    logical
   }
 
   /** Synthesize a canonical GIF89a holding `s`'s bytes as 8-bit palette
@@ -802,9 +815,51 @@ object Multimodal {
     physRows.zipWithIndex.foreach { case (r, i) =>
       System.arraycopy(raster, r * w, stream, i * w, w)
     }
-    // LZW compress (minCodeSize 7): greedy longest match against the
-    // encoder dict; width/next simulate the DECODER's state
     val minCode = 7
+    val z = lzwCompress(stream, minCode)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((if (malformed) "XIF89a" else "GIF89a")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 6)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8 & 0xff) }
+    w16(w); w16(h)
+    out.write(0xf7) // global table present, 256 entries, 8-bit color
+    out.write(0); out.write(0) // bg color, aspect
+    (0 until 256).foreach { c => out.write(c); out.write(c); out.write(c) }
+    // comment extension with a length-dependent body — the skip test
+    val note = ("c" * ((px.length % 5) + 1))
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    out.write(0x21); out.write(0xfe)
+    out.write(note.length); out.write(note, 0, note.length); out.write(0)
+    out.write(0x2c) // image descriptor
+    w16(0); w16(0); w16(w); w16(h)
+    out.write(if (interlaced) 0x40 else 0x00)
+    out.write(minCode)
+    // sub-block split: first block at a length-dependent boundary,
+    // the rest in maximal 255-byte blocks
+    val first = math.min(z.length, (px.length % 11) + 1)
+    var pos = 0
+    var blockLen = first
+    while (pos < z.length) {
+      val n = math.min(blockLen, z.length - pos)
+      if (n > 0) { out.write(n); out.write(z, pos, n) }
+      pos += n
+      blockLen = 255
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** LZW compress: greedy longest match against the encoder dict;
+    * width/next simulate the DECODER's state — the decoder's
+    * dictionary lags the encoder's by one entry, so sharing one
+    * counter is the classic way to desynchronize the two sides. Each
+    * code is emitted at the width the decoder will read it with.
+    * Factored so the single-frame ([[gifEncode]]) and animated
+    * ([[Video.animGifEncode]]) encoders share one implementation.
+    */
+  private[operators] def lzwCompress(stream: Array[Byte],
+      minCode: Int): Array[Byte] = {
     val clear = 1 << minCode
     val eoi = clear + 1
     val bits = new java.io.ByteArrayOutputStream()
@@ -863,38 +918,7 @@ object Multimodal {
     }
     put(eoi)
     if (bitCnt > 0) bits.write((bitBuf & 0xff).toInt)
-    val z = bits.toByteArray
-    val out = new java.io.ByteArrayOutputStream()
-    out.write((if (malformed) "XIF89a" else "GIF89a")
-      .getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, 6)
-    def w16(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8 & 0xff) }
-    w16(w); w16(h)
-    out.write(0xf7) // global table present, 256 entries, 8-bit color
-    out.write(0); out.write(0) // bg color, aspect
-    (0 until 256).foreach { c => out.write(c); out.write(c); out.write(c) }
-    // comment extension with a length-dependent body — the skip test
-    val note = ("c" * ((px.length % 5) + 1))
-      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    out.write(0x21); out.write(0xfe)
-    out.write(note.length); out.write(note, 0, note.length); out.write(0)
-    out.write(0x2c) // image descriptor
-    w16(0); w16(0); w16(w); w16(h)
-    out.write(if (interlaced) 0x40 else 0x00)
-    out.write(minCode)
-    // sub-block split: first block at a length-dependent boundary,
-    // the rest in maximal 255-byte blocks
-    val first = math.min(z.length, (px.length % 11) + 1)
-    var pos = 0
-    var blockLen = first
-    while (pos < z.length) {
-      val n = math.min(blockLen, z.length - pos)
-      if (n > 0) { out.write(n); out.write(z, pos, n) }
-      pos += n
-      blockLen = 255
-    }
-    out.write(0) // block terminator
-    out.write(0x3b) // trailer
-    out.toByteArray
+    bits.toByteArray
   }
 
   /** Synthetic GIF media table: every 19th-ish doc (doc_id % 19 == 7)
@@ -1123,7 +1147,8 @@ object Multimodal {
     * chunk bucket occupancy — hash-similar items, never all pairs.
     * `hs` must be (doc_id, c0, c1, c2, c3), already materialized.
     */
-  private def hammingPairs(hs: DataFrame, maxHamming: Int): DataFrame = {
+  private[operators] def hammingPairs(hs: DataFrame,
+      maxHamming: Int): DataFrame = {
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"), col(s"c$c").as("ck")))
     val keyed = hs.select(col("doc_id"), col("c0"), col("c1"),

@@ -324,6 +324,53 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"compare must stay equi-joined:\n$str")
   }
 
+  test("dpp_star_revenue: fact scan carries a dynamicpruning PartitionFilter") {
+    val df = SparkEntry.queries("dpp_star_revenue")(spark, sf("sf0.001"))
+    df.write.format("noop").mode("overwrite").save()
+    val scans = collectLeaves(df.queryExecution.executedPlan).map(_.toString)
+    val fact = scans.filter(_.contains("fact_orders_by_nation"))
+    assert(fact.nonEmpty, s"no fact scan found:\n${scans.mkString("\n")}")
+    assert(fact.exists(s => s.contains("PartitionFilters") &&
+      s.contains("dynamicpruning")),
+      s"fact scan is not dynamically pruned:\n${fact.mkString("\n")}")
+  }
+
+  test("dpp_star_revenue: runtime pruning actually skips non-region partitions") {
+    // 5 of 25 nations are in region 1 — the executed scan must read
+    // only those partition directories (the IO claim, not just the
+    // plan-string claim)
+    val df = SparkEntry.queries("dpp_star_revenue")(spark, sf("sf0.001"))
+    // execute the dataset's OWN cached QueryExecution (a write would
+    // re-plan into a fresh tree whose metrics never populate)
+    df.collect()
+    val scan = collectLeaves(df.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("fact_orders_by_nation")) => f
+    }.get
+    val partsRead = scan.metrics.get("numPartitions").map(_.value)
+    assert(partsRead.exists(n => n > 0 && n <= 5),
+      s"expected <=5 of 25 partitions read, got $partsRead")
+  }
+
+  test("bloom_join_revenue: might_contain filters lineitem before the shuffle join") {
+    val df = SparkEntry.queries("bloom_join_revenue")(spark, sf("sf0.001"))
+    val str = df.queryExecution.executedPlan.toString
+    assert(str.toLowerCase.contains("might_contain"),
+      s"no runtime bloom filter in plan:\n$str")
+    assert(str.contains("SortMergeJoin") || str.contains("ShuffledHashJoin"),
+      s"bloom demo join must be a shuffle join:\n$str")
+  }
+
+  test("bloom_join_revenue: scoped confs are restored after plan build") {
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    SparkEntry.queries("bloom_join_revenue")(spark, sf("sf0.001"))
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") === before)
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      !== "0")
+  }
+
   test("join strategy hints are honored (shuffle_hash / merge / broadcast)") {
     import org.apache.spark.sql.functions.col
     val o = graft.sources.Tables.orders(spark, sf("sf0.001"))
