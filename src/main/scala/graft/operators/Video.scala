@@ -136,14 +136,8 @@ object Video {
       w16(0); w16(0); w16(w); w16(h)
       out.write(0x00)
       val frame =
-        if (f == nFrames - 1) { // title-card outlier: reversed raster
-          val r = base.clone(); java.util.Arrays.fill(r, 0.toByte)
-          var i = 0
-          while (i < base.length) {
-            r(i) = base(base.length - 1 - i); i += 1
-          }
-          r
-        } else base.map(b => (b + f).toByte) // uniform brightness shift
+        if (f == nFrames - 1) base.reverse // title-card outlier
+        else base.map(b => (b + f).toByte) // uniform brightness shift
       val z = Multimodal.lzwCompress(frame, MinCode)
       out.write(MinCode)
       // sub-block split: length-dependent first boundary (the GifCodec
