@@ -105,7 +105,25 @@ object StarSchema {
     * the sf0.01 scan is KBs). The physical plan is forced inside the
     * scope, so the returned DataFrame carries the bloom-filtered plan.
     */
-  def bloomJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+  /** The urgent-order revenue join+agg, before presentation sort. */
+  private def urgentRevenueAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Run `body` under the bloom-injection preconditions, restoring
+    * every conf (incl. null/unset defaults) on the way out.
+    */
+  private def scopedForBloom[T](spark: SparkSession)(body: => T): T = {
     val scoped = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
@@ -118,26 +136,33 @@ object StarSchema {
     }
     try {
       scoped.foreach { case (k, v) => spark.conf.set(k, v) }
-      val ord = Tables.orders(spark, dir)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"), col("o_orderpriority"))
-      val li = Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      val df = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,4)")).cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy(col("o_orderpriority"))
-      // force logical optimization + physical planning NOW, under the
-      // scoped confs — the cached QueryExecution is what collect()
-      // executes, so the bloom subquery survives the conf restore
-      df.queryExecution.executedPlan
-      df
+      body
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  /** The bloom-injected PLAN, un-executed — what `PlanShapeSpec`
+    * inspects for `might_contain` ahead of the shuffle join.
+    */
+  private[graft] def bloomJoinPlan(spark: SparkSession,
+      dir: String): DataFrame = scopedForBloom(spark) {
+    val df = urgentRevenueAgg(spark, dir).orderBy(col("o_orderpriority"))
+    df.queryExecution.executedPlan // force planning under the scope
+    df
+  }
+
+  def bloomJoinRevenue(spark: SparkSession, dir: String): DataFrame =
+    // EXECUTE the runtime-filtered join inside the conf scope via an
+    // eager localCheckpoint (the mediaNearDup precedent): every
+    // downstream consumer (Verify's parquet write, Bench's noop sink)
+    // re-plans the DataFrame it is handed in a FRESH QueryExecution,
+    // which would silently re-optimize without the bloom subquery once
+    // the confs are restored — so the bloom-planned join runs here and
+    // hands on its group-count-bounded (tiny at any corpus size)
+    // result. The presentation sort composes on the checkpoint.
+    scopedForBloom(spark) {
+      urgentRevenueAgg(spark, dir).localCheckpoint()
+    }.orderBy(col("o_orderpriority"))
 }

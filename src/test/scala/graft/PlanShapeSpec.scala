@@ -354,12 +354,19 @@ class PlanShapeSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   }
 
   test("bloom_join_revenue: might_contain filters lineitem before the shuffle join") {
-    val df = SparkEntry.queries("bloom_join_revenue")(spark, sf("sf0.001"))
+    val df = graft.operators.StarSchema.bloomJoinPlan(spark, sf("sf0.001"))
     val str = df.queryExecution.executedPlan.toString
     assert(str.toLowerCase.contains("might_contain"),
       s"no runtime bloom filter in plan:\n$str")
     assert(str.contains("SortMergeJoin") || str.contains("ShuffledHashJoin"),
       s"bloom demo join must be a shuffle join:\n$str")
+    // and the registry entry EXECUTES that plan: its checkpoint runs
+    // inside the conf scope, so the handed-on result is the
+    // bloom-planned join's output (row-equal to the plain join)
+    val viaEntry = SparkEntry.queries("bloom_join_revenue")(
+      spark, sf("sf0.001")).collect().toSeq
+    val plain = df.collect().toSeq
+    assert(viaEntry === plain)
   }
 
   test("bloom_join_revenue: scoped confs are restored after plan build") {
