@@ -257,8 +257,15 @@ object QualityClassifier {
         .join(broadcast(biasDf), Seq("tgt"))
         .select(col("tgt"), col("doc_id"), col("y"), col("n_bg"),
           (col("bias") + col("dot")).as("z"))
-    // zero init: epoch 1's p is exactly 0.5 for every (tgt, doc)
-    var probs = feat.select(col("tgt"), col("doc_id"), col("y")).distinct()
+    // zero init: epoch 1's p is exactly 0.5 for every (tgt, doc).
+    // The distinct runs over the K-fold-SMALLER base table (one row
+    // per (doc, bucket), not K) and the K labels attach after — the
+    // same (tgt, doc_id, y) rows as a distinct over `feat`, at 1/K
+    // the shuffle (r21, guide §2.3: shuffle fewer bytes).
+    var probs = base.select(col("doc_id"), col("lang")).distinct()
+      .crossJoin(broadcast(langs.toDF("tgt")))
+      .select(col("tgt"), col("doc_id"),
+        when(col("lang") === col("tgt"), 1.0).otherwise(0.0).as("y"))
       .withColumn("p", lit(0.5))
     var e = 0
     while (e < epochs) {

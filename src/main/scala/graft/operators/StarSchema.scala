@@ -54,20 +54,70 @@ object StarSchema {
     * instead partition by a coarser derived column, e.g. order month).
     */
   def partitionedFactPath(spark: SparkSession, dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // Keyed on the CANONICAL absolute source dir plus the resolved
+    // warehouse path (r20 advice): distinct dirs that sanitize
+    // identically (/data/sf0-1 vs /data/sf0_1) must not collide, and a
+    // second session with a different warehouse in the same JVM must
+    // not be served the first session's copy. The on-disk name is a
+    // hash of that key plus the SOURCE-TABLE STAMP (the SuffixRanks
+    // stamp-dir posture), so a mutated corpus misses and rebuilds
+    // while an unchanged one re-serves even across processes.
+    val canon =
+      try java.nio.file.Paths.get(dir).toRealPath().toString
+      catch { case _: Throwable =>
+        java.nio.file.Paths.get(dir).normalize().toAbsolutePath.toString }
+    val whDir = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      .getAbsolutePath
+    val stamp = graft.sources.CorpusStamp.of(spark, s"$canon/orders.parquet") +
+      31 * graft.sources.CorpusStamp.of(spark, s"$canon/customer.parquet")
+    val key = f"$canon|$whDir|$stamp%016x"
     written.computeIfAbsent(key, { _ =>
-      val loc = new java.io.File(
-        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
-        s"fact_orders_by_nation_$key").getAbsolutePath
-      Tables.orders(spark, dir)
-        .join(Tables.customer(spark, dir)
-            .select(col("c_custkey"), col("c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-        .select(col("o_orderkey"), col("o_totalprice"),
-          col("o_orderpriority"), col("c_nationkey").as("nationkey"))
-        .write.mode("overwrite").partitionBy("nationkey").parquet(loc)
-      loc
+      val tag = f"${CorpusStampHash.fnv(key)}%016x"
+      val loc = new org.apache.hadoop.fs.Path(
+        new java.io.File(whDir, s"fact_orders_by_nation_$tag")
+          .getAbsolutePath)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val success = new org.apache.hadoop.fs.Path(loc, "_SUCCESS")
+      if (!fs.exists(success)) {
+        // attempt dir + atomic promotion (r20 advice): two JVMs sharing
+        // a warehouse can both build; each writes a process-unique
+        // attempt, first promotion wins, and a committed in-use copy is
+        // never overwritten mid-read. The copy is a deterministic
+        // function of the source tables, so serving the winner is
+        // unobservable.
+        val attempt = new org.apache.hadoop.fs.Path(
+          loc.toString + s".attempt-${java.util.UUID.randomUUID()}")
+        Tables.orders(spark, dir)
+          .join(Tables.customer(spark, dir)
+              .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"), col("c_nationkey").as("nationkey"))
+          .write.partitionBy("nationkey").parquet(attempt.toString)
+        graft.sources.AtomicPromote(spark, fs, attempt, loc)
+        if (!fs.exists(success)) throw new IllegalStateException(
+          s"fact-copy promotion left no committed dir at $loc")
+      }
+      loc.toString
     })
+  }
+
+  /** FNV-1a of a string — the stamp-independent piece of the fact-copy
+    * directory tag (CorpusStamp's hash is path-content-keyed; this one
+    * folds the full cache key).
+    */
+  private object CorpusStampHash {
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < s.length) {
+        h ^= s.charAt(i).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    }
   }
 
   /** Registry: revenue by nation for one region, over the partitioned
@@ -122,6 +172,13 @@ object StarSchema {
 
   /** Run `body` under the bloom-injection preconditions, restoring
     * every conf (incl. null/unset defaults) on the way out.
+    *
+    * SINGLE-THREADED ASSUMPTION (r20 advice): this mutates
+    * session-global SQL confs for the duration of planning/execution,
+    * so any query planned CONCURRENTLY on the same SparkSession would
+    * compile under the temporary confs. The Verify/Bench drivers run
+    * entries sequentially; if entries ever run in parallel, scope the
+    * overrides with a cloned session (`spark.newSession()`) instead.
     */
   private def scopedForBloom[T](spark: SparkSession)(body: => T): T = {
     val scoped = Seq(

@@ -30,9 +30,13 @@ import graft.functions.TextOps
   *
   * == Scale shape ==
   *
-  * Textbook prefix doubling, shuffles bounded by log2(PrefixLen)
-  * rounds: round h turns h-prefix ranks into 2h-prefix ranks via the
-  * rank pair (r[pos], r[pos+h]).
+  * Prefix doubling from a 4-char packed base (r21): the base ranks
+  * are base-32 packs of [pos, pos+4) built in one per-doc lead()
+  * window pass, then round h turns h-prefix ranks into 2h-prefix
+  * ranks via the rank pair (r[pos], r[pos+h]) — three rounds
+  * (h = 4, 8, 16) instead of the classic five, since packs already
+  * ARE valid 4-prefix ranks (the doubling needs order and equality
+  * of r, never density).
   *
   *  - r[pos+h] is a `lead` window per (doc_id, pos) — suffixes never
   *    cross documents, so the partition is doc-sized, never skewed
@@ -41,20 +45,22 @@ import graft.functions.TextOps
   *    DISTINCT pair table: the same skew-proof distributed prefix-sum
   *    machinery as ccnet's percent rank (equi-depth buckets via
   *    percentile splits + the codegen ArrayCountLess assignment) — no
-  *    global sort, no single-reducer window anywhere. Early rounds
-  *    have tiny distinct tables (<= alphabet^2h); by the time the
-  *    table approaches corpus size the ties are nearly gone, which is
-  *    exactly the regime the bucketed rank balances.
+  *    global sort, no single-reducer window anywhere. The h = 4
+  *    round's distinct table is small (<= distinct 8-char windows);
+  *    by the time the table approaches corpus size the ties are
+  *    nearly gone, which is exactly the regime the bucketed rank
+  *    balances.
   *  - rounds stop early once every suffix's rank is unique: if all
   *    2h-prefixes are distinct, extending the horizon can neither
   *    reorder (prefix rule) nor split ties (none left), so the ranks
   *    are already the PrefixLen ones.
   *
-  * Determinism: ranks are exact integers from exact prefix sums;
-  * initial ranks are raw char codes (order- and equality-preserving
-  * for 1-prefixes); no sampled range exchange is involved (the bucket
-  * splits are percentile_approx values used only through the pure
-  * ArrayCountLess assignment, so any splits give the same ranks).
+  * Determinism: ranks are exact integers from exact prefix sums; the
+  * base packs are pure per-row functions of the chars (order- and
+  * equality-preserving for 4-prefixes); no sampled range exchange is
+  * involved (the bucket splits are percentile_approx values used only
+  * through the pure ArrayCountLess assignment, so any splits give the
+  * same ranks).
   */
 object SuffixRanks {
 
@@ -73,59 +79,103 @@ object SuffixRanks {
       .filter(length(col("s")) > 0)
 
   /** (doc_id, pos [1-based], r): the PrefixLen-bounded corpus-wide
-    * dense suffix rank of every position. */
+    * dense suffix rank of every position.
+    *
+    * Prefix doubling with two r21 cost cuts (both measured; see
+    * OPTIMIZATION_r21.md for the rejected-alternative story):
+    *
+    *  1. **4-char packed base case.** The initial ranks are base-32
+    *     packs of chars [pos, pos+4) (the [[packSeg]] encoding:
+    *     ' ' -> 1, 'a'..'z' -> 2..27, absent -> 0 — order- AND
+    *     equality-preserving for 4-prefixes with shorter-sorts-first),
+    *     computed by 3 lead() terms inside ONE per-doc window pass.
+    *     The doubling only needs ORDER and EQUALITY of r, never
+    *     density, so the pack replaces doubling rounds h = 1 and
+    *     h = 2 outright: three rounds (h = 4, 8, 16) instead of five —
+    *     two fewer corpus-sized window + distinct + rank + join
+    *     chains (guide §2.4).
+    *  2. **No per-round stats aggregate.** The old per-round
+    *     `count + 2 x count_distinct` aggregate compiled to an Expand
+    *     that tripled the corpus rows every round. `n` is
+    *     round-constant (counted once from the checkpointed base);
+    *     `nd` is a plain count() of the distinct pair table the round
+    *     materializes anyway; and the old `ndPrev == n` early exit is
+    *     redundant — it can only fire when the PREVIOUS round's
+    *     `nd == n` already set `done` (the base case's sub-corpus
+    *     uniqueness would need a <= 27-position corpus, where one
+    *     extra round is free).
+    *
+    * A full direct-pack formulation (all 32 chars into three longs,
+    * one window + two rankByKey passes, no doubling) was built,
+    * spec-verified, and REJECTED on measurement: 12-char pack values
+    * leave ~97% of the distinct table in rank ties (the tie machinery
+    * is the expensive half of rankByKey), and the two near-full-size
+    * rank passes cost more than the doubling's geometric rounds —
+    * isolated 3-run medians 36 s vs 25 s at sf0.1. The doubling's
+    * early rounds are cheap BECAUSE its rank inputs grow
+    * geometrically; the base-4 pack only removes the two rounds whose
+    * rank tables were trivial anyway, which is exactly why it wins
+    * while the full pack loses.
+    *
+    * Why not broadcast the per-round rank table into the join: at
+    * sf0.1 it fits, at 100 TB the distinct-window table is
+    * corpus-sized — a local-only trick, rejected by the posture rule.
+    *
+    * Each round's output is localCheckpoint()ed, not persist()ed:
+    * persist keeps the LOGICAL plan, and chained rankByKey rounds
+    * nest it past what AQE can even render (the repo's iterative ops
+    * all truncate per round the same way). Checkpoint blocks are
+    * released by the caller-side Cleanup between queries, never
+    * mid-query.
+    */
   def suffixRanks(docs: DataFrame): DataFrame = {
-    // initial 1-prefix ranks: the char code itself (stream is [a-z ],
-    // so ascii == memcmp byte order; density is irrelevant, only order
-    // and equality feed the doubling)
-    // split(s, "") stays inside whole-stage codegen (the array HOF
-    // alternative is interpreted) — this explode is the one
-    // corpus-chars-sized projection, the op's hot path.
-    //
-    // Each round's output is localCheckpoint()ed, not persist()ed:
-    // persist keeps the LOGICAL plan, and five chained rankByKey
-    // rounds nest it past what AQE can even render (the repo's
-    // iterative ops — pagerank, k-means — all truncate per round the
-    // same way). Checkpoint blocks are released by the caller-side
-    // Cleanup between queries, never mid-query (a truncated lineage
-    // cannot recompute). A multi-hour production run would swap these
-    // for reliable checkpoints; the shape is identical.
-    var t = streams(docs)
+    // one corpus-chars-sized projection (split + posexplode stays
+    // inside whole-stage codegen; array HOFs are interpreted), then
+    // the 4-char packed base ranks in a single per-doc window pass
+    val chars = streams(docs)
       .select(col("doc_id"), posexplode(split(col("s"), "")))
       .filter(length(col("col")) > 0) // defensive vs trailing empties
       .select(col("doc_id"), (col("pos") + 1).as("pos"),
-        ascii(col("col")).cast("long").as("r"))
-      .localCheckpoint()
+        ascii(col("col")).cast("long").as("c"))
+      .select(col("doc_id"), col("pos"),
+        when(col("c") === 32, 1L)
+          .when(col("c") >= 97, col("c") - 95)
+          .otherwise(0L).as("e"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    var h = 1
-    var done = false
+    // a lead past the doc end is null -> 0, the absent code: the pack
+    // of a short tail sorts below every longer extension, the same
+    // "shorter sorts first" rule the -1 sentinel implements below
+    def leadE(k: Int): Column =
+      if (k == 0) col("e")
+      else coalesce(lead(col("e"), k).over(byDoc), lit(0L))
+    var t = chars
+      .select(col("doc_id"), col("pos"),
+        (0 until 4)
+          .map(k => leadE(k) * lit(math.pow(32, 3 - k).toLong))
+          .reduce(_ + _).as("r"))
+      .localCheckpoint()
+    val n = t.count() // round-constant; the checkpoint makes it a scan
+    var h = 4
+    var done = n == 0L
     while (h < PrefixLen && !done) {
       // a missing next-rank (suffix ends inside the horizon) sorts
       // BELOW every real rank — the prefix rule "shorter sorts first"
       val paired = t
         .withColumn("r2", coalesce(lead(col("r"), h).over(byDoc), lit(-1L)))
         .localCheckpoint()
-      val stats = paired.agg(
-        count(lit(1)).as("n"),
-        count_distinct(struct(col("r"), col("r2"))).as("nd"),
-        count_distinct(col("r")).as("ndPrev")).head()
-      val (n, nd, ndPrev) =
-        (stats.getLong(0), stats.getLong(1), stats.getLong(2))
-      if (ndPrev == n) {
-        // every rank already unique BEFORE this round: nothing to
-        // split or reorder, current t is final
-        done = true
-      } else {
-        val dk = paired.select(col("r"), col("r2")).distinct()
-        val ranked =
-          Ranks.rankByKey(dk, lit(1), col("r"), col("r2"), "nr")
-        t = paired
-          .join(ranked, Seq("r", "r2"))
-          .select(col("doc_id"), col("pos"), col("nr").as("r"))
-          .localCheckpoint()
-        if (nd == n) done = true // this round made every rank unique
-        h *= 2
-      }
+      // the distinct pair table feeds the rank AND the early-exit
+      // count — persist so the count's shuffle is not paid twice
+      // (rankByKey re-persists its own projection of it)
+      val dk = paired.select(col("r"), col("r2")).distinct().persist()
+      val nd = dk.count()
+      val ranked =
+        Ranks.rankByKey(dk, lit(1), col("r"), col("r2"), "nr")
+      t = paired
+        .join(ranked, Seq("r", "r2"))
+        .select(col("doc_id"), col("pos"), col("nr").as("r"))
+        .localCheckpoint()
+      if (nd == n) done = true // this round made every rank unique
+      h *= 2
     }
     t
   }

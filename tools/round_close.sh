@@ -20,6 +20,17 @@ cd "$(dirname "$0")/.."
 
 step() { echo "=== [$(date +%H:%M:%S)] $1 ==="; }
 
+step "0/6 source hygiene: no binary-detected (raw control byte) files"
+BIN=$(( $(find src tools -name '*.scala' -o -name '*.py' -o -name '*.sh' \
+  | wc -l) - $(grep -rlI . src tools --include='*.scala' --include='*.py' \
+  --include='*.sh' | wc -l) ))
+if [ "$BIN" -ne 0 ]; then
+  echo "FAIL: $BIN source file(s) grep as binary — escape raw control" \
+    "bytes (\\u wrote the r20 Lossy.scala NUL; see VERDICT r20 #2/#7)"
+  exit 1
+fi
+echo "ok: all source files grep as text"
+
 step "1/6 full test suite"
 sbt -batch test > "$OUT/test.log" 2>&1
 grep -E "Tests: |All tests passed|TESTS FAILED" "$OUT/test.log" | tail -3
