@@ -102,6 +102,11 @@ object QualityClassifier {
       .drop("cnt")
   }
 
+  /** Probe hook ([[graft.LangIdPlanDump]]): the shared feature table,
+    * for plan-artifact dumps of the training lineage. */
+  private[graft] def probeBaseFeatures(docs: DataFrame,
+      buckets: Int): DataFrame = baseFeatures(docs, buckets)
+
   /** (doc_id, y, n_bg, b, x): the binary-labeled view for one target. */
   private def labeled(base: DataFrame, targetLang: String): DataFrame =
     base.select(col("doc_id"),

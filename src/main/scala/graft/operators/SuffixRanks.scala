@@ -111,7 +111,8 @@ object SuffixRanks {
     * leave ~97% of the distinct table in rank ties (the tie machinery
     * is the expensive half of rankByKey), and the two near-full-size
     * rank passes cost more than the doubling's geometric rounds —
-    * isolated 3-run medians 36 s vs 25 s at sf0.1. The doubling's
+    * isolated at sf0.1 it archived 37 s (in-run trail 52.7/37.1/36.0)
+    * against the doubling's 25 s 3-run median. The doubling's
     * early rounds are cheap BECAUSE its rank inputs grow
     * geometrically; the base-4 pack only removes the two rounds whose
     * rank tables were trivial anyway, which is exactly why it wins
