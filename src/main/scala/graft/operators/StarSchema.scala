@@ -59,9 +59,13 @@ object StarSchema {
     // identically (/data/sf0-1 vs /data/sf0_1) must not collide, and a
     // second session with a different warehouse in the same JVM must
     // not be served the first session's copy. The on-disk name is a
-    // hash of that key plus the SOURCE-TABLE STAMP (the SuffixRanks
-    // stamp-dir posture), so a mutated corpus misses and rebuilds
-    // while an unchanged one re-serves even across processes.
+    // hash of that key plus the SOURCE-TABLE STAMP (staleness safety)
+    // plus THIS PROCESS's pid: the copy stays once-per-PROCESS exactly
+    // as before r21 — the entry's committed floor includes the write,
+    // and cross-process reuse would let a bench serve a persisted
+    // intermediate it never paid for (the no-precomputation rule; the
+    // suffix index is different — its forced-rebuild build_* entry
+    // times the build explicitly every run).
     val canon =
       try java.nio.file.Paths.get(dir).toRealPath().toString
       catch { case _: Throwable =>
@@ -71,7 +75,8 @@ object StarSchema {
       .getAbsolutePath
     val stamp = graft.sources.CorpusStamp.of(spark, s"$canon/orders.parquet") +
       31 * graft.sources.CorpusStamp.of(spark, s"$canon/customer.parquet")
-    val key = f"$canon|$whDir|$stamp%016x"
+    val pid = java.lang.ProcessHandle.current().pid()
+    val key = f"$canon|$whDir|$stamp%016x|$pid%d"
     written.computeIfAbsent(key, { _ =>
       val tag = f"${CorpusStampHash.fnv(key)}%016x"
       val loc = new org.apache.hadoop.fs.Path(
